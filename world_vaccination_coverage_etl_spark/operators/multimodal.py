@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+Design: a multimodal asset is a row with an opaque ``binary`` payload
+plus typed metadata (mime, width/height, sample rate, ...).  The
+Spark-side contract — schema, partitioning, Arrow batch shape, UDF
+signatures — is fully real and tested; the actual media decode is
+STUBBED (the container has no image/audio libraries): ``decode_image_batch``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder derives "pixels" from the payload bytes so
+the pipeline shape can be exercised end-to-end.
+
+All batch operators use ``mapInPandas`` — per-partition Arrow batches,
+never per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MULTIMODAL_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha", T.StringType(), True),
+    ]
+)
+
+_DECODED_FIELDS = "asset_id long, mime string, n_bytes long, width int, height int, mean_intensity double"
+_FEATURE_FIELDS = "asset_id long, feature array<double>"
+
+
+def attach_binary_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "asset_id"
+) -> DataFrame:
+    """Typed metadata over an opaque binary column — pure JVM expressions."""
+    p = F.col(payload_col)
+    return (
+        df.withColumn("n_bytes", F.length(p).cast("long"))
+        .withColumn("sha", F.sha2(p, 256))
+        .withColumn("head_hex", F.hex(F.substring(p, 1, 8)))
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake decoder: byte stats standing in for pixels."""
+    n = len(payload)
+    width = max(1, n % 64)
+    height = max(1, (n // 64) % 64 + 1)
+    mean_intensity = (sum(payload) / n) if n else 0.0
+    return width, height, mean_intensity
+
+
+def decode_image_batch(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    mime_col: str = "mime",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode (stub) binary images → (width, height, mean_intensity).
+
+    Real decode would use PIL/libvips inside the same ``mapInPandas``
+    kernel (one Arrow batch in, one out, columnar both ways).  The
+    partitioning contract: payloads stay with their partition; no
+    shuffle is introduced by decode.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires an image library not present in "
+                    "this environment; pass fake=True for the deterministic stub"
+                )
+            decoded = [
+                _fake_decode(bytes(p)) if p is not None else (0, 0, 0.0)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "mime": pdf[mime_col],
+                    "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf[payload_col]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_intensity": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=_DECODED_FIELDS)
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    dim: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Feature-extraction stub: payload → fixed-dim float vector.
+
+    Real path would run a model forward pass per Arrow batch.  The fake
+    path hashes byte windows into ``dim`` buckets (deterministic), so
+    downstream similarity plumbing can be tested.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "feature extraction requires a model runtime not present "
+                    "in this environment; pass fake=True for the stub"
+                )
+            feats = []
+            for p in pdf[payload_col]:
+                buf = bytes(p) if p is not None else b""
+                vec = np.zeros(dim, dtype=np.float64)
+                for i, byte in enumerate(buf):
+                    vec[i % dim] += byte / 255.0
+                norm = np.linalg.norm(vec)
+                feats.append((vec / norm).tolist() if norm > 0 else vec.tolist())
+            yield pd.DataFrame({"asset_id": pdf[id_col], "feature": feats})
+
+    return df.mapInPandas(kernel, schema=_FEATURE_FIELDS)

@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data curation.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+codegen'd): regex counts, array intersections, md5.  No Python per row.
+
+- token counting: whitespace tokens + a BPE-ish regex segmentation;
+- quality scoring: length / punctuation-ratio / stopword-ratio features
+  combined into a [0,1] score;
+- language ID: stopword-hit scoring over a small marker-word table per
+  language, argmax row-locally;
+- fingerprinting: md5 over whitespace-normalized lowercase content
+  (stable across engines — DuckDB md5 matches bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Small, deterministic marker-word tables (top function words).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "du"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"],
+}
+
+# BPE-ish segmentation: word pieces or single non-space symbols —
+# approximates subword token counts without a vocab file.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]"
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+
+def _tokens(col: F.Column) -> F.Column:
+    toks = F.split(F.lower(F.trim(col)), r"[^a-zA-Z0-9]+")
+    return F.filter(toks, lambda t: t != "")
+
+
+def with_token_count(
+    df: DataFrame, text_col: str = "text", out_prefix: str = ""
+) -> DataFrame:
+    """Whitespace and BPE-ish token counts as new columns."""
+    ws = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""))
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
+    return df.withColumn(f"{out_prefix}ws_tokens", ws).withColumn(
+        f"{out_prefix}bpe_tokens", bpe
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + combined score in [0, 1].
+
+    Features (all JVM-side): character length, punctuation ratio,
+    English-stopword ratio, mean word length.  Score = weighted blend,
+    clamped.  Deterministic; SQL-expressible for the oracle.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    toks = _tokens(t)
+    n_words = F.size(toks)
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS_EN])))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(0.0)
+    mean_word_len = F.when(n_words > 0, (n_chars.cast("double") / n_words)).otherwise(0.0)
+    score = (
+        F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("stop_ratio", F.round(stop_ratio, 6))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-heuristic language ID: distinct-marker-word hits per
+    language, argmax with deterministic tiebreak (language code asc);
+    'und' (undetermined) when nothing matches."""
+    toks = _tokens(F.col(text_col))
+    scores = [
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        ).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    langs = sorted(LANG_MARKERS)
+    scored = df.withColumns({f"score_{lang}": c for lang, c in zip(langs, scores)})
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pick = F.lit("und")
+    # later languages in reverse order so earlier (asc) wins ties
+    for lang in reversed(langs):
+        pick = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pick)
+    return scored.withColumn("lang_id", pick).drop(*[f"score_{lang}" for lang in langs])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text.
+
+    A stable engine-portable stand-in for a rolling hash — identical
+    output in Spark and DuckDB, so it is oracle-checkable.  (A 64-bit
+    rolling/polynomial variant would use xxhash64 — Spark-only.)
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn("fingerprint", F.md5(norm))
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus word frequencies: explode tokens → count.
+
+    The groupBy gets map-side partial aggregation; at 100 TB this is
+    the canonical two-phase distributed word count.
+    """
+    return (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )

@@ -1,0 +1,1042 @@
+"""Query registry: every SURVEY.md §2 operator as a (Spark plan, DuckDB
+oracle SQL) pair over the driver's star schema, plus the large-scale
+extension operators (dedup / similarity / text / JSON / event-time).
+
+Contract (driver, __spark_entry__.py): each entry's Spark callable takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle SQL must produce
+identical column names, types, and values in DuckDB.  Determinism rules
+applied throughout:
+
+- every float-valued output is ``round()``-ed identically on both sides;
+- money aggregates go through DECIMAL(18,2) casts so distributed vs
+  single-node summation order cannot produce differing bits;
+- every ordered/limited query carries a full tie-breaker key;
+- timestamps are cast to DATE (or formatted) at the output edge so
+  engine timestamp internals never reach the comparator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.flags import country_flag_udf
+from .functions.stats import mean_ci_columns, two_sided_p_udf, welch_t_columns
+from .operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from .operators.reshape import unpivot_measures
+from .operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from .operators.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_token_count,
+)
+from .sources.registry import load_table
+from .streaming.event_windows import sessionize, sliding_event_counts, tumbling_event_counts
+
+# --------------------------------------------------------------------- #
+# constants shared by Spark plans and oracle SQL
+
+REF_YEAR = 1998          # campaign-style reference year on orders
+PRE_YEARS = 2            # before window: [1996, 1997]
+POST_YEARS = 1           # after window:  [1998, 1999]
+Q1_CUTOFF = "2001-09-01"
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => not SQL-expressible; driver does rows-only
+    note: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, note: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, note=note)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------- #
+# §2.1/2.2 scans, filters, projections
+
+
+@register(
+    "filter_eq2",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+    """,
+    note="conjunctive equality predicate + projection (SURVEY §2.2 filter_eq2; reference streamlit_app.py:119)",
+)
+def q_filter_eq2(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+        )
+    )
+
+
+@register(
+    "dim_index",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer ORDER BY c_mktsegment, c_nationkey
+    """,
+    note="distinct dimension index (SURVEY §2.5 agg_distinct_pairs; reference streamlit_app.py:99-108)",
+)
+def q_dim_index(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+@register(
+    "agg_unique_vals",
+    "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    note="per-column distinct (SURVEY §2.5 agg_unique_vals)",
+)
+def q_agg_unique_vals(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+@register(
+    "filter_membership",
+    """
+    SELECT DISTINCT o_orderpriority FROM orders
+    WHERE o_orderstatus = 'F' ORDER BY o_orderpriority
+    """,
+    note="dependent-dimension filter (SURVEY §2.2 filter_membership; reference streamlit_app.py:190)",
+)
+def q_filter_membership(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderpriority")
+        .distinct()
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "filter_range_year",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1996 AND 1999
+    GROUP BY 1 ORDER BY 1
+    """,
+    note="closed-range predicate (SURVEY §2.2 filter_range_year; reference etl_pipeline.py:75)",
+)
+def q_filter_range_year(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .filter(F.col("order_year").between(1996, 1999))
+        .groupBy("order_year")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "filter_window_range",
+    f"""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CASE WHEN year(o_orderdate) BETWEEN {REF_YEAR - PRE_YEARS} AND {REF_YEAR - 1}
+                THEN 'before' ELSE 'after' END AS phase
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN {REF_YEAR - PRE_YEARS} AND {REF_YEAR + POST_YEARS}
+    """,
+    note="parameterized before/after range slices (SURVEY §2.2 filter_window_range; reference etl_pipeline.py:124-131)",
+)
+def q_filter_window_range(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    return (
+        o.filter(F.col("yr").between(REF_YEAR - PRE_YEARS, REF_YEAR + POST_YEARS))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.when(
+                F.col("yr").between(REF_YEAR - PRE_YEARS, REF_YEAR - 1), "before"
+            )
+            .otherwise("after")
+            .alias("phase"),
+        )
+    )
+
+
+@register(
+    "cast_coerce",
+    """
+    SELECT event_type,
+           CAST(count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_valid,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="lossy numeric coercion, null on malformed (SURVEY §2.2 cast_coerce; reference explorer_app.py:244-245) + JSON extraction",
+)
+def q_cast_coerce(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_valid"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "filter_dropna",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+    FROM events WHERE value IS NOT NULL AND props IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    note="null elimination (SURVEY §2.2 filter_dropna; reference etl_pipeline.py:73)",
+)
+def q_filter_dropna(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .na.drop(subset=["value", "props"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "proj_prefix_rename",
+    """
+    SELECT p_partkey AS partkey, p_name AS name, p_brand AS brand,
+           regexp_replace(p_brand, '^Brand#', '') AS brand_code
+    FROM part
+    """,
+    note="prefix column selection + rename + prefix strip (SURVEY §2.2 proj_prefix_select/proj_rename, §2.9 str_prefix_strip)",
+)
+def q_proj_prefix_rename(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    # schema-level prefix selection like the reference's coverage__ scan
+    keep = [c for c in part.columns if c.startswith("p_")][:3]
+    renamed = part.select(
+        *[F.col(c).alias(c.removeprefix("p_")) for c in keep]
+    )
+    return renamed.withColumn(
+        "brand_code", F.regexp_replace(F.col("brand"), "^Brand#", "")
+    )
+
+
+# --------------------------------------------------------------------- #
+# §2.3 unpivot
+
+
+@register(
+    "unpivot_melt",
+    """
+    SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value
+    FROM part WHERE p_retailprice IS NOT NULL
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_size IS NOT NULL
+    """,
+    note="wide->long melt with null drop (SURVEY §2.3 unpivot_melt; reference etl_pipeline.py:68-73)",
+)
+def q_unpivot_melt(spark, sf_dir):
+    return unpivot_measures(
+        _t(spark, sf_dir, "part"),
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variable_col="measure",
+        value_col="value",
+    )
+
+
+# --------------------------------------------------------------------- #
+# §2.5 aggregations
+
+
+@register(
+    "agg_mean",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    note="grouped sample mean (SURVEY §2.5 agg_mean; reference etl_pipeline.py:143-144)",
+)
+def q_agg_mean(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_extremes",
+    """
+    SELECT l_returnflag,
+           CAST(min(year(l_shipdate)) AS INT) AS min_year,
+           CAST(max(year(l_shipdate)) AS INT) AS max_year,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    note="min/max/count KPIs (SURVEY §2.5 agg_extremes; reference streamlit_app.py:201-203)",
+)
+def q_agg_extremes(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.year("l_shipdate")).alias("min_year"),
+            F.max(F.year("l_shipdate")).alias("max_year"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_first_last",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS rn_asc,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_desc
+      FROM orders)
+    SELECT o_orderpriority,
+           round(max(CASE WHEN rn_asc = 1 THEN o_totalprice END), 2) AS earliest_price,
+           round(max(CASE WHEN rn_desc = 1 THEN o_totalprice END), 2) AS latest_price,
+           round(max(CASE WHEN rn_desc = 1 THEN o_totalprice END)
+                 - max(CASE WHEN rn_asc = 1 THEN o_totalprice END), 2) AS delta
+    FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    note="first/last by time order with full tiebreak (SURVEY §2.5 agg_first_last; reference streamlit_app.py:199-202)",
+)
+def q_agg_first_last(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    order_key = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    earliest = F.min_by("o_totalprice", order_key)
+    latest = F.max_by("o_totalprice", order_key)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(earliest, 2).alias("earliest_price"),
+            F.round(latest, 2).alias("latest_price"),
+            F.round(latest - earliest, 2).alias("delta"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_sem_ci",
+    """
+    SELECT o_orderpriority,
+           round(avg(o_totalprice), 6) AS mean_price,
+           round(stddev_samp(o_totalprice), 6) AS sd_price,
+           CAST(count(*) AS BIGINT) AS n,
+           round(stddev_samp(o_totalprice) / sqrt(count(*)), 6) AS sem
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    note="mean/SEM aggregates feeding the CI kernel (SURVEY §2.5 agg_sem_ci; reference etl_pipeline.py:37-43)",
+)
+def q_agg_sem_ci(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+            F.round(F.stddev_samp("o_totalprice"), 6).alias("sd_price"),
+            F.count("*").alias("n"),
+            F.round(
+                F.stddev_samp("o_totalprice") / F.sqrt(F.count("*")), 6
+            ).alias("sem"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_mean_ci_t",
+    None,
+    note="CI bounds need the t quantile (pure-numpy kernel on aggregated rows) — not ANSI-SQL-expressible; rows-only check",
+)
+def q_agg_mean_ci_t(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    aggregated = o.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("mean_price"),
+        F.stddev_samp("o_totalprice").alias("sd_price"),
+        F.count("*").alias("n"),
+    )
+    lo, hi = mean_ci_columns(
+        F.col("mean_price"), F.col("sd_price"), F.col("n"), conf=0.95
+    )
+    return (
+        aggregated.withColumn("ci_lo", F.round(lo, 6))
+        .withColumn("ci_hi", F.round(hi, 6))
+        .select(
+            "o_orderpriority",
+            F.round("mean_price", 6).alias("mean_price"),
+            "n",
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _window_conditions():
+    before = (F.year(F.col("o_orderdate")) >= REF_YEAR - PRE_YEARS) & (
+        F.year(F.col("o_orderdate")) <= REF_YEAR - 1
+    )
+    after = (F.year(F.col("o_orderdate")) >= REF_YEAR) & (
+        F.year(F.col("o_orderdate")) <= REF_YEAR + POST_YEARS
+    )
+    return before, after
+
+
+_WINDOW_AGG_SQL = f"""
+      SELECT o_orderpriority,
+             avg(CASE WHEN year(o_orderdate) BETWEEN {REF_YEAR - PRE_YEARS} AND {REF_YEAR - 1}
+                      THEN o_totalprice END) AS avg_before,
+             avg(CASE WHEN year(o_orderdate) BETWEEN {REF_YEAR} AND {REF_YEAR + POST_YEARS}
+                      THEN o_totalprice END) AS avg_after,
+             var_samp(CASE WHEN year(o_orderdate) BETWEEN {REF_YEAR - PRE_YEARS} AND {REF_YEAR - 1}
+                      THEN o_totalprice END) AS var_before,
+             var_samp(CASE WHEN year(o_orderdate) BETWEEN {REF_YEAR} AND {REF_YEAR + POST_YEARS}
+                      THEN o_totalprice END) AS var_after,
+             count(CASE WHEN year(o_orderdate) BETWEEN {REF_YEAR - PRE_YEARS} AND {REF_YEAR - 1}
+                      THEN o_totalprice END) AS n_before,
+             count(CASE WHEN year(o_orderdate) BETWEEN {REF_YEAR} AND {REF_YEAR + POST_YEARS}
+                      THEN o_totalprice END) AS n_after
+      FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "agg_window_compare",
+    f"""
+    SELECT o_orderpriority,
+           round(avg_before, 6) AS avg_before,
+           round(avg_after, 6) AS avg_after,
+           round(avg_after - avg_before, 6) AS diff_pp,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_after AS BIGINT) AS n_after
+    FROM ({_WINDOW_AGG_SQL})
+    ORDER BY o_orderpriority
+    """,
+    note="before/after conditional aggregation block (SURVEY §2.5 agg_window_compare; reference streamlit_app.py:326-342)",
+)
+def q_agg_window_compare(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    before, after = _window_conditions()
+    v = F.col("o_totalprice")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.avg(F.when(before, v)).alias("avg_before_raw"),
+            F.avg(F.when(after, v)).alias("avg_after_raw"),
+            F.count(F.when(before, v)).alias("n_before"),
+            F.count(F.when(after, v)).alias("n_after"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("avg_before_raw", 6).alias("avg_before"),
+            F.round("avg_after_raw", 6).alias("avg_after"),
+            F.round(F.col("avg_after_raw") - F.col("avg_before_raw"), 6).alias("diff_pp"),
+            "n_before",
+            "n_after",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_welch_t",
+    f"""
+    SELECT o_orderpriority,
+           round((avg_before - avg_after)
+                 / sqrt(var_before / n_before + var_after / n_after), 6) AS t_stat,
+           round(pow(var_before / n_before + var_after / n_after, 2)
+                 / (pow(var_before / n_before, 2) / (n_before - 1)
+                    + pow(var_after / n_after, 2) / (n_after - 1)), 6) AS dof
+    FROM ({_WINDOW_AGG_SQL})
+    WHERE n_before > 1 AND n_after > 1
+    ORDER BY o_orderpriority
+    """,
+    note="Welch t statistic + Welch–Satterthwaite df, closed form from distributed aggregates (SURVEY §2.5 agg_welch_ttest; reference etl_pipeline.py:136-139)",
+)
+def q_agg_welch_t(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    before, after = _window_conditions()
+    v = F.col("o_totalprice")
+    aggregated = o.groupBy("o_orderpriority").agg(
+        F.avg(F.when(before, v)).alias("avg_before"),
+        F.avg(F.when(after, v)).alias("avg_after"),
+        F.var_samp(F.when(before, v)).alias("var_before"),
+        F.var_samp(F.when(after, v)).alias("var_after"),
+        F.count(F.when(before, v)).alias("n_before"),
+        F.count(F.when(after, v)).alias("n_after"),
+    )
+    t_stat, dof = welch_t_columns(
+        F.col("avg_before"), F.col("var_before"), F.col("n_before"),
+        F.col("avg_after"), F.col("var_after"), F.col("n_after"),
+    )
+    return (
+        aggregated.filter((F.col("n_before") > 1) & (F.col("n_after") > 1))
+        .select(
+            "o_orderpriority",
+            F.round(t_stat, 6).alias("t_stat"),
+            F.round(dof, 6).alias("dof"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_welch_pvalue",
+    None,
+    note="two-sided p-value needs the t CDF (numpy kernel on aggregated rows; reference uses scipy.stats.ttest_ind) — rows-only check",
+)
+def q_agg_welch_pvalue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    before, after = _window_conditions()
+    v = F.col("o_totalprice")
+    aggregated = o.groupBy("o_orderpriority").agg(
+        F.avg(F.when(before, v)).alias("avg_before"),
+        F.avg(F.when(after, v)).alias("avg_after"),
+        F.var_samp(F.when(before, v)).alias("var_before"),
+        F.var_samp(F.when(after, v)).alias("var_after"),
+        F.count(F.when(before, v)).alias("n_before"),
+        F.count(F.when(after, v)).alias("n_after"),
+    )
+    t_stat, dof = welch_t_columns(
+        F.col("avg_before"), F.col("var_before"), F.col("n_before"),
+        F.col("avg_after"), F.col("var_after"), F.col("n_after"),
+    )
+    with_t = aggregated.withColumn("t_stat", t_stat).withColumn("dof", dof)
+    p = two_sided_p_udf(F.col("t_stat"), F.col("dof"))
+    return (
+        with_t.withColumn("p_value", F.round(p, 6))
+        .withColumn(
+            "significance",
+            F.when(F.col("p_value").isNull(), "insufficient-data")
+            .when(
+                (F.col("p_value") < 0.05)
+                & (F.col("avg_after") > F.col("avg_before")),
+                "significant-increase",
+            )
+            .when(
+                (F.col("p_value") < 0.05)
+                & (F.col("avg_after") < F.col("avg_before")),
+                "significant-decrease",
+            )
+            .otherwise("inconclusive"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("t_stat", 6).alias("t_stat"),
+            "p_value",
+            "significance",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    note="hierarchical grouping-sets aggregation (Spark rollup; extension beyond reference §2.5)",
+)
+def q_agg_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "pivot_wide",
+    """
+    SELECT l_returnflag,
+           CAST(CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE) AS F,
+           CAST(CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE) AS O
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    note="long->wide pivot (inverse of the melt; extension)",
+)
+def q_pivot_wide(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("qty_dec", F.col("l_quantity").cast("decimal(18,2)"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("qty_dec").cast("decimal(18,2)").cast("double"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------- #
+# §2.7 sorts / limits / top-k
+
+
+@register(
+    "limit_head",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    note="top-k with full tiebreak (SURVEY §2.7 limit_head; reference report_generator.py:77-78)",
+)
+def q_limit_head(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+# --------------------------------------------------------------------- #
+# joins (required by the star-schema harness; SURVEY §2.4 note)
+
+
+@register(
+    "join_broadcast_dim",
+    """
+    SELECT n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY n.n_name
+    """,
+    note="broadcast dimension join (SURVEY §2.4; small side broadcast-hinted)",
+)
+def q_join_broadcast_dim(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_name", "r_name")
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    note="left-semi join (EXISTS)",
+)
+def q_join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    note="left-anti join (NOT EXISTS)",
+)
+def q_join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    note="TPC-H-style Q1 pricing summary (flagship aggregation)",
+)
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_top_revenue",
+    """
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+    """,
+    note="TPC-H-style Q3: 3-way join + grouped revenue + top-k",
+)
+def q_q3_top_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'REGION_0'
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    note="TPC-H-style Q5: 5-way star join, broadcast dims, grouped revenue",
+)
+def q_q5_region_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    dims = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    EXCEPT
+    SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+    ORDER BY nationkey
+    """,
+    note="set operations: INTERSECT + EXCEPT (SURVEY §2.8 extension)",
+)
+def q_set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    n0 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("nationkey"))
+    )
+    return c.intersect(s).exceptAll(n0.distinct()).orderBy("nationkey")
+
+
+# --------------------------------------------------------------------- #
+# window functions (SURVEY §2.6 gap-fill)
+
+
+@register(
+    "window_topn_per_group",
+    """
+    SELECT c_nationkey, o_orderkey, round(o_totalprice, 2) AS total_price, rnk
+    FROM (
+      SELECT c.c_nationkey, o.o_orderkey, o.o_totalprice,
+             CAST(row_number() OVER (PARTITION BY c.c_nationkey
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INT) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    WHERE rnk <= 3 ORDER BY c_nationkey, rnk
+    """,
+    note="top-N per group via ranking window",
+)
+def q_window_topn_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_nationkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "rnk",
+        )
+        .orderBy("c_nationkey", "rnk")
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 6) AS delta
+    FROM events WHERE user_id < 10
+    """,
+    note="lag-based per-entity delta (analytic window)",
+)
+def q_window_lag_delta(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+    FROM events WHERE user_id < 10
+    """,
+    note="moving average over a row frame",
+)
+def q_window_moving_avg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 6).alias("mov_avg")
+    )
+
+
+# --------------------------------------------------------------------- #
+# §2.9 scalar functions / UDF
+
+
+@register(
+    "udf_country_flag",
+    None,
+    note="country->emoji-flag scalar UDF (SURVEY §2.9 udf_country_flag; reference streamlit_app.py:82-87) — not SQL-expressible, rows-only",
+)
+def q_udf_country_flag(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_name", country_flag_udf(F.col("n_name")).alias("flag")
+    ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------- #
+# event-time windows (extension; SURVEY §2.10)
+
+
+@register(
+    "event_tumbling_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="tumbling event-time window aggregation (batch flavor of the streaming op)",
+)
+def q_event_tumbling_daily(spark, sf_dir):
+    agg = tumbling_event_counts(_t(spark, sf_dir, "events"), "1 day")
+    return agg.select(
+        F.col("window_start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("day", "event_type")
+
+
+@register(
+    "event_sliding_2d",
+    """
+    WITH shifted AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start, value FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS DATE) AS window_start, value
+      FROM events)
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM shifted GROUP BY window_start ORDER BY window_start
+    """,
+    note="sliding event-time windows (2-day window, 1-day slide): each event lands in 2 windows",
+)
+def q_event_sliding_2d(spark, sf_dir):
+    agg = sliding_event_counts(
+        _t(spark, sf_dir, "events"), duration="2 days", slide="1 day"
+    )
+    return (
+        agg.groupBy(F.col("window_start").cast("date").alias("window_start"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 6).alias("sum_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "sessionize_counts",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+    note="gap-based sessionization (30 min) via lag + cumulative sum",
+)
+def q_sessionize_counts(spark, sf_dir):
+    sessions = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return (
+        sessions.groupBy("user_id")
+        .agg((F.max("session_idx") + 1).cast("long").alias("n_sessions"))
+        .orderBy("user_id")
+    )

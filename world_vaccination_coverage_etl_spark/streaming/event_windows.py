@@ -1,0 +1,103 @@
+"""Event-time windowed aggregation over the events table.
+
+Batch and streaming flavors share the same windowing expressions —
+``F.window`` works identically in both; the streaming flavor adds a
+watermark for state cleanup (late data beyond the watermark is
+dropped, the standard Structured Streaming contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_event_counts(
+    events: DataFrame, duration: str = "1 day", ts_col: str = "ts"
+) -> DataFrame:
+    """Tumbling event-time windows: count + sum(value) per (window, type)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), duration).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    duration: str = "2 days",
+    slide: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Sliding windows (each event lands in duration/slide windows)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    duration: str = "1 day",
+    watermark: str = "1 day",
+    query_name: str = "event_counts",
+):
+    """Streaming flavor: parquet file source → watermark → tumbling agg
+    → memory sink (for tests; swap the sink for production).  Returns
+    the started StreamingQuery."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    agg = tumbling_event_counts(stream.withWatermark("ts", watermark), duration)
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Sessionization: gap-based session ids per user (batch flavor).
+
+    lag(ts) over (user order by ts) → new-session flag on gap >
+    threshold → running sum = session index.  Two window passes over
+    the same partitioning — one shuffle total.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap_s = gap_minutes * 60
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    return flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
