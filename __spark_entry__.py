@@ -3,8 +3,13 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The real registry lives in
+``world_vaccination_coverage_etl_spark.queries.REGISTRY`` — every
+SURVEY.md §2 operator plus the large-scale dedup / similarity / text
+extension operators, each as a (Spark callable, DuckDB oracle SQL)
+pair.  This module just adapts it to the driver's function signatures.
 """
 
 from __future__ import annotations
@@ -13,26 +18,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from world_vaccination_coverage_etl_spark.queries import REGISTRY
+
+SF0001_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the Q1-style pricing summary
+    (filter → grouped decimal-safe aggregation), per SURVEY.md §7.2 M0."""
+    return REGISTRY["q1_pricing_summary"].fn(spark, SF0001_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+extensions)."""
+    return {name: qd.fn for name, qd in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI oracle per query; non-SQL-expressible ops
+    (t-CDF p-values, the flag UDF, LSH internals) are omitted so the
+    driver records its weaker rows-only check for them."""
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle}

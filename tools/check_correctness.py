@@ -1,0 +1,122 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``REGISTRY`` query through Spark and, where an oracle exists,
+the same query through DuckDB over the same parquet tables; compares
+row count, column names, and order-insensitive values (exact and
+allclose).  Usage::
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+
+Defaults to /root/testdata/sf0.01 and all queries.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from world_vaccination_coverage_etl_spark.queries import REGISTRY  # noqa: E402
+from world_vaccination_coverage_etl_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, then rows by all values — order-insensitive."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        return False, f"schema {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    if len(spark_pdf) != len(duck_pdf):
+        return False, f"rows {len(spark_pdf)} vs {len(duck_pdf)}"
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
+            np.asarray(bv).dtype, np.floating
+        ):
+            av = np.asarray(av, dtype="float64")
+            bv = np.asarray(bv, dtype="float64")
+            nan_match = np.isnan(av) == np.isnan(bv)
+            both = ~np.isnan(av) & ~np.isnan(bv)
+            if not nan_match.all() or not np.array_equal(av[both], bv[both]):
+                close = nan_match.all() and np.allclose(av[both], bv[both], rtol=1e-9, atol=1e-9)
+                worst = (
+                    float(np.max(np.abs(av[both] - bv[both]))) if both.any() else 0.0
+                )
+                return False, f"col {c} differs (allclose={close}, worst={worst:.3e})"
+        else:
+            if not a[c].astype(str).equals(b[c].astype(str)):
+                i = (a[c].astype(str) != b[c].astype(str)).idxmax()
+                return False, f"col {c} differs at row {i}: {a[c][i]!r} vs {b[c][i]!r}"
+    return True, "ok"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
+        set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None
+    )
+    spark = get_spark("correctness-check")
+    con = duck_connect(sf_dir)
+    n_pass = n_fail = n_rows_only = 0
+    for name, qd in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = qd.fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            traceback.print_exc(limit=3)
+            print(f"FAIL  {name:28s} spark-error: {type(exc).__name__}: {str(exc)[:200]}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if qd.oracle is None:
+            print(f"ROWS  {name:28s} rows={len(spark_pdf)} ({dt:.1f}s) [rows-only]")
+            n_rows_only += 1
+            continue
+        try:
+            duck_pdf = con.execute(qd.oracle).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name:28s} duckdb-error: {str(exc)[:200]}")
+            n_fail += 1
+            continue
+        ok, why = compare(spark_pdf, duck_pdf)
+        status = "PASS" if ok else "FAIL"
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"{status}  {name:28s} rows={len(spark_pdf)} ({dt:.1f}s) {why if not ok else ''}")
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

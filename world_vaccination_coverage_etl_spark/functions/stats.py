@@ -60,9 +60,13 @@ def welch_t_columns(
     se2_a = var_a / n_a
     se2_b = var_b / n_b
     denom = F.sqrt(se2_a + se2_b)
-    t_stat = (mean_a - mean_b) / denom
-    dof = (se2_a + se2_b) ** 2 / (
-        se2_a**2 / (n_a - 1) + se2_b**2 / (n_b - 1)
+    # try_divide: a constant series (zero variance in both windows) must
+    # yield NULL like scipy's NaN, not an ANSI DIVIDE_BY_ZERO abort —
+    # Spark 4 runs ANSI-on by default.
+    t_stat = F.try_divide(mean_a - mean_b, denom)
+    dof = F.try_divide(
+        (se2_a + se2_b) ** 2,
+        F.try_divide(se2_a**2, (n_a - 1)) + F.try_divide(se2_b**2, (n_b - 1)),
     )
     gate = (n_a > 1) & (n_b > 1)
     return (

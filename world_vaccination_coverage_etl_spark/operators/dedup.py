@@ -236,6 +236,7 @@ def _simhash64(texts: pd.Series) -> pd.Series:
             h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
         return h
 
+    shifts = np.arange(64, dtype=np.uint64)
     out = np.zeros(len(texts), dtype=np.int64)
     for i, text in enumerate(texts):
         if not text:
@@ -245,15 +246,12 @@ def _simhash64(texts: pd.Series) -> pd.Series:
         ).split() if t]
         if not tokens:
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in tokens:
-            h = fnv1a64(tok)
-            bits = (h >> np.arange(64)) & 1
-            acc += np.where(bits == 1, 1, -1)
-        sig = 0
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= 1 << b
+        # hash each token once; go through uint64 so the top bit never
+        # overflows numpy's signed shift (h >= 2**63 is ~half of tokens)
+        hs = np.array([fnv1a64(tok) for tok in tokens], dtype=np.uint64)
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+        acc = np.where(bits == 1, 1, -1).sum(axis=0)
+        sig = int(np.packbits(acc > 0, bitorder="little").view(np.uint64)[0])
         # two's-complement into int64
         out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
     return pd.Series(out)

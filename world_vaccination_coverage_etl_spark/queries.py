@@ -232,18 +232,27 @@ def q_cast_coerce(spark, sf_dir):
 @register(
     "filter_dropna",
     """
-    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
-    FROM events WHERE value IS NOT NULL AND props IS NOT NULL
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 6) AS sum_big
+    FROM events WHERE value >= 50.0
     GROUP BY event_type ORDER BY event_type
     """,
-    note="null elimination (SURVEY §2.2 filter_dropna; reference etl_pipeline.py:73)",
+    note="null elimination (SURVEY §2.2 filter_dropna; reference etl_pipeline.py:73) — "
+    "a nullable derived measure (NULL below threshold) so na.drop removes real rows",
 )
 def q_filter_dropna(spark, sf_dir):
+    # the driver's events table has no raw NULLs, so derive a nullable
+    # column (melt-then-dropna shape, like the reference) and drop on it
+    e = _t(spark, sf_dir, "events").withColumn(
+        "big_value", F.when(F.col("value") >= 50.0, F.col("value"))
+    )
     return (
-        _t(spark, sf_dir, "events")
-        .na.drop(subset=["value", "props"])
+        e.na.drop(subset=["big_value"])
         .groupBy("event_type")
-        .agg(F.count("*").alias("n_rows"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("big_value"), 6).alias("sum_big"),
+        )
         .orderBy("event_type")
     )
 
@@ -715,14 +724,20 @@ def q_join_semi(spark, sf_dir):
     """
     SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
     GROUP BY c_nationkey ORDER BY c_nationkey
     """,
-    note="left-anti join (NOT EXISTS)",
+    note="left-anti join (NOT EXISTS); restricted to 'F' orders so survivors exist "
+    "(every customer has *some* order — an unrestricted anti-join is vacuously empty)",
 )
 def q_join_anti(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
@@ -823,13 +838,13 @@ def q_q3_top_revenue(spark, sf_dir):
     JOIN customer c ON c.c_nationkey = n.n_nationkey
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE r.r_name = 'REGION_0'
+    WHERE r.r_name = 'ASIA'
     GROUP BY n.n_name ORDER BY n.n_name
     """,
     note="TPC-H-style Q5: 5-way star join, broadcast dims, grouped revenue",
 )
 def q_q5_region_revenue(spark, sf_dir):
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -1026,7 +1041,8 @@ def q_event_sliding_2d(spark, sf_dir):
     """
     WITH flagged AS (
       SELECT user_id,
-             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
     FROM flagged GROUP BY user_id ORDER BY user_id

@@ -11,12 +11,28 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..schemas import STAR_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one star-schema table from ``sf_dir`` (lazy parquet scan)."""
+    """Scan one star-schema table from ``sf_dir`` (lazy parquet scan).
+
+    The ``events`` table is written with nanosecond parquet timestamps,
+    which Spark 4 refuses to read natively (PARQUET_TYPE_ILLEGAL).  We
+    opt into the legacy long-nanos read and restore a proper timestamp
+    with microsecond truncation — bit-identical to how DuckDB (and
+    pyarrow) surface the same column, so oracle comparisons line up.
+    The conf is set here (not only in our session factory) because the
+    driver harness calls queries under its own SparkSession.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -84,12 +84,15 @@ def sessionize(
     the same partitioning — one shuffle total.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
-    gap_s = gap_minutes * 60
+    # microsecond precision on the gap comparison: sub-second timestamps
+    # truncated to whole seconds can flip a gap across the threshold
+    # (engine-vs-oracle drift); unix_micros ≡ DuckDB epoch_us.
+    gap_us = gap_minutes * 60 * 1_000_000
     flagged = events.withColumn(
         "new_session",
         F.when(
-            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
-            > gap_s,
+            F.unix_micros(F.col(ts_col)) - F.lag(F.unix_micros(F.col(ts_col))).over(w)
+            > gap_us,
             1,
         )
         .otherwise(0)
