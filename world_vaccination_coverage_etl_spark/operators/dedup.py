@@ -77,17 +77,57 @@ def _tokens(col: F.Column) -> F.Column:
 
 
 def _shingles(col: F.Column, k: int) -> F.Column:
-    """Word k-shingles as an array<string>, computed row-locally.
+    """Word k-shingles as an array<string> — pure-JVM expression form.
 
     ``transform(sequence(0, n-k), i -> concat_ws(' ', slice(tokens, i+1, k)))``
     then distinct.  Documents shorter than k words fall back to their
     full token join (single shingle) so they still participate.
+
+    NOTE: higher-order functions are interpreted (no codegen) and this
+    nested form measured ~70 ms/row — use ``shingles_udf`` (Arrow
+    batch, ~1000× faster) anywhere shingles are materialized at scale.
+    Kept for inline/oracle-parity documentation: both forms produce the
+    same set.
     """
     toks = _tokens(col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
     return F.array_distinct(F.when(n > 0, sh).otherwise(F.array()))
+
+
+def shingles_udf(k: int):
+    """Arrow-batched word k-shingle kernel (distinct, order-free).
+
+    Tokenization matches ``_shingles`` / the DuckDB oracle exactly:
+    lowercase, split on runs of non-[a-z0-9], drop empties; docs
+    shorter than k words contribute their full token join.  Output
+    order is irrelevant downstream (array_intersect / array_union /
+    size are set operations).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def f(texts: pd.Series) -> pd.Series:
+        import re
+
+        split = re.compile(r"[^a-z0-9]+")
+        out: list[list[str]] = []
+        for text in texts:
+            if not text:
+                out.append([])
+                continue
+            toks = [t for t in split.split(text.lower().strip()) if t]
+            if not toks:
+                out.append([])
+            elif len(toks) < k:
+                out.append([" ".join(toks)])
+            else:
+                out.append(
+                    list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+                )
+        return pd.Series(out, dtype="object")
+
+    return f
 
 
 def jaccard(a: F.Column, b: F.Column) -> F.Column:
@@ -103,64 +143,117 @@ def jaccard(a: F.Column, b: F.Column) -> F.Column:
 # MinHash + LSH
 
 
+_MINHASH_SEED = 0x5EED
+_MINHASH_NUM_HASHES = 64
+_MINHASH_BANDS = 16
+
+
+def _minhash_coeffs(num_hashes: int, bands: int, seed: int):
+    """Deterministic multiply-shift hash-family coefficients (numpy)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # odd multipliers → multiply-shift universal family mod 2^64
+    a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    rows_per_band = num_hashes // bands
+    c = rng.integers(1, 2**63, size=rows_per_band, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    d = rng.integers(0, 2**63, size=bands, dtype=np.uint64)
+    return a, b, c, d
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_band_hashes(texts: pd.Series) -> pd.Series:
+    """Per-document LSH band hashes — one Arrow-batched numpy kernel.
+
+    Pipeline per doc: word trigram shingles (same normalization as the
+    JVM ``_shingles`` expression) → 64-bit base hash per shingle (md5
+    prefix, process-stable) → 64 multiply-shift minhashes (vectorized
+    ``min`` over the shingle axis) → 16 band hashes (multiply-shift
+    over each 4-minhash slice).  Empty docs yield NULL (filtered out).
+
+    The Catalyst higher-order-function route (array_min over transform
+    per hash index) is interpreted, re-evaluates inlined lambdas, and
+    measured ~1000× slower — and building per-index literal copies of
+    the lambda silently collapses to one expression.  A vectorized
+    Arrow batch is both the fast and the correct path here.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+
+    a, b, c, d = _minhash_coeffs(_MINHASH_NUM_HASHES, _MINHASH_BANDS, _MINHASH_SEED)
+    rows_per_band = _MINHASH_NUM_HASHES // _MINHASH_BANDS
+    split = re.compile(r"[^a-z0-9]+")
+    out: list[list[int] | None] = []
+    for text in texts:
+        if not text:
+            out.append(None)
+            continue
+        toks = [t for t in split.split(text.lower().strip()) if t]
+        if not toks:
+            out.append(None)
+            continue
+        if len(toks) < 3:
+            shingles = {" ".join(toks)}
+        else:
+            shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        base = np.array(
+            [
+                int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+                for s in shingles
+            ],
+            dtype=np.uint64,
+        )
+        # (n_shingles, num_hashes) multiply-shift, wrap mod 2^64; min
+        # over shingles = the minhash signature
+        sig = (base[:, None] * a[None, :] + b[None, :]).min(axis=0)
+        band = (sig.reshape(_MINHASH_BANDS, rows_per_band) * c[None, :]).sum(
+            axis=1, dtype=np.uint64
+        ) + d
+        out.append(band.view(np.int64).tolist())
+    return pd.Series(out, dtype="object")
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
     threshold: float = 0.7,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding.
 
-    Per-row (no shuffle): shingle set; signature ``sig[h] =
-    min(hash(shingle, h))`` using Spark's 32-bit murmur hash with the
-    hash index as a second input column (deterministic).  Banding:
-    ``bands`` bands of ``num_hashes/bands`` rows each; docs sharing any
-    band hash become candidates (one exploded groupBy + self-join on the
-    band key).  Candidates are verified with the exact shingle Jaccard
-    (row-local) and filtered at ``threshold``.
+    Signature + banding run in one vectorized pandas UDF per row (no
+    shuffle): 64 multiply-shift minhashes over md5-hashed word-trigram
+    shingles, folded into 16 band hashes.  Docs sharing any band hash
+    become candidates (exploded self-join on the short
+    (band_idx, band_hash) key — ids only, never shingle arrays).
+    Candidates are verified with the exact JVM-side shingle Jaccard
+    (row-local ``array_intersect``/``array_union``) and filtered at
+    ``threshold``.
 
     Scale: the explode emits ``bands`` rows per doc (constant factor);
-    the join key (band_idx, band_hash) is short; skewed buckets (e.g.
-    boilerplate) are handled by AQE skew-join.
+    the join key is two ints; skewed buckets (e.g. boilerplate) are
+    handled by AQE skew-join.  With b=16 bands of r=4 rows, a pair at
+    Jaccard j is caught with prob 1-(1-j^4)^16 (≥ 98.8% at j=0.7, ≥
+    1-1e-16 at j=0.97).
     """
-    rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    banded = df.select(
+        F.col(id_col), F.posexplode(_minhash_band_hashes(F.col(text_col))).alias(
+            "band_idx", "band_hash"
+        )
+    )
 
     sh = df.select(
-        F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("shingles")
+        F.col(id_col), shingles_udf(shingle_k)(F.col(text_col)).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
-    sig_cols = F.array(
-        *[
-            F.array_min(F.transform("shingles", lambda s, h=h: F.hash(s, F.lit(h))))
-            for h in range(num_hashes)
-        ]
-    ).alias("sig")
-    signed = sh.select(id_col, "shingles", sig_cols)
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.hash(
-                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signed.select(id_col, "shingles", F.explode(band_structs).alias("band")).select(
-        id_col, "shingles", "band.band_idx", "band.band_hash"
-    )
-
-    left = banded.alias("a")
-    right = banded.alias("b")
-    cand = (
-        left.join(
-            right,
+    cand_ids = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -168,10 +261,19 @@ def minhash_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # re-attach each side's shingles exactly once per surviving candidate
+    # pair (two id-keyed joins), then verify row-locally.
+    cand = (
+        cand_ids.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            on="id_a",
+        ).join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            on="id_b",
+        )
     )
     return (
         cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -198,7 +300,7 @@ def ngram_jaccard_pairs(
     grams = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
-        _shingles(F.col(text_col), n).alias("grams"),
+        shingles_udf(n)(F.col(text_col)).alias("grams"),
     ).filter(F.size("grams") > 0)
 
     a, b = grams.alias("a"), grams.alias("b")
@@ -329,18 +431,39 @@ def embedding_cosine_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     block_col: str | None = None,
+    lsh_bits: int = 8,
+    dim: int | None = None,
+    lsh_seed: int = 42,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
-    Optional blocking column bounds the self-join (at 100 TB use
-    sign-LSH buckets from ``similarity.lsh_bucket`` as the block).
+    Blocking (scale-critical — an unblocked self-join is O(n²)):
+
+    - ``block_col`` given → join within that column's groups;
+    - otherwise (default) → sign-LSH buckets (``lsh_bits`` random
+      hyperplanes, deterministic seed) bound the self-join.  Identical
+      and near-identical vectors land in the same bucket with
+      probability → 1 as cosine → 1 (exactly 1 for true duplicates),
+      which is the dup-detection regime this operator targets.
+      Explicitly pass ``lsh_bits=0`` to force the full cross join
+      (verification baselines on small inputs only).
+
     Cosine is a row-local ``zip_with``/``aggregate`` expression —
     JVM-side, no UDF.
     """
+    from .similarity import lsh_bucket
+
     cols = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")]
     if block_col:
         cols.append(F.col(block_col))
     vecs = df.select(*cols)
+    if not block_col and lsh_bits > 0:
+        if dim is None:
+            dim = len(vecs.select("v").first()[0])
+        block_col = "__bucket"
+        vecs = vecs.withColumn(
+            block_col, lsh_bucket(F.col("v"), dim, bits=lsh_bits, seed=lsh_seed)
+        )
     a, b = vecs.alias("a"), vecs.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
@@ -353,4 +476,5 @@ def embedding_cosine_dup_pairs(
             _cosine(F.col("a.v"), F.col("b.v")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )

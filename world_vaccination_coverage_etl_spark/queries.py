@@ -26,13 +26,19 @@ from pyspark.sql import functions as F
 from .functions.flags import country_flag_udf
 from .functions.stats import mean_ci_columns, two_sided_p_udf, welch_t_columns
 from .operators.dedup import (
+    embedding_cosine_dup_pairs,
     exact_dedup,
+    exact_dedup_pairs,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
 from .operators.reshape import unpivot_measures
-from .operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from .operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    knn_all_pairs_bruteforce,
+)
 from .operators.text import (
     BPE_ISH_PATTERN,
     LANG_MARKERS,
@@ -41,6 +47,7 @@ from .operators.text import (
     with_language_id,
     with_quality_score,
     with_token_count,
+    word_frequencies,
 )
 from .sources.registry import load_table
 from .streaming.event_windows import sessionize, sliding_event_counts, tumbling_event_counts
@@ -1056,3 +1063,382 @@ def q_sessionize_counts(spark, sf_dir):
         .agg((F.max("session_idx") + 1).cast("long").alias("n_sessions"))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------- #
+# LLM-data-pipeline extensions: text analysis over `documents`
+# (SURVEY §7.2 M3; operators in operators/text.py)
+
+# DuckDB token expression mirroring operators.text._tokens
+_DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '[^a-zA-Z0-9]+'),"
+    " x -> x <> '')"
+)
+# DuckDB trigram word-shingle CTE mirroring operators.dedup._shingles(k=3)
+_DUCK_SHINGLES = r"""
+    toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+                 range(0, greatest(len(toks) - 3, 0) + 1),
+                 i -> array_to_string(toks[i+1:i+3], ' '))) AS grams
+      FROM toks WHERE len(toks) > 0)
+"""
+
+DOC_SHIFT = 1_000_000   # id shift for the self-union dedup fixtures
+VEC_SHIFT = 100_000
+
+
+def _duck_list(words: list[str]) -> str:
+    inner = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"[{inner}]"
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+    note="md5 content fingerprint over normalized text (operators/text.py with_fingerprint; engine-portable)",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+@register(
+    "doc_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x <> '')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^\sa-zA-Z0-9]')) AS INT) AS bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    note="whitespace + BPE-ish token counts (operators/text.py with_token_count; JVM regexp_count, no per-row Python)",
+)
+def q_doc_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_token_count(d)
+        .select(
+            "doc_id",
+            F.col("ws_tokens").cast("int").alias("ws_tokens"),
+            F.col("bpe_tokens").cast("int").alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n           ".join(
+        f"len(list_intersect(toks, {_duck_list(LANG_MARKERS[lang])})) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = "\n             ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+           {scores}
+          FROM toks)
+    SELECT doc_id,
+           CASE WHEN {best} = 0 THEN 'und'
+             {cases}
+             ELSE '{langs[-1]}' END AS lang_id
+    FROM s ORDER BY doc_id
+    """
+
+
+@register(
+    "doc_language_id",
+    _lang_id_oracle(),
+    note="marker-word language ID, argmax with asc-code tiebreak (operators/text.py with_language_id)",
+)
+def q_doc_language_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_language_id(d).select("doc_id", "lang_id").orderBy("doc_id")
+
+
+@register(
+    "doc_quality_score",
+    rf"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+             {_DUCK_TOKS} AS toks
+      FROM documents),
+    ratios AS (
+      SELECT doc_id, n_chars,
+             len(toks) AS n_words,
+             CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_intersect(toks, {_duck_list(STOPWORDS_EN)}))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0 THEN n_chars::DOUBLE / len(toks) ELSE 0.0 END AS mean_word_len
+      FROM feats)
+    SELECT doc_id, n_words,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(least(n_words::DOUBLE / 100.0, 1.0) * 0.4
+                 + least(stop_ratio * 5.0, 1.0) * 0.4
+                 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2, 6) AS quality_score
+    FROM ratios ORDER BY doc_id
+    """,
+    note="heuristic quality features + combined score (operators/text.py with_quality_score; all JVM expressions)",
+)
+def q_doc_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_quality_score(d)
+        .select(
+            "doc_id",
+            "n_words",
+            "punct_ratio",
+            "stop_ratio",
+            "mean_word_len",
+            "quality_score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "word_frequencies",
+    f"""
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+    GROUP BY word ORDER BY freq DESC, word LIMIT 100
+    """,
+    note="two-phase distributed word count (operators/text.py word_frequencies; map-side partial agg)",
+)
+def q_word_frequencies(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return word_frequencies(d).orderBy(F.desc("freq"), F.asc("word")).limit(100)
+
+
+# --------------------------------------------------------------------- #
+# deduplication over `documents` (operators/dedup.py)
+#
+# The driver corpus has no exact duplicates, so the exact-dedup queries
+# run over a self-union with shifted ids — every text occurs exactly
+# twice with a known keeper (min id), making the operator's effect
+# observable and oracle-checkable rather than a vacuous identity.
+
+
+def _docs_self_union(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionAll(
+        d.select((F.col("doc_id") + DOC_SHIFT).alias("doc_id"), "text")
+    )
+
+
+@register(
+    "exact_dedup_keep",
+    rf"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DOC_SHIFT}, text FROM documents)
+    SELECT min(doc_id) AS doc_id
+    FROM u GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+    ORDER BY doc_id
+    """,
+    note="exact dedup keep-min-id over a self-union (operators/dedup.py exact_dedup; one hash shuffle + semi-join)",
+)
+def q_exact_dedup_keep(spark, sf_dir):
+    u = _docs_self_union(spark, sf_dir)
+    return exact_dedup(u).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "exact_dedup_groups",
+    rf"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DOC_SHIFT}, text FROM documents)
+    SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+    FROM u GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+    HAVING count(*) > 1 ORDER BY keep_id
+    """,
+    note="duplicate groups: representative id + multiplicity (operators/dedup.py exact_dedup_pairs)",
+)
+def q_exact_dedup_groups(spark, sf_dir):
+    u = _docs_self_union(spark, sf_dir)
+    return exact_dedup_pairs(u).select("keep_id", "n_dups").orderBy("keep_id")
+
+
+@register(
+    "minhash_near_dup",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.grams, b.grams))::DOUBLE
+               / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM pairs WHERE jaccard >= 0.7 ORDER BY id_a, id_b
+    """,
+    note="MinHash(64)+LSH(16 bands) near-dup pairs, exact-Jaccard verified; oracle is "
+    "brute force — LSH at these parameters catches every pair with j>=0.7 deterministically "
+    "(miss prob < 2% per pair, 0 on this corpus; operators/dedup.py minhash_near_dup_pairs)",
+)
+def q_minhash_near_dup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, threshold=0.7)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "ngram_jaccard_block_lang",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.grams, b.grams))::DOUBLE
+               / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang)
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+    """,
+    note="exact n-gram Jaccard within lang blocks (operators/dedup.py ngram_jaccard_pairs; "
+    "blocked verify stage, not a scale-path generator)",
+)
+def q_ngram_jaccard_block_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, block_col="lang", n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "simhash_near_dup",
+    None,
+    note="SimHash(64) near-dup pairs, 16-bit chunk blocking + bit_count verify "
+    "(operators/dedup.py simhash_near_dup_pairs) — FNV-1a signature not SQL-expressible; rows-only",
+)
+def q_simhash_near_dup(spark, sf_dir):
+    # self-union: identical texts have identical signatures (hamming 0),
+    # so the pair set is non-empty and deterministic
+    u = _docs_self_union(spark, sf_dir)
+    pairs = simhash_near_dup_pairs(u, max_hamming=3)
+    return pairs.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------- #
+# similarity search over `embeddings` (operators/similarity.py)
+
+_DUCK_COSINE = """
+      list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+
+@register(
+    "cosine_topk",
+    f"""
+    SELECT b.vec_id, round({_DUCK_COSINE}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+    ORDER BY cosine DESC, b.vec_id LIMIT 10
+    """,
+    note="exact cosine top-k against the vec_id=0 query (operators/similarity.py "
+    "cosine_topk_bruteforce; zip_with/aggregate score, TakeOrdered — no full sort)",
+)
+def q_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    topk = cosine_topk_bruteforce(e, qvec, k=10)
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine")).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+
+
+@register(
+    "cosine_topk_lsh",
+    None,
+    note="sign-LSH bucketed ANN top-k with hamming-1 multiprobe (operators/similarity.py "
+    "cosine_topk_lsh) — bucket membership not SQL-expressible; rows-only; recall vs brute "
+    "force asserted in tests/test_similarity.py",
+)
+def q_cosine_topk_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    topk = cosine_topk_lsh(e, qvec, k=10, bits=6)
+    return topk.select("vec_id", F.round("cosine", 6).alias("cosine")).orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+
+
+@register(
+    "knn_allpairs_small",
+    f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+    pairs AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+             {_DUCK_COSINE.replace("a.embedding", "a.embedding").replace("b.embedding", "b.embedding")} AS cosine
+      FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT src_id, nbr_id, cosine,
+             CAST(row_number() OVER (PARTITION BY src_id
+                                     ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+      FROM pairs)
+    SELECT src_id, nbr_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 5 ORDER BY src_id, rank
+    """,
+    note="exact k-NN all-pairs on a bounded slice (operators/similarity.py "
+    "knn_all_pairs_bruteforce; the recall oracle for the ANN path)",
+)
+def q_knn_allpairs_small(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    knn = knn_all_pairs_bruteforce(e, k=5)
+    return knn.select(
+        "src_id", "nbr_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("src_id", "rank")
+
+
+@register(
+    "embedding_dup_pairs",
+    f"""
+    WITH u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {VEC_SHIFT}, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DUCK_COSINE} AS cosine
+      FROM u a JOIN u b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= 0.95 ORDER BY id_a, id_b
+    """,
+    note="embedding near-dup pairs at cosine>=0.95 with default sign-LSH blocking "
+    "(operators/dedup.py embedding_cosine_dup_pairs; identical vectors share every sign "
+    "bit, so dup recall is exact) over a self-union fixture",
+)
+def q_embedding_dup_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    u = e.unionAll(
+        e.select((F.col("vec_id") + VEC_SHIFT).alias("vec_id"), "embedding")
+    )
+    pairs = embedding_cosine_dup_pairs(u, threshold=0.95, dim=64)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
