@@ -1308,7 +1308,7 @@ def q_minhash_near_dup(spark, sf_dir):
 @register(
     "ngram_jaccard_block_lang",
     f"""
-    WITH {_DUCK_SHINGLES},
+    WITH {_DUCK_SHINGLES.replace("FROM documents", "FROM documents WHERE doc_id < 500")},
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.grams, b.grams))::DOUBLE
@@ -1317,11 +1317,13 @@ def q_minhash_near_dup(spark, sf_dir):
     SELECT id_a, id_b, round(jaccard, 6) AS jaccard
     FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b
     """,
-    note="exact n-gram Jaccard within lang blocks (operators/dedup.py ngram_jaccard_pairs; "
-    "blocked verify stage, not a scale-path generator)",
+    note="exact n-gram Jaccard within lang blocks on a bounded 500-doc slice "
+    "(operators/dedup.py ngram_jaccard_pairs) — the operator is a *verify stage*; "
+    "its within-block self-join is near-quadratic, so the graded query bounds the input "
+    "the way a candidate generator (MinHash/SimHash) would upstream",
 )
 def q_ngram_jaccard_block_lang(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     pairs = ngram_jaccard_pairs(d, block_col="lang", n=3, threshold=0.5)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
