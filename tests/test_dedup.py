@@ -1,0 +1,116 @@
+"""Golden tests for the dedup operator family (operators/dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from world_vaccination_coverage_etl_spark.operators.dedup import (
+    embedding_cosine_dup_pairs,
+    exact_dedup,
+    exact_dedup_pairs,
+    jaccard,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    shingles_udf,
+    simhash_near_dup_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "The  quick Brown fox jumps over the lazy dog", "en"),  # exact dup mod case/ws
+    (2, "the quick brown fox jumps over the lazy cat", "en"),   # near dup of 0
+    (3, "completely different content about spark engines", "en"),
+    (4, "der schnelle braune fuchs springt", "de"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark))
+    kept = sorted(r.doc_id for r in out.collect())
+    # 0 and 1 normalize identically -> keep 0; everything else survives
+    assert kept == [0, 2, 3, 4]
+
+
+def test_exact_dedup_pairs_groups(spark):
+    out = exact_dedup_pairs(_docs(spark)).collect()
+    assert len(out) == 1
+    assert out[0].keep_id == 0 and out[0].n_dups == 2
+
+
+def test_shingles_udf_matches_semantics(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b"), (2, ""), (3, None)], "id long, text string"
+    )
+    rows = {
+        r.id: sorted(r.sh)
+        for r in df.select("id", shingles_udf(3)(F.col("text")).alias("sh")).collect()
+    }
+    assert rows[0] == ["a b c", "b c d"]
+    assert rows[1] == ["a b"]      # shorter than k -> full token join
+    assert rows[2] == []
+    assert rows[3] == []
+
+
+def test_minhash_finds_near_dups_not_distinct(spark):
+    pairs = minhash_near_dup_pairs(_docs(spark), threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found          # exact dup: jaccard 1.0
+    assert all(3 not in p for p in found)  # unrelated doc never pairs
+    for r in pairs:
+        assert 0.5 <= r.jaccard <= 1.0
+
+
+def test_minhash_jaccard_is_exact_verify(spark):
+    # the reported jaccard must equal the exact row-local set jaccard
+    sh = _docs(spark).select(
+        "doc_id", shingles_udf(3)(F.col("text")).alias("sh")
+    ).collect()
+    sets = {r.doc_id: set(r.sh) for r in sh}
+    for r in minhash_near_dup_pairs(_docs(spark), threshold=0.5).collect():
+        a, b = sets[r.id_a], sets[r.id_b]
+        assert abs(r.jaccard - len(a & b) / len(a | b)) < 1e-9
+
+
+def test_simhash_on_real_text(spark):
+    # regression: numpy right-shift overflow on hashes with the top bit
+    # set crashed any realistic corpus (ADVICE r1)
+    pairs = simhash_near_dup_pairs(_docs(spark), max_hamming=6).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found          # identical after normalization: hamming 0
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham[(0, 1)] == 0
+
+
+def test_ngram_jaccard_blocked_by_lang(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), block_col="lang", n=3, threshold=0.3)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in found
+    # cross-lang pairs are never generated, whatever the similarity
+    assert all(4 not in p for p in found)
+
+
+def test_embedding_dup_pairs_lsh_default(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),       # identical to 0
+        (2, [0.999, 0.01, 0.0, 0.0]),    # near-identical to 0
+        (3, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_cosine_dup_pairs(df, threshold=0.95, dim=4).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in found
+    assert (0, 2) in found and (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_jaccard_empty_guard(spark):
+    df = spark.createDataFrame(
+        [([], ["a"]), (["a"], ["a"])], "a array<string>, b array<string>"
+    )
+    vals = [r.j for r in df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()]
+    assert vals[0] == 0.0 and vals[1] == 1.0

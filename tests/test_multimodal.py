@@ -1,0 +1,62 @@
+"""Multimodal plumbing tests: metadata, fake decode, feature extraction.
+
+The decode/feature kernels are environment-stubbed (no media libs in
+this container); ``fake=True`` exercises the real mapInPandas contract
+(schema, Arrow batch shape, null handling) with a deterministic stand-in.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from world_vaccination_coverage_etl_spark.operators.multimodal import (
+    attach_binary_metadata,
+    decode_image_batch,
+    extract_features,
+)
+
+
+def _assets(spark):
+    rows = [
+        (0, "image/png", bytes(range(200))),
+        (1, "image/jpeg", b"\xff\xd8" + b"x" * 1000),
+        (2, "image/png", None),
+    ]
+    return spark.createDataFrame(rows, "asset_id long, mime string, payload binary")
+
+
+def test_metadata_jvm_expressions(spark):
+    out = {r.asset_id: r for r in attach_binary_metadata(_assets(spark)).collect()}
+    assert out[0].n_bytes == 200
+    assert out[1].n_bytes == 1002
+    assert out[2].n_bytes is None
+    assert len(out[0].sha) == 64          # sha2-256 hex
+    assert out[0].head_hex.startswith("00010203")
+
+
+def test_fake_decode_contract(spark):
+    out = decode_image_batch(_assets(spark), fake=True)
+    assert [f.name for f in out.schema.fields] == [
+        "asset_id", "mime", "n_bytes", "width", "height", "mean_intensity",
+    ]
+    rows = {r.asset_id: r for r in out.collect()}
+    assert rows[0].n_bytes == 200 and rows[0].width >= 1
+    assert rows[2].width == 0             # null payload -> zeros
+    # determinism
+    again = {r.asset_id: r for r in decode_image_batch(_assets(spark), fake=True).collect()}
+    assert rows[0] == again[0]
+
+
+def test_decode_without_fake_raises(spark):
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        decode_image_batch(_assets(spark), fake=False).collect()
+
+
+def test_fake_features_normalized(spark):
+    import math
+
+    out = {r.asset_id: r.feature for r in extract_features(_assets(spark), dim=8, fake=True).collect()}
+    assert len(out[0]) == 8
+    norm = math.sqrt(sum(x * x for x in out[0]))
+    assert abs(norm - 1.0) < 1e-9
+    assert out[2] == [0.0] * 8            # null payload -> zero vector

@@ -1,0 +1,90 @@
+"""Streaming tests: AvailableNow incremental refresh + event windows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import types as T
+
+from world_vaccination_coverage_etl_spark.schemas import TABLE_CLEAN
+from world_vaccination_coverage_etl_spark.sources.warehouse import read_warehouse_table
+from world_vaccination_coverage_etl_spark.streaming.event_windows import (
+    sessionize,
+    sliding_event_counts,
+    tumbling_event_counts,
+)
+from world_vaccination_coverage_etl_spark.streaming.refresh import (
+    streaming_refresh_available_now,
+)
+
+WIDE_SCHEMA = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("year", T.IntegerType()),
+        T.StructField("coverage__bcg", T.DoubleType()),
+    ]
+)
+
+
+def test_streaming_refresh_available_now(spark, tmp_path):
+    staging = tmp_path / "staging"
+    warehouse = tmp_path / "warehouse"
+    ckpt = tmp_path / "ckpt"
+    staging.mkdir()
+    (staging / "batch1.csv").write_text("entity,year,coverage__bcg\nAland,1990,70.0\n")
+
+    streaming_refresh_available_now(
+        spark, str(staging), str(warehouse), str(ckpt), WIDE_SCHEMA
+    )
+    out1 = read_warehouse_table(spark, str(warehouse), TABLE_CLEAN).collect()
+    assert {(r.country, r.year) for r in out1} == {("Aland", 1990)}
+
+    # a second file arrives; AvailableNow processes only the delta, and
+    # the foreachBatch load is truncate-and-reload per batch
+    (staging / "batch2.csv").write_text("entity,year,coverage__bcg\nBorland,1991,80.0\n")
+    streaming_refresh_available_now(
+        spark, str(staging), str(warehouse), str(ckpt), WIDE_SCHEMA
+    )
+    out2 = read_warehouse_table(spark, str(warehouse), TABLE_CLEAN).collect()
+    assert {(r.country, r.year) for r in out2} == {("Borland", 1991)}
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap of 2h between event 2 and 3)
+        (0, base, 1, "click", 1.0),
+        (1, base + dt.timedelta(minutes=10), 1, "click", 2.0),
+        (2, base + dt.timedelta(minutes=20), 1, "view", 3.0),
+        (3, base + dt.timedelta(hours=2, minutes=25), 1, "click", 4.0),
+        # user 2: one session, crosses a day boundary
+        (4, base + dt.timedelta(hours=23, minutes=55), 2, "view", 5.0),
+        (5, base + dt.timedelta(hours=24, minutes=5), 2, "view", 6.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_gap_splits(spark):
+    out = sessionize(_events(spark), gap_minutes=30)
+    per_user = {}
+    for r in out.collect():
+        per_user.setdefault(r.user_id, set()).add(r.session_idx)
+    assert per_user[1] == {0, 1}
+    assert per_user[2] == {0}
+
+
+def test_tumbling_daily_counts(spark):
+    out = tumbling_event_counts(_events(spark), "1 day").collect()
+    by_key = {(r.window_start.day, r.event_type): r.n_events for r in out}
+    assert by_key[(1, "click")] == 3
+    assert by_key[(1, "view")] == 2
+    assert by_key[(2, "view")] == 1
+
+
+def test_sliding_windows_double_count(spark):
+    out = sliding_event_counts(_events(spark), "2 days", "1 day")
+    total = sum(r.n_events for r in out.collect())
+    # every event lands in exactly duration/slide = 2 windows
+    assert total == 2 * _events(spark).count()

@@ -88,10 +88,14 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     bits: int = 8,
     seed: int = 42,
-    multiprobe: bool = True,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: score only rows in the query's LSH bucket (and, with
-    ``multiprobe``, its hamming-1 neighbor buckets)."""
+    """ANN top-k: score only rows within ``probe_hamming`` bit flips of
+    the query's LSH bucket.  Recall/cost dial: probes grow as
+    ``sum(C(bits, i) for i <= probe_hamming)`` while the scanned corpus
+    fraction is probes/2^bits."""
+    from itertools import combinations
+
     q = np.asarray(list(query), dtype=np.float64)
     dim = len(q)
     rng = np.random.default_rng(seed)
@@ -100,7 +104,13 @@ def cosine_topk_lsh(
     for b in range(bits):
         if float(planes[b] @ q) >= 0:
             q_bucket |= 1 << b
-    probes = [q_bucket] + ([q_bucket ^ (1 << b) for b in range(bits)] if multiprobe else [])
+    probes = [q_bucket]
+    for h in range(1, max(0, probe_hamming) + 1):
+        for flips in combinations(range(bits), h):
+            m = 0
+            for b in flips:
+                m |= 1 << b
+            probes.append(q_bucket ^ m)
 
     bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, bits, seed))
     candidates = bucketed.filter(F.col("__bucket").isin(probes))
