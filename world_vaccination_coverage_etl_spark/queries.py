@@ -1444,3 +1444,113 @@ def q_embedding_dup_pairs(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------- #
+# multimodal plumbing over `documents` (operators/multimodal.py)
+#
+# The driver schema carries no binary column, so the graded queries
+# derive an opaque payload from the text bytes (encode utf-8) — the
+# binary/metadata plumbing (schema, byte lengths, digests, Arrow batch
+# shape through mapInPandas) is exactly what it would be for real
+# image/audio payloads; only the decode kernel is a deterministic fake.
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents ORDER BY asset_id
+    """,
+    note="typed metadata over an opaque binary payload column (operators/multimodal.py "
+    "attach_binary_metadata; pure JVM byte-length + sha2-256)",
+)
+def q_multimodal_metadata(spark, sf_dir):
+    from .operators.multimodal import attach_binary_metadata
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text/plain").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return (
+        attach_binary_metadata(d)
+        .select("asset_id", "n_bytes", "sha")
+        .orderBy("asset_id")
+    )
+
+
+@register(
+    "multimodal_decode_fake",
+    None,
+    note="binary decode via mapInPandas (operators/multimodal.py decode_image_batch, "
+    "deterministic fake kernel — no media libs in this environment); rows-only",
+)
+def q_multimodal_decode_fake(spark, sf_dir):
+    from .operators.multimodal import decode_image_batch
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image/fake").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    decoded = decode_image_batch(d, fake=True)
+    return decoded.select(
+        "asset_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    ).orderBy("asset_id")
+
+
+# --------------------------------------------------------------------- #
+# Structured Streaming flavor (SURVEY §2.10) — a REAL streaming query:
+# file source → event-time tumbling window agg → memory sink, run with
+# Trigger.AvailableNow and compared to the same batch oracle.
+
+
+@register(
+    "streaming_tumbling_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="Structured Streaming tumbling-window aggregation (streaming/event_windows.py): "
+    "parquet file source + watermark + F.window, Trigger.AvailableNow, complete-mode "
+    "memory sink — the streaming result must equal the batch oracle exactly",
+)
+def q_streaming_tumbling_daily(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the file-stream source requires a directory; pathGlobFilter scopes
+    # it to the events table within the shared sf dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = tumbling_event_counts(stream.withWatermark("ts", "1 day"), "1 day")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_tumbling_daily")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table("stream_tumbling_daily")
+    return mem.select(
+        F.col("window_start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("day", "event_type")
