@@ -290,31 +290,77 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity over blocked pairs.
+    """Exact n-gram Jaccard similarity via an inverted-index join.
 
-    Blocking on ``block_col`` bounds the self-join; within a block the
-    intersect/union arithmetic is row-local.  With ``block_col=None``
-    this is a full cross self-join — only for small inputs or as the
-    verification stage after candidate generation.
+    Instead of a within-block self-join that (a) shuffles on the
+    low-cardinality block key (all pairs of a block land on ONE
+    partition — a skew no AQE setting can split, because the key
+    cardinality IS the skew) and (b) drags the full gram arrays through
+    the shuffle, this builds the classic inverted index:
+
+      explode grams → (gram_hash, id, n_grams) → self-join on the
+      64-bit gram hash (high-cardinality, evenly distributed) →
+      groupBy (id_a, id_b) counting shared grams → jaccard =
+      inter / (n_a + n_b − inter).
+
+    Pairs sharing zero grams never materialize, which is exactly the
+    pairs a positive ``threshold`` would drop anyway (asserted).  The
+    shuffled rows are fixed-width (two longs + the hash) regardless of
+    document length, and the join key distributes by gram content, so
+    the plan holds at 100 TB where block-key self-joins die.  Gram
+    hashing is JVM ``xxhash64`` (64-bit; cross-gram collision odds
+    ~1e-15 per pair at 10⁴ grams/doc).
+
+    ``block_col`` still scopes pairs (kept as an extra join key); with
+    ``block_col=None`` candidates pair across the whole corpus — still
+    bounded, because only docs sharing a gram ever meet.
     """
+    if threshold <= 0:
+        raise ValueError("inverted-index jaccard requires threshold > 0")
     grams = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         shingles_udf(n)(F.col(text_col)).alias("grams"),
     ).filter(F.size("grams") > 0)
 
-    a, b = grams.alias("a"), grams.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    ex = (
+        grams.select(
+            F.col(id_col),
+            *([F.col(block_col)] if block_col else []),
+            F.size("grams").alias("n_grams"),
+            F.explode("grams").alias("g"),
+        )
+        .select(
+            id_col,
+            *([block_col] if block_col else []),
+            "n_grams",
+            F.xxhash64("g").alias("gh"),
+        )
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.gh") == F.col("b.gh")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    return (
+    inter = (
         a.join(b, cond)
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
+            F.col("a.n_grams").alias("n_a"),
+            F.col("b.n_grams").alias("n_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -1066,6 +1066,146 @@ def q_sessionize_counts(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Structured Streaming flavor (SURVEY §2.10) — REAL streaming queries:
+# parquet file source → watermark → event-time tumbling agg, run with
+# Trigger.AvailableNow and compared to the batch oracle.
+
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark, sf_dir):
+    """File-stream over the events table (the source needs a directory;
+    pathGlobFilter scopes it within the shared sf dir).  ts arrives as
+    TIMESTAMP(NANOS) → read as long → truncate to micros."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+class _stream_state_partitions:
+    """Scope ``spark.sql.shuffle.partitions`` down for a streaming start.
+
+    A stateful stream materializes one state store per shuffle partition
+    per micro-batch; for a windows×types aggregate (~10² groups) 32
+    stores are pure overhead.  The value is captured into the stream's
+    checkpoint at start, so restoring the conf right after ``start()``
+    leaves batch queries untouched.  (On a real cluster you'd size this
+    to the key cardinality the same way.)
+    """
+
+    def __init__(self, spark, n: int = 8):
+        self.spark, self.n = spark, str(n)
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
+@register(
+    "streaming_tumbling_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="Structured Streaming tumbling-window aggregation (streaming/event_windows.py): "
+    "parquet file source + watermark + F.window, Trigger.AvailableNow, complete-mode "
+    "memory sink — a correctness harness (complete mode sees every window); the "
+    "scale-safe sink shape is streaming_tumbling_append below",
+)
+def q_streaming_tumbling_daily(spark, sf_dir):
+    import uuid
+
+    agg = tumbling_event_counts(
+        _events_stream(spark, sf_dir).withWatermark("ts", "1 day"), "1 day"
+    )
+    # unique sink name per invocation: a fixed name would collide if the
+    # harness runs the query twice in one session
+    qname = f"stream_tumbling_daily_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # conf restore must wait for termination: the shuffle-partition
+        # conf is captured asynchronously when batch 0 plans
+        q.awaitTermination()
+    mem = spark.table(qname)
+    return mem.select(
+        F.col("window_start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("day", "event_type")
+
+
+@register(
+    "streaming_tumbling_append",
+    """
+    WITH agg AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT max(ts) AS mx FROM events)
+    SELECT day, event_type, n_events, sum_value
+    FROM agg, m
+    WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= mx - INTERVAL 1 DAY
+    ORDER BY day, event_type
+    """,
+    note="Structured Streaming tumbling agg through the PRODUCTION sink shape "
+    "(streaming/event_windows.py streaming_tumbling_to_files): append mode + parquet "
+    "file sink + watermark state eviction — each window emits exactly once when the "
+    "watermark (max event time - 1 day) passes its end, so the oracle is the batch agg "
+    "restricted to watermark-closed windows; nothing accumulates on the driver",
+)
+def q_streaming_tumbling_append(spark, sf_dir):
+    import tempfile
+
+    from .streaming.event_windows import streaming_tumbling_to_files
+
+    out_dir = tempfile.mkdtemp(prefix="stream_append_out_")
+    ck_dir = tempfile.mkdtemp(prefix="stream_append_ck_")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    with _stream_state_partitions(spark):
+        q = streaming_tumbling_to_files(
+            spark,
+            sf_dir,
+            _EVENTS_STREAM_SCHEMA,
+            out_dir,
+            ck_dir,
+            duration="1 day",
+            watermark="1 day",
+            path_glob="events.parquet",
+            ts_from_nanos=True,
+        )
+        q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.select(
+        F.col("window_start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("day", "event_type")
+
+
+# --------------------------------------------------------------------- #
 # LLM-data-pipeline extensions: text analysis over `documents`
 # (SURVEY §7.2 M3; operators in operators/text.py)
 
@@ -1506,51 +1646,3 @@ def q_multimodal_decode_fake(spark, sf_dir):
     ).orderBy("asset_id")
 
 
-# --------------------------------------------------------------------- #
-# Structured Streaming flavor (SURVEY §2.10) — a REAL streaming query:
-# file source → event-time tumbling window agg → memory sink, run with
-# Trigger.AvailableNow and compared to the same batch oracle.
-
-
-@register(
-    "streaming_tumbling_daily",
-    """
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 6) AS sum_value
-    FROM events GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    note="Structured Streaming tumbling-window aggregation (streaming/event_windows.py): "
-    "parquet file source + watermark + F.window, Trigger.AvailableNow, complete-mode "
-    "memory sink — the streaming result must equal the batch oracle exactly",
-)
-def q_streaming_tumbling_daily(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    # the file-stream source requires a directory; pathGlobFilter scopes
-    # it to the events table within the shared sf dir
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = tumbling_event_counts(stream.withWatermark("ts", "1 day"), "1 day")
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_tumbling_daily")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    mem = spark.table("stream_tumbling_daily")
-    return mem.select(
-        F.col("window_start").cast("date").alias("day"),
-        "event_type",
-        "n_events",
-        F.round("sum_value", 6).alias("sum_value"),
-    ).orderBy("day", "event_type")

@@ -71,6 +71,46 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_tumbling_to_files(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    duration: str = "1 day",
+    watermark: str = "1 day",
+    path_glob: str | None = None,
+    ts_from_nanos: bool = False,
+):
+    """Scale-safe streaming flavor: file source → watermark → tumbling
+    agg → **append-mode parquet sink**.
+
+    Unlike the complete-mode memory sink (a correctness harness that
+    materializes the whole aggregate on the driver every trigger), this
+    is the shape that survives production scale: append mode emits each
+    window exactly once, when the watermark passes its end — so state
+    is evicted continuously and nothing ever accumulates on the driver.
+    Output lands as parquet files partition-parallel.  Returns the
+    started StreamingQuery; windows with ``window_end <= max(ts) -
+    watermark`` are on disk after termination (AvailableNow).
+    """
+    reader = spark.readStream.schema(schema)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    stream = reader.parquet(source_dir)
+    if ts_from_nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_event_counts(stream.withWatermark("ts", watermark), duration)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
