@@ -108,6 +108,45 @@ def test_embedding_dup_pairs_lsh_default(spark):
     assert all(3 not in p for p in found)
 
 
+def test_embedding_dup_pairs_recall_on_perturbed_vectors(spark):
+    """Multi-table LSH recall >= 0.95 on *perturbed* (not identical)
+    pairs at cosine ~0.95-0.97 — the regime where a single 8-bit table
+    only catches ~43% of true pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n_base = 32, 120
+    rows = []
+    for i in range(n_base):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((2 * i, v.tolist()))
+        # perturb along a random orthogonal direction to a target angle
+        # drawn in [arccos(0.97), arccos(0.95)]
+        noise = rng.standard_normal(dim)
+        noise -= (noise @ v) * v
+        noise /= np.linalg.norm(noise)
+        theta = np.arccos(rng.uniform(0.95, 0.97))
+        w = np.cos(theta) * v + np.sin(theta) * noise
+        rows.append((2 * i + 1, w.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_dup_pairs(
+            df, threshold=0.95, lsh_bits=0, dim=dim
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_dup_pairs(df, threshold=0.95, dim=dim).collect()
+    }
+    assert truth, "fixture must produce qualifying pairs"
+    assert not (got - truth), "LSH path must never invent pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95 ({len(got)}/{len(truth)})"
+
+
 def test_jaccard_empty_guard(spark):
     df = spark.createDataFrame(
         [([], ["a"]), (["a"], ["a"])], "a array<string>, b array<string>"

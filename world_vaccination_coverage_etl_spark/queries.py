@@ -1571,9 +1571,10 @@ def q_knn_allpairs_small(spark, sf_dir):
     SELECT id_a, id_b, round(cosine, 6) AS cosine
     FROM pairs WHERE cosine >= 0.95 ORDER BY id_a, id_b
     """,
-    note="embedding near-dup pairs at cosine>=0.95 with default sign-LSH blocking "
-    "(operators/dedup.py embedding_cosine_dup_pairs; identical vectors share every sign "
-    "bit, so dup recall is exact) over a self-union fixture",
+    note="embedding near-dup pairs at cosine>=0.95 with multi-table sign-LSH blocking "
+    "(operators/dedup.py embedding_cosine_dup_pairs; 8 bits x 12 tables -> recall 0.999 "
+    "at c=0.95, exact for true dups; recall-vs-bruteforce on perturbed vectors asserted "
+    "in tests/test_dedup.py) over a self-union fixture",
 )
 def q_embedding_dup_pairs(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
