@@ -8,8 +8,10 @@ import pytest
 
 from world_vaccination_coverage_etl_spark.plans.analytics import (
     antigens_for_country,
+    cached_dimension_index,
     coverage_series,
     dimension_index,
+    invalidate_dimension_index,
     series_kpis,
     window_compare,
 )
@@ -38,6 +40,22 @@ def test_dimension_index(fact):
         ("Aland", "coverage__mcv1"),
         ("Borland", "coverage__bcg"),
     ]
+
+
+def test_cached_dimension_index_hits_and_invalidates(fact):
+    invalidate_dimension_index()
+    first = cached_dimension_index(fact)
+    first.count()  # materialize into the cache
+    assert first.storageLevel.useMemory, "index must be Spark-cached"
+    # second call for the same fact plan returns the memo
+    second = cached_dimension_index(fact)
+    assert second is first
+    assert second.collect() == dimension_index(fact).collect()
+    # refresh invalidates: new object, previous one unpersisted
+    invalidate_dimension_index()
+    assert not first.storageLevel.useMemory
+    third = cached_dimension_index(fact)
+    assert third is not first
 
 
 def test_antigens_for_country(fact):

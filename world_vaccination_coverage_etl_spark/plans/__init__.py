@@ -7,9 +7,11 @@ from .pipeline import (
     assert_unique_key,
 )
 from .analytics import (
+    cached_dimension_index,
     coverage_series,
     dimension_index,
     antigens_for_country,
+    invalidate_dimension_index,
     series_kpis,
     window_compare,
 )
@@ -21,9 +23,11 @@ __all__ = [
     "clean_immunization",
     "run_etl",
     "assert_unique_key",
+    "cached_dimension_index",
     "coverage_series",
     "dimension_index",
     "antigens_for_country",
+    "invalidate_dimension_index",
     "series_kpis",
     "window_compare",
 ]

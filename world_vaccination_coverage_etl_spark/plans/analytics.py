@@ -21,6 +21,39 @@ def dimension_index(fact: DataFrame) -> DataFrame:
     return fact.select("country", "antigen").distinct().orderBy("country", "antigen")
 
 
+# memo table for the hot dimension index, keyed by the fact plan's
+# semantic hash — the Spark analogue of the reference's
+# ``st.cache_data(ttl=3600)`` on its two hot queries
+# (streamlit_app.py:99,111).  ``.cache()`` pins the distinct result
+# (~10² rows) in executor memory; repeat dashboard calls skip the scan
+# + shuffle entirely.
+_DIM_INDEX_MEMO: dict[int, DataFrame] = {}
+
+
+def cached_dimension_index(fact: DataFrame) -> DataFrame:
+    """Memoized + Spark-cached ``dimension_index``.
+
+    The first call per distinct fact plan materializes and ``cache()``s
+    the index; later calls return the same cached DataFrame.  Call
+    ``invalidate_dimension_index()`` after an ETL refresh (run_etl does
+    this) — the reference's TTL-based expiry maps to explicit
+    invalidation-on-refresh here, which is strictly fresher.
+    """
+    key = fact.semanticHash()
+    memo = _DIM_INDEX_MEMO.get(key)
+    if memo is None:
+        memo = dimension_index(fact).cache()
+        _DIM_INDEX_MEMO[key] = memo
+    return memo
+
+
+def invalidate_dimension_index() -> None:
+    """Unpersist and forget every memoized dimension index."""
+    for df in _DIM_INDEX_MEMO.values():
+        df.unpersist()
+    _DIM_INDEX_MEMO.clear()
+
+
 def antigens_for_country(fact: DataFrame, country: str) -> DataFrame:
     """Dependent-dimension filter (reference streamlit_app.py:190)."""
     return (

@@ -122,6 +122,13 @@ def run_etl(
 
     clean = clean_immunization(melt_wide_to_tidy(raw))
     write_warehouse_table(clean, warehouse_dir, TABLE_CLEAN, partition_by=partition_by)
+    # refresh hook: a reload invalidates both the memoized dimension
+    # index (reference cache_data expiry, streamlit_app.py:144-145) and
+    # any cached file listings/data for the rewritten warehouse path
+    from .analytics import invalidate_dimension_index
+
+    invalidate_dimension_index()
+    spark.catalog.refreshByPath(f"{warehouse_dir}/{TABLE_CLEAN}")
     out = spark.read.parquet(f"{warehouse_dir}/{TABLE_CLEAN}")
     assert_unique_key(out)
     return out

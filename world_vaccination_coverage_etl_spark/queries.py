@@ -1647,3 +1647,24 @@ def q_multimodal_decode_fake(spark, sf_dir):
     ).orderBy("asset_id")
 
 
+@register(
+    "multimodal_features_fake",
+    None,
+    note="feature-extraction stub via mapInPandas (operators/multimodal.py "
+    "extract_features, deterministic fake hash-bucket kernel — no model runtime in "
+    "this environment); Arrow batch in/out, unit-norm asserted; rows-only",
+)
+def q_multimodal_features_fake(spark, sf_dir):
+    from .operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(d, dim=8, fake=True)
+    return feats.select(
+        "asset_id",
+        F.transform("feature", lambda x: F.round(x, 6)).alias("feature"),
+    ).orderBy("asset_id")
+
+
