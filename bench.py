@@ -44,26 +44,38 @@ def main() -> int:
     per_query: dict[str, float] = {}
     t_total = time.time()
     for name, qd in REGISTRY.items():
-        # local-mode hygiene: tens of varied queries in one JVM leave
-        # garbage + weakly-referenced cleaner state that only a full GC
-        # releases; without this, later Arrow-UDF queries measure 3-8x
-        # slower (GC churn), which a per-executor-heap cluster never
-        # sees.  Measured: 31.7s -> 3.9s on the same query.
-        spark._jvm.System.gc()
-        t0 = time.time()
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
+        # best-of-2 per query: run twice, keep the minimum.  One pass
+        # measures plans + whatever the machine happens to be doing;
+        # the min of two runs measures plans (r2 showed a uniform
+        # 2-4x drift on plan-identical trivial queries from machine
+        # load alone).  BASELINE.md is recorded under the same rule.
+        times = []
+        for _ in range(2):
+            # local-mode hygiene: tens of varied queries in one JVM
+            # leave garbage + weakly-referenced cleaner state that only
+            # a full GC releases; without this, later Arrow-UDF queries
+            # measure 3-8x slower (GC churn), which a per-executor-heap
+            # cluster never sees.  Measured: 31.7s -> 3.9s on one query.
+            spark._jvm.System.gc()
+            t0 = time.time()
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        per_query[name] = round(min(times), 3)
         print(f"[bench] {name} {per_query[name]}s", file=sys.stderr, flush=True)
-    total = round(time.time() - t_total, 3)
+    # headline value: sum of per-query minima (the plan-cost total);
+    # wall time of both passes goes in its own field
+    wall = round(time.time() - t_total, 3)
+    total = round(sum(per_query.values()), 3)
 
     print(
         json.dumps(
             {
-                "metric": "registry_total_wall",
+                "metric": "registry_total_best_of_2",
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf_num,
+                "wall_both_passes": wall,
             }
         )
     )

@@ -87,3 +87,39 @@ def test_run_etl_end_to_end(spark, tmp_path):
     assert any(p.startswith("antigen=") for p in parts)
     raw = spark.read.parquet(str(tmp_path / "warehouse" / "owid_raw"))
     assert raw.count() == len(WIDE_ROWS)
+
+
+def test_cli_main_writes_csv_and_chart_artifacts(spark, tmp_path):
+    """Full EP1 user experience: ETL + analysis block + CSV + chart
+    (reference etl_pipeline.py:150-172)."""
+    from world_vaccination_coverage_etl_spark.cli import main
+
+    csv = tmp_path / "wide.csv"
+    header = "entity,year,coverage__bcg,coverage__dtp3,unrelated_col\n"
+    lines = [
+        ",".join("" if v is None else str(v) for v in row) for row in WIDE_ROWS
+    ]
+    csv.write_text(header + "\n".join(lines) + "\n")
+
+    rc = main(
+        [
+            "--csv", str(csv),
+            "--warehouse", str(tmp_path / "warehouse"),
+            "--country", "Aland",
+            "--antigen", "coverage__bcg",
+            "--start-year", "1991",
+            "--pre-years", "1",
+            "--post-years", "1",
+            "--out-dir", str(tmp_path),
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "coverage_Aland_coverage__bcg.csv").exists()
+    chart = tmp_path / "coverage_Aland_coverage__bcg.svg"
+    assert chart.exists()
+    svg = chart.read_text()
+    assert "<polyline" in svg and "campaign 1991" in svg
+    pdf = tmp_path / "coverage_Aland_coverage__bcg.pdf"
+    assert pdf.exists()
+    raw = pdf.read_bytes()
+    assert raw.startswith(b"%PDF") and b"Generated:" in raw

@@ -4,8 +4,10 @@ Spark-native equivalent of the reference's ``python etl_pipeline.py``
 (SURVEY.md §3 EP1; reference etl_pipeline.py:184-195): always run the
 ETL, then — when ``--country``/``--antigen`` are given — slice that
 series, run the windowed comparison, print the analysis block, and save
-the raw-series CSV artifact.  The PNG/PDF artifacts are presentation
-edges (SURVEY §2.1) and intentionally out of engine scope.
+the raw-series CSV + chart + PDF-report artifacts (functions/chart.py —
+SVG here, PNG when matplotlib is importable; functions/report.py — a
+dependency-free minimal PDF).  Together these complete the reference
+EP1 artifact set (CSV + plot + report).
 
 Usage::
 
@@ -24,7 +26,9 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
+from .functions.chart import save_series_chart
 from .functions.narrative import policy_brief
+from .functions.report import save_pdf_report
 from .plans.analytics import coverage_series, window_compare
 from .plans.pipeline import run_etl
 from .session import get_spark
@@ -110,6 +114,41 @@ def run_analysis(
     )
     write_csv(series, artifact, single_file=True)
     print(f"  Saved raw series -> {artifact}")
+
+    # chart artifact (reference etl_pipeline.py:157-172) — rendered from
+    # the already-collected ≤45-row series at the presentation edge
+    chart_base = os.path.join(
+        out_dir, sanitize_filename(f"coverage_{country}_{antigen}")
+    )
+    series_rows = series.collect()
+    chart_path = save_series_chart(
+        [(r.year, r.coverage_pct) for r in series_rows],
+        chart_base,
+        title=f"{country} — {antigen}",
+        campaign_year=start_year,
+    )
+    print(f"  Saved chart      -> {chart_path}")
+
+    # PDF report (reference report_generator.py): summary + top-20 table
+    report_path = save_pdf_report(
+        chart_base + ".pdf",
+        title=f"Vaccination coverage report: {country} / {antigen}",
+        summary=[
+            f"Campaign window: {start_year - pre_years}-{start_year - 1} "
+            f"vs {start_year}-{start_year + post_years}",
+            f"Average before: {one.avg_before:.1f}%"
+            if one.avg_before is not None else "Average before: n/a",
+            f"Average after:  {one.avg_after:.1f}%"
+            if one.avg_after is not None else "Average after: n/a",
+            f"Verdict: {one.significance}",
+            f"Risk: {risk}",
+            f"Implication: {implication}",
+            f"Action: {action}",
+        ],
+        table_rows=[(r.year, f"{r.coverage_pct:.1f}") for r in series_rows],
+        table_header=("year", "coverage_pct"),
+    )
+    print(f"  Saved report     -> {report_path}")
     return True
 
 
