@@ -1470,6 +1470,79 @@ def q_ngram_jaccard_block_lang(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _curation_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n             ".join(
+        f"len(list_intersect(toks, {_duck_list(LANG_MARKERS[lang])})) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    return rf"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DOC_SHIFT}, text FROM documents),
+    toksed AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM u),
+    feats AS (
+      SELECT doc_id, text, toks,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+             len(toks) AS n_words,
+             {scores}
+      FROM toksed),
+    kept AS (
+      SELECT doc_id, text, toks FROM feats
+      WHERE {best} > 0
+        AND n_words >= 10
+        AND round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars
+                       ELSE 0.0 END, 6) <= 0.2),
+    uniq AS (
+      SELECT min(doc_id) AS doc_id
+      FROM kept GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+    sh AS (
+      SELECT k.doc_id,
+             list_distinct(list_transform(
+                 range(0, greatest(len(k.toks) - 3, 0) + 1),
+                 i -> array_to_string(k.toks[i+1:i+3], ' '))) AS grams
+      FROM kept k JOIN uniq USING (doc_id)),
+    neardup AS (
+      SELECT b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7)
+    SELECT doc_id FROM uniq
+    WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "curation_pipeline",
+    _curation_oracle(),
+    note="end-to-end corpus curation: language-ID gate + quality gate (word count, "
+    "punctuation ratio) + exact dedup (keep min id) + near-dup removal (trigram "
+    "Jaccard >= 0.7 via the inverted-index join, drop the non-minimal side of every "
+    "pair) — the composed pipeline an LLM-data user runs; each stage is the "
+    "already-audited operator (operators/text.py, operators/dedup.py)",
+)
+def q_curation_pipeline(spark, sf_dir):
+    u = _docs_self_union(spark, sf_dir)
+    scored = with_quality_score(with_language_id(u))
+    kept = scored.filter(
+        (F.col("lang_id") != "und")
+        & (F.col("n_words") >= 10)
+        & (F.col("punct_ratio") <= 0.2)
+    )
+    uniq = exact_dedup(kept)
+    pairs = ngram_jaccard_pairs(uniq, block_col=None, n=3, threshold=0.7)
+    survivors = uniq.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        on="doc_id",
+        how="left_anti",
+    )
+    return survivors.select("doc_id").orderBy("doc_id")
+
+
 @register(
     "simhash_near_dup",
     None,
