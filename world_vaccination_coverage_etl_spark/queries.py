@@ -1526,6 +1526,8 @@ def _curation_oracle() -> str:
     "already-audited operator (operators/text.py, operators/dedup.py)",
 )
 def q_curation_pipeline(spark, sf_dir):
+    import tempfile
+
     u = _docs_self_union(spark, sf_dir)
     scored = with_quality_score(with_language_id(u))
     kept = scored.filter(
@@ -1533,7 +1535,15 @@ def q_curation_pipeline(spark, sf_dir):
         & (F.col("n_words") >= 10)
         & (F.col("punct_ratio") <= 0.2)
     )
-    uniq = exact_dedup(kept)
+    uniq = exact_dedup(kept).select("doc_id", "text")
+    # stage materialization: the near-dup self-join + the survivor
+    # anti-join would otherwise re-execute the whole gate+dedup chain
+    # 3x (once per join input).  Checkpointing the surviving slice to
+    # parquet is the production pattern at 100 TB too: each curation
+    # stage persists, downstream stages scan the materialized table.
+    tmp = tempfile.mkdtemp(prefix="curation_uniq_")
+    uniq.write.mode("overwrite").parquet(tmp)
+    uniq = spark.read.parquet(tmp)
     pairs = ngram_jaccard_pairs(uniq, block_col=None, n=3, threshold=0.7)
     survivors = uniq.join(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(),
