@@ -1,0 +1,78 @@
+"""Deterministic sampling/split operator tests (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from world_vaccination_coverage_etl_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_exact_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def _expected_split(doc_id: int, train_frac: float, salt: str = "split") -> str:
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:4]
+    return "train" if h < format(int(train_frac * 65536), "04x") else "val"
+
+
+def test_hash_split_matches_reference_hash_and_is_stable(docs, spark):
+    got = {r.doc_id: r.split for r in hash_split(docs, train_frac=0.8).collect()}
+    for i in range(300):
+        assert got[i] == _expected_split(i, 0.8)
+    # membership must not change when the corpus grows
+    bigger = docs.unionAll(
+        spark.createDataFrame([(1000 + i, "en") for i in range(50)],
+                              "doc_id long, lang string")
+    )
+    got2 = {r.doc_id: r.split for r in hash_split(bigger, train_frac=0.8).collect()}
+    assert all(got2[i] == got[i] for i in range(300))
+
+
+def test_hash_split_fraction_roughly_holds(docs):
+    counts = (
+        hash_split(docs, train_frac=0.8)
+        .groupBy("split").count().collect()
+    )
+    by = {r.split: r["count"] for r in counts}
+    assert 0.7 <= by.get("train", 0) / 300 <= 0.9
+
+
+def test_deterministic_sample_is_subset_and_reproducible(docs):
+    a = {r.doc_id for r in deterministic_sample(docs, 0.2).collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, 0.2).collect()}
+    assert a == b
+    # growing the fraction only ever adds rows (threshold monotonicity)
+    c = {r.doc_id for r in deterministic_sample(docs, 0.5).collect()}
+    assert a <= c
+
+
+def test_stratified_exact_sample_counts(docs):
+    out = stratified_exact_sample(docs, "lang", 0.2).groupBy("lang").count().collect()
+    by = {r.lang: r["count"] for r in out}
+    assert by["en"] == math.ceil(200 * 0.2)
+    assert by["de"] == math.ceil(100 * 0.2)
+    # deterministic: same rows every run
+    again = stratified_exact_sample(docs, "lang", 0.2)
+    assert {r.doc_id for r in again.collect()} == {
+        r.doc_id
+        for r in stratified_exact_sample(docs, "lang", 0.2).collect()
+    }
+
+
+def test_fraction_validation(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, train_frac=1.5)
+    with pytest.raises(ValueError):
+        stratified_exact_sample(docs, "lang", -0.1)

@@ -1,0 +1,98 @@
+"""Deterministic sampling & dataset-split operators.
+
+A training-data pipeline needs reproducible, engine-portable splits:
+the same document must land in the same split on every run, on every
+engine, at any scale — which rules out ``rand()`` and Spark's
+``sample()`` (seed- and partitioning-dependent).  Everything here keys
+off the md5 hex digest of a salted id rendered as a string, so Spark
+and any SQL oracle agree bit-for-bit, and adding/removing rows never
+reshuffles other rows' assignments (the property that keeps train/val
+membership stable as a corpus grows).
+
+Scale notes:
+
+- ``hash_split`` / ``deterministic_sample`` are pure row-local
+  projections/filters — zero shuffle at any scale.
+- ``stratified_exact_sample`` takes one window shuffle per call
+  (partitioned by the strata column); use it when exact per-stratum
+  counts matter, and the hash-threshold variants when approximate
+  proportions are fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 16  # 4 hex chars of the digest
+
+
+def _hash_hex4(id_col: str, salt: str) -> F.Column:
+    """First 4 hex chars of md5(salt ':' id) — lowercase hex compares
+    lexicographically = numerically, so thresholds are portable strings."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 4
+    )
+
+
+def _frac_threshold(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(int(fraction * _BUCKETS), "04x")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_frac: float = 0.8,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val assignment (row-local, no shuffle).
+
+    A row is 'train' iff its 16-bit hash bucket falls below
+    ``train_frac`` (quantized to 1/65536); otherwise 'val'.
+    """
+    thresh = _frac_threshold(train_frac)
+    return df.withColumn(
+        out_col,
+        F.when(_hash_hex4(id_col, salt) < thresh, F.lit("train")).otherwise(
+            F.lit("val")
+        ),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Hash-threshold Bernoulli-style sample — row-local, no shuffle,
+    reproducible across engines and runs; actual size is binomial
+    around ``fraction``."""
+    return df.filter(_hash_hex4(id_col, salt) < _frac_threshold(fraction))
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "strata",
+) -> DataFrame:
+    """Exact-count stratified sample: ceil(fraction × |stratum|) rows
+    per stratum, chosen by hash order (deterministic, unbiased by any
+    input ordering).  One window shuffle on the strata column."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    order = Window.partitionBy(strata_col).orderBy(
+        _hash_hex4(id_col, salt), F.col(id_col)
+    )
+    whole = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(order))
+        .withColumn("__n", F.count("*").over(whole))
+        .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rk", "__n")
+    )

@@ -1370,6 +1370,79 @@ def q_word_frequencies(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# deterministic sampling / dataset splits (operators/sampling.py)
+
+
+@register(
+    "split_counts",
+    """
+    SELECT CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train' ELSE 'val' END AS split,
+           lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="deterministic engine-portable train/val split via salted-md5 bucket "
+    "(operators/sampling.py hash_split; row-local, zero shuffle, membership stable "
+    "under corpus growth) — counts per (split, lang)",
+)
+def q_split_counts(spark, sf_dir):
+    from .operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, train_frac=0.8)
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "det_sample_ids",
+    """
+    SELECT doc_id FROM documents
+    WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc'
+    ORDER BY doc_id
+    """,
+    note="hash-threshold deterministic ~5% sample (operators/sampling.py "
+    "deterministic_sample; row-local filter, no shuffle, reproducible across engines)",
+)
+def q_det_sample_ids(spark, sf_dir):
+    from .operators.sampling import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_sample(d, fraction=0.05).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "stratified_sample_docs",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+             substr(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 4) AS hk
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM h)
+    SELECT doc_id, lang FROM r WHERE rk <= ceil(n * 0.2) ORDER BY doc_id
+    """,
+    note="exact-count stratified sample, ceil(0.2 x |stratum|) docs per lang chosen "
+    "by hash order (operators/sampling.py stratified_exact_sample; one window shuffle)",
+)
+def q_stratified_sample_docs(spark, sf_dir):
+    from .operators.sampling import stratified_exact_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        stratified_exact_sample(d, strata_col="lang", fraction=0.2)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------- #
 # deduplication over `documents` (operators/dedup.py)
 #
 # The driver corpus has no exact duplicates, so the exact-dedup queries
