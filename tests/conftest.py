@@ -15,11 +15,18 @@ TESTDATA_SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     spark = get_spark(
         app_name="tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # static conf: catalog tables (bucketing tests) land in a
+            # throwaway dir instead of ./spark-warehouse
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_"),
+        },
     )
     yield spark
 
