@@ -88,3 +88,51 @@ def test_sliding_windows_double_count(spark):
     total = sum(r.n_events for r in out.collect())
     # every event lands in exactly duration/slide = 2 windows
     assert total == 2 * _events(spark).count()
+
+
+def test_streaming_sessionize_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries (last_ts, count) state across
+    micro-batches: maxFilesPerTrigger=1 forces one batch per file."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from world_vaccination_coverage_etl_spark.streaming.event_windows import (
+        streaming_sessionize_state,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long"
+    # batch 1: one session (10 min gap); batch 2: 2h later -> new session
+    spark.createDataFrame(
+        [(0, base, 1), (1, base + dt.timedelta(minutes=10), 1)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(2, base + dt.timedelta(hours=2, minutes=10), 1)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    agg = streaming_sessionize_state(stream, gap_minutes=30)
+    qname = f"sess_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table(qname)
+    # at least two emissions for user 1 (one per batch), final count 2
+    assert mem.count() >= 2
+    final = (
+        mem.groupBy("user_id").agg(F.max("n_sessions").alias("n")).collect()
+    )
+    assert {(r.user_id, r.n) for r in final} == {(1, 2)}

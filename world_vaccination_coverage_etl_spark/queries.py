@@ -50,7 +50,12 @@ from .operators.text import (
     word_frequencies,
 )
 from .sources.registry import load_table
-from .streaming.event_windows import sessionize, sliding_event_counts, tumbling_event_counts
+from .streaming.event_windows import (
+    sessionize,
+    sliding_event_counts,
+    streaming_sessionize_state,
+    tumbling_event_counts,
+)
 
 # --------------------------------------------------------------------- #
 # constants shared by Spark plans and oracle SQL
@@ -1203,6 +1208,46 @@ def q_streaming_tumbling_append(spark, sf_dir):
         "n_events",
         F.round("sum_value", 6).alias("sum_value"),
     ).orderBy("day", "event_type")
+
+
+@register(
+    "streaming_sessionize_state",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+    note="CUSTOM STATEFUL streaming operator via applyInPandasWithState "
+    "(streaming/event_windows.py streaming_sessionize_state): per-user (last_ts, "
+    "session_count) state, gap>30min opens a session, update-mode emission — must "
+    "reproduce the batch sessionize oracle exactly",
+)
+def q_streaming_sessionize_state(spark, sf_dir):
+    import uuid
+
+    agg = streaming_sessionize_state(_events_stream(spark, sf_dir), gap_minutes=30)
+    qname = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    mem = spark.table(qname)
+    # update mode re-emits a user's row per micro-batch; the cumulative
+    # count is monotone, so max() per user is the final state
+    return (
+        mem.groupBy("user_id")
+        .agg(F.max("n_sessions").alias("n_sessions"))
+        .orderBy("user_id")
+    )
 
 
 # --------------------------------------------------------------------- #

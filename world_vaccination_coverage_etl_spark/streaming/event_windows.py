@@ -111,6 +111,62 @@ def streaming_tumbling_to_files(
     )
 
 
+def streaming_sessionize_state(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session counting via
+    ``applyInPandasWithState`` — the Structured Streaming escape hatch
+    for operators the built-in windowing can't express.
+
+    State per user = (last event micros, cumulative session count); a
+    new session opens when the gap since the last event exceeds
+    ``gap_minutes``.  Each micro-batch sorts its rows (ts, event_id)
+    inside one Arrow kernel, folds them into the state, and emits the
+    user's updated cumulative count (update output mode).  Within one
+    batch this reproduces the batch ``sessionize`` exactly — the
+    registered query pins that equivalence against the same DuckDB
+    oracle.  Note the cross-batch caveat of any event-time-stateful
+    operator: out-of-order arrivals ACROSS micro-batches need the
+    source ordered or a watermark-driven buffer; state is per-key and
+    O(1), so 10⁹ users cost ~tens of GB across the cluster — the
+    shape that scales.
+    """
+    import pandas as pd  # noqa: F401  (kernel body)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        last_us, n_sessions = state.get if state.exists else (None, 0)
+        frames = [pdf for pdf in pdf_iter if len(pdf)]
+        if frames:
+            allpdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
+            for ts_us in allpdf["ts_us"]:
+                ts_us = int(ts_us)
+                if last_us is None or ts_us - last_us > gap_us:
+                    n_sessions += 1
+                last_us = ts_us
+            state.update((last_us, n_sessions))
+        yield pd.DataFrame({"user_id": [user_id], "n_sessions": [n_sessions]})
+
+    prepared = events_stream.select(
+        F.col(user_col).alias("user_id"),
+        F.col("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_sessions long",
+        stateStructType="last_us long, n_sessions long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
