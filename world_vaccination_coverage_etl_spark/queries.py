@@ -1211,6 +1211,54 @@ def q_streaming_tumbling_append(spark, sf_dir):
 
 
 @register(
+    "asof_join_last_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+    purch AS (
+      SELECT user_id, ts, max(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    u AS (
+      SELECT user_id, ts, 1 AS tag, event_id, value, NULL::DOUBLE AS pval FROM clicks
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, NULL, pval FROM purch),
+    w AS (
+      SELECT user_id, ts, tag, event_id, value,
+             last_value(pval IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pval_asof
+      FROM u)
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           round(value, 6) AS value, round(pval_asof, 6) AS pval_asof
+    FROM w WHERE tag = 1 ORDER BY event_id
+    """,
+    note="as-of (point-in-time) join: every click gains the most recent prior purchase "
+    "value per user (operators/asof.py asof_join; union + carry-forward, ONE shuffle, "
+    "linear — no range-join pair blow-up)",
+)
+def q_asof_join_last_purchase(spark, sf_dir):
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(clicks, purchases, key_cols=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        F.round("pval_asof", 6).alias("pval_asof"),
+    ).orderBy("event_id")
+
+
+@register(
     "streaming_sessionize_state",
     """
     WITH flagged AS (
