@@ -315,12 +315,36 @@ def ngram_jaccard_pairs(
     ``block_col=None`` candidates pair across the whole corpus — still
     bounded, because only docs sharing a gram ever meet.
     """
+    grams = df.select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        shingles_udf(n)(F.col(text_col)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    return ngram_jaccard_pairs_from_grams(
+        grams, grams_col="grams", id_col=id_col, block_col=block_col,
+        threshold=threshold,
+    )
+
+
+def ngram_jaccard_pairs_from_grams(
+    df: DataFrame,
+    grams_col: str = "grams",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Inverted-index Jaccard over PRE-COMPUTED gram arrays.
+
+    Split out of ``ngram_jaccard_pairs`` so pipelines that materialize
+    their shingles (e.g. a curation stage checkpointing to parquet) pay
+    the shingle UDF once instead of once per join side.
+    """
     if threshold <= 0:
         raise ValueError("inverted-index jaccard requires threshold > 0")
     grams = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
-        shingles_udf(n)(F.col(text_col)).alias("grams"),
+        F.col(grams_col).alias("grams"),
     ).filter(F.size("grams") > 0)
 
     ex = (

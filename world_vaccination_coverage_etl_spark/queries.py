@@ -31,6 +31,8 @@ from .operators.dedup import (
     exact_dedup_pairs,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_from_grams,
+    shingles_udf,
     simhash_near_dup_pairs,
 )
 from .operators.reshape import unpivot_measures
@@ -1701,16 +1703,19 @@ def q_curation_pipeline(spark, sf_dir):
         & (F.col("n_words") >= 10)
         & (F.col("punct_ratio") <= 0.2)
     )
-    uniq = exact_dedup(kept).select("doc_id", "text")
+    uniq = exact_dedup(kept).select(
+        "doc_id", shingles_udf(3)(F.col("text")).alias("grams")
+    )
     # stage materialization: the near-dup self-join + the survivor
     # anti-join would otherwise re-execute the whole gate+dedup chain
-    # 3x (once per join input).  Checkpointing the surviving slice to
-    # parquet is the production pattern at 100 TB too: each curation
-    # stage persists, downstream stages scan the materialized table.
+    # 3x (once per join input) and the shingle UDF twice.  Checkpointing
+    # the surviving (doc_id, grams) slice to parquet runs both once —
+    # the production pattern at 100 TB too: each curation stage
+    # persists, downstream stages scan the materialized table.
     tmp = tempfile.mkdtemp(prefix="curation_uniq_")
     uniq.write.mode("overwrite").parquet(tmp)
     uniq = spark.read.parquet(tmp)
-    pairs = ngram_jaccard_pairs(uniq, block_col=None, n=3, threshold=0.7)
+    pairs = ngram_jaccard_pairs_from_grams(uniq, block_col=None, threshold=0.7)
     survivors = uniq.join(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(),
         on="doc_id",
