@@ -46,12 +46,19 @@ def test_t_pdf_positive(df, t):
        st.floats(min_value=0.0, max_value=1.0))
 def test_hash_split_threshold_monotone(doc_id, f1, f2):
     """The md5-bucket rule: membership in 'train' is monotone in the
-    fraction — the invariant behind stable split growth."""
+    fraction (the invariant behind stable split growth), and fraction
+    1.0 includes EVERY row (hypothesis caught the naive 5-hex-char
+    threshold encoding excluding digests >= '2' at fraction=1.0)."""
+    from world_vaccination_coverage_etl_spark.operators.sampling import (
+        _frac_threshold,
+    )
+
     lo, hi = sorted([f1, f2])
     h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:4]
-    in_lo = h < format(int(lo * 65536), "04x")
-    in_hi = h < format(int(hi * 65536), "04x")
+    in_lo = h < _frac_threshold(lo)
+    in_hi = h < _frac_threshold(hi)
     assert (not in_lo) or in_hi  # lo member => hi member
+    assert h < _frac_threshold(1.0)  # full fraction keeps everything
 
 
 @settings(max_examples=50, deadline=None)

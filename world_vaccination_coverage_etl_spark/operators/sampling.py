@@ -38,7 +38,13 @@ def _hash_hex4(id_col: str, salt: str) -> F.Column:
 def _frac_threshold(fraction: float) -> str:
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(int(fraction * _BUCKETS), "04x")
+    buckets = int(fraction * _BUCKETS)
+    if buckets >= _BUCKETS:
+        # fraction == 1.0: 'g' sorts after every 4-char hex digest, so
+        # the `hash < threshold` predicate includes every row ('10000',
+        # the naive 5-char encoding, would EXCLUDE digests >= '2')
+        return "g"
+    return format(buckets, "04x")
 
 
 def hash_split(
