@@ -408,6 +408,17 @@ def _simhash64(texts: pd.Series) -> pd.Series:
             h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
         return h
 
+    # corpus vocabulary repeats heavily across a batch — memoizing the
+    # per-token hash turns the dominant per-char Python loop into a
+    # dict hit for all but the first occurrence (same output bits)
+    memo: dict[str, int] = {}
+
+    def tok_hash(token: str) -> int:
+        h = memo.get(token)
+        if h is None:
+            h = memo[token] = fnv1a64(token)
+        return h
+
     shifts = np.arange(64, dtype=np.uint64)
     out = np.zeros(len(texts), dtype=np.int64)
     for i, text in enumerate(texts):
@@ -420,7 +431,7 @@ def _simhash64(texts: pd.Series) -> pd.Series:
             continue
         # hash each token once; go through uint64 so the top bit never
         # overflows numpy's signed shift (h >= 2**63 is ~half of tokens)
-        hs = np.array([fnv1a64(tok) for tok in tokens], dtype=np.uint64)
+        hs = np.array([tok_hash(tok) for tok in tokens], dtype=np.uint64)
         bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
         acc = np.where(bits == 1, 1, -1).sum(axis=0)
         sig = int(np.packbits(acc > 0, bitorder="little").view(np.uint64)[0])
