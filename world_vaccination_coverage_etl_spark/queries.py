@@ -986,10 +986,30 @@ def q_window_moving_avg(spark, sf_dir):
 # §2.9 scalar functions / UDF
 
 
+def _flag_oracle() -> str:
+    """CASE oracle generated from the SAME mapping table the UDF uses
+    (functions/flags.py) so the two can never drift.  Assumes the
+    fallback (no-pycountry) path, which is this environment."""
+    from .functions.flags import _NAME_TO_ALPHA2, WHITE_FLAG, _alpha2_to_flag
+
+    cases = "\n             ".join(
+        f"WHEN upper(trim(n_name)) = '{name}' THEN '{_alpha2_to_flag(code)}'"
+        for name, code in sorted(_NAME_TO_ALPHA2.items())
+    )
+    return f"""
+    SELECT n_name,
+           CASE {cases}
+                ELSE '{WHITE_FLAG}' END AS flag
+    FROM nation ORDER BY n_name
+    """
+
+
 @register(
     "udf_country_flag",
-    None,
-    note="country->emoji-flag scalar UDF (SURVEY §2.9 udf_country_flag; reference streamlit_app.py:82-87) — not SQL-expressible, rows-only",
+    _flag_oracle(),
+    note="country->emoji-flag scalar UDF (SURVEY §2.9 udf_country_flag; reference "
+    "streamlit_app.py:82-87); oracle is a CASE expression generated from the UDF's "
+    "own mapping table (hash-checked, was rows-only through r2)",
 )
 def q_udf_country_flag(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
