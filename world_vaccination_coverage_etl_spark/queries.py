@@ -1788,12 +1788,58 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def _lsh_topk_oracle(bits: int = 6, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB oracle reproducing the sign-LSH multiprobe exactly: the
+    hyperplanes are the same deterministic numpy draw embedded as
+    literal arrays, the query bucket comes from vec_id=0 in SQL, and
+    the probe set is the bucket plus its hamming-1 neighbors."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+
+    def bucket(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {lits[b]}) >= 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(bits)
+        )
+
+    probes = ["b.bkt = q.qb"] + [
+        f"b.bkt = xor(q.qb, {1 << i})" for i in range(bits)
+    ]
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    q AS (SELECT emb AS qemb, {bucket('emb')} AS qb FROM v WHERE vec_id = 0),
+    b AS (SELECT vec_id, emb, {bucket('emb')} AS bkt FROM v),
+    cand AS (
+      SELECT b.vec_id, b.emb, q.qemb FROM b, q WHERE {' OR '.join(probes)}),
+    scored AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(emb, emb))
+                       * sqrt(list_dot_product(qemb, qemb)) > 0
+                  THEN list_dot_product(emb, qemb)
+                       / (sqrt(list_dot_product(emb, emb))
+                          * sqrt(list_dot_product(qemb, qemb)))
+                  ELSE 0.0 END AS cosine
+      FROM cand)
+    SELECT vec_id, round(cosine, 6) AS cosine
+    FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
 @register(
     "cosine_topk_lsh",
-    None,
+    _lsh_topk_oracle(),
     note="sign-LSH bucketed ANN top-k with hamming-1 multiprobe (operators/similarity.py "
-    "cosine_topk_lsh) — bucket membership not SQL-expressible; rows-only; recall vs brute "
-    "force asserted in tests/test_similarity.py",
+    "cosine_topk_lsh); oracle reproduces bucket + probe set from the same deterministic "
+    "hyperplane draw (hash-checked, was rows-only through r2); recall vs brute force "
+    "also asserted in tests/test_similarity.py",
 )
 def q_cosine_topk_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
