@@ -1233,6 +1233,53 @@ def q_streaming_tumbling_append(spark, sf_dir):
 
 
 @register(
+    "session_window_agg",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    islands AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM flagged)
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM islands GROUP BY user_id, sess
+    ORDER BY user_id, session_start_us
+    """,
+    note="NATIVE Spark session windows (F.session_window, 30 min gap) vs the manual "
+    "lag+cumsum islands oracle; window end = last event + gap per Spark's [start, "
+    "last+gap) session semantics (new session when the gap is >= the timeout, hence "
+    "the >= in the oracle)",
+)
+def q_session_window_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+@register(
     "asof_join_last_purchase",
     """
     WITH clicks AS (
