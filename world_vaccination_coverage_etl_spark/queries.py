@@ -1233,6 +1233,45 @@ def q_streaming_tumbling_append(spark, sf_dir):
 
 
 @register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           true AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="HyperLogLog++ approx_count_distinct per event_type, gated against the exact "
+    "distinct in the same plan (operators/approx.py distinct_with_hll_gate; |err| <= "
+    "4x rsd) — the oracle asserts the gate, so a drifting sketch fails the hash check",
+)
+def q_approx_distinct_users(spark, sf_dir):
+    from .operators.approx import distinct_with_hll_gate
+
+    e = _t(spark, sf_dir, "events")
+    return distinct_with_hll_gate(e, "event_type", "user_id").orderBy("event_type")
+
+
+@register(
+    "approx_quantiles_value",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           round(quantile_cont(value, 0.95), 6) AS exact_p95,
+           true AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="Greenwald-Khanna-style percentile_approx (p50/p95) per event_type, gated in "
+    "rank space against exact percentiles at p +/- 0.01 (operators/approx.py "
+    "quantiles_with_sketch_gate) — sketch drift fails the oracle hash check",
+)
+def q_approx_quantiles_value(spark, sf_dir):
+    from .operators.approx import quantiles_with_sketch_gate
+
+    e = _t(spark, sf_dir, "events")
+    return quantiles_with_sketch_gate(e, "event_type", "value").orderBy("event_type")
+
+
+@register(
     "session_window_agg",
     """
     WITH flagged AS (
