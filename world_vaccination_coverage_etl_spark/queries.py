@@ -881,6 +881,39 @@ def q_q5_region_revenue(spark, sf_dir):
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE)
+             AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+    note="TPC-H-style Q6: pure scan-side predicate aggregation — every filter pushes "
+    "to the parquet scan, single partial+final agg, no join, no wide shuffle; the "
+    "canonical predicate-pushdown benchmark shape",
+)
+def q_q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+            & (F.col("l_discount").between(0.03, 0.05))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue_delta")
+        )
+    )
+
+
+@register(
     "set_ops",
     """
     SELECT c_nationkey AS nationkey FROM customer
