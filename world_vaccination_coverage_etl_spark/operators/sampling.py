@@ -80,6 +80,37 @@ def deterministic_sample(
     return df.filter(_hash_hex4(id_col, salt) < _frac_threshold(fraction))
 
 
+def salted_agg_count(
+    df: DataFrame,
+    key_cols: list[str],
+    salt_parts: int = 16,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation — the skew-mitigation pattern for
+    hot keys.
+
+    A plain ``groupBy(key)`` sends EVERY row of a hot key to one
+    reducer; salting appends ``hash(row) % salt_parts`` to the key so
+    phase 1 spreads each hot key over ``salt_parts`` partial
+    aggregates, and phase 2 merges the (tiny) partials.  Counts and
+    sums are associative, so the result is bit-identical to the
+    unsalted aggregation at any ``salt_parts`` — the oracle-checked
+    query pins that invariance.  (Spark's own partial aggregation
+    already does this map-side within a partition; explicit salting is
+    the lever when a single key exceeds what one reducer can hold.)
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_parts)
+    ).alias("__salt")
+    aggs1 = [F.count("*").alias("__n")]
+    aggs2 = [F.sum("__n").cast("long").alias("n_rows")]
+    if value_col:
+        aggs1.append(F.sum(value_col).alias("__s"))
+        aggs2.append(F.sum("__s").alias(f"sum_{value_col}"))
+    partial = df.select(*df.columns, salt).groupBy(*key_cols, "__salt").agg(*aggs1)
+    return partial.groupBy(*key_cols).agg(*aggs2)
+
+
 def stratified_exact_sample(
     df: DataFrame,
     strata_col: str,

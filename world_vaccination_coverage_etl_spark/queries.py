@@ -881,6 +881,39 @@ def q_q5_region_revenue(spark, sf_dir):
 
 
 @register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-01-01' AND o.o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    note="TPC-H-style Q4: EXISTS decorrelated to a left-semi join (orders with any "
+    "returned lineitem per priority; the driver schema carries no commit/receipt "
+    "dates, so the late-delivery predicate maps to l_returnflag) — the lineitem side "
+    "projects only l_orderkey through the join",
+)
+def q_q4_order_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    late = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "q6_forecast_revenue",
     """
     SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -1629,6 +1662,30 @@ def q_split_counts(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "salted_agg_events",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 6) AS sum_value_r
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="two-phase SALTED aggregation over a low-cardinality key (operators/"
+    "sampling.py salted_agg_count, 16 salt parts): hot keys spread across partial "
+    "aggregates, merged in phase 2 — oracle pins bit-identity with the unsalted "
+    "aggregation (counts/sums are associative)",
+)
+def q_salted_agg_events(spark, sf_dir):
+    from .operators.sampling import salted_agg_count
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg_count(e, ["event_type"], salt_parts=16, value_col="value")
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.round("sum_value", 6).alias("sum_value_r"),
+    ).orderBy("event_type")
 
 
 @register(
