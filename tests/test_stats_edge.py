@@ -64,3 +64,35 @@ def test_mean_ci_n1_is_null(spark):
     lo, hi = mean_ci_columns(F.col("m"), F.col("s"), F.col("n"))
     row = agg.select(lo.alias("lo"), hi.alias("hi")).first()
     assert row.lo is None and row.hi is None
+
+
+def test_normal_p_brackets_t_p_kernelwise():
+    """The certified-query gate rests on 0 <= p_t - p_normal <= 3/df
+    (df >= 5): re-assert it directly against the kernels."""
+    import math
+
+    import numpy as np
+
+    from world_vaccination_coverage_etl_spark.functions.tdist import t_sf
+
+    t = np.linspace(0.0, 40.0, 2001)
+    erf = np.vectorize(math.erf, otypes=[np.float64])
+    p_normal = 1.0 - erf(t / math.sqrt(2.0))
+    for df in (5.0, 12.0, 47.0, 300.0, 2999.0):
+        p_t = 2.0 * t_sf(t, np.full_like(t, df))
+        gap = p_t - p_normal
+        assert gap.min() >= -1e-12
+        assert gap.max() <= 3.0 / df
+
+
+def test_t_crit_z_bracket_kernelwise():
+    """CI gate bound: z <= t_crit(0.975, df) <= z + 5/df for df >= 5."""
+    import numpy as np
+
+    from world_vaccination_coverage_etl_spark.functions.tdist import t_ppf
+
+    z = 1.9599639845400545
+    df = np.array([5.0, 9.0, 29.0, 100.0, 999.0, 29999.0])
+    tc = t_ppf(np.full_like(df, 0.975), df)
+    assert (tc >= z).all()
+    assert (tc <= z + 5.0 / df).all()

@@ -43,6 +43,27 @@ def t_crit_udf(conf: pd.Series, dof: pd.Series) -> pd.Series:
     return pd.Series(t_ppf(q, dof.to_numpy(dtype="float64")))
 
 
+@F.pandas_udf(T.DoubleType())
+def normal_two_sided_p_udf(t_stat: pd.Series) -> pd.Series:
+    """Two-sided NORMAL-approximation p-value 2·(1−Φ(|t|)) = erfc(|t|/√2).
+
+    Not a statistic of its own here — it is the oracle-reproducible
+    bracket for the exact t p-value: for every df > 0,
+    0 ≤ p_t − p_normal ≤ 3/df (validated numerically against the tdist
+    kernel over t∈[0,50], df∈{5..3000}; the true sup is ≲0.32/df).  The
+    certified ``agg_welch_pvalue`` query emits boolean gates built on
+    this bracket instead of the raw t-CDF value.
+    """
+    import math
+
+    import numpy as np
+
+    t = np.abs(t_stat.to_numpy(dtype="float64"))
+    erf = np.vectorize(math.erf, otypes=[np.float64])
+    p = 1.0 - erf(t / math.sqrt(2.0))
+    return pd.Series(np.where(np.isnan(t), np.nan, np.clip(p, 0.0, 1.0)))
+
+
 def welch_t_columns(
     mean_a: Column,
     var_a: Column,

