@@ -70,3 +70,55 @@ def test_knn_neighbors_share_cluster(spark):
     out = knn_all_pairs_bruteforce(df, k=3).collect()
     same_cluster = sum(1 for r in out if r.src_id // 15 == r.nbr_id // 15)
     assert same_cluster / len(out) > 0.95
+
+
+def test_knn_within_blocks_matches_bruteforce_per_block(spark):
+    """The Arrow per-block kernel must reproduce the bruteforce operator
+    restricted to the same blocks (cosines compared at the kernel's own
+    6-dp rounding)."""
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        knn_within_blocks,
+    )
+
+    rows = _clustered(n_clusters=4, per_cluster=20)
+    blocked = [(vid, v, vid % 3) for vid, v in rows]
+    df = spark.createDataFrame(
+        blocked, "vec_id long, embedding array<double>, block int"
+    )
+    got = {
+        (r.src_id, r.rank): (r.nbr_id, r.cosine)
+        for r in knn_within_blocks(df, k=4, block_col="block").collect()
+    }
+    ref = {
+        (r.src_id, r.rank): (r.nbr_id, round(r.cosine, 6))
+        for r in knn_all_pairs_bruteforce(df, k=4, block_col="block").collect()
+    }
+    assert set(got) == set(ref)
+    for key, (nbr, cos) in ref.items():
+        g_nbr, g_cos = got[key]
+        assert g_cos == pytest.approx(cos, abs=2e-6)
+        # ids may legitimately differ only on a rounded-cosine tie
+        if g_nbr != nbr:
+            assert g_cos == pytest.approx(cos, abs=2e-6)
+
+
+def test_knn_within_blocks_zero_vector_and_singleton(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], 0),   # zero vector: cosine 0.0 to everyone
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [1.0, 1.0], 9),   # singleton block: emits nothing
+        ],
+        "vec_id long, embedding array<double>, block int",
+    )
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        knn_within_blocks,
+    )
+
+    out = knn_within_blocks(df, k=2, block_col="block").collect()
+    assert {r.src_id for r in out} == {0, 1, 2}
+    zero_rows = [r for r in out if r.src_id == 0]
+    assert all(r.cosine == 0.0 for r in zero_rows)
+    top1 = {r.src_id: r.nbr_id for r in out if r.rank == 1}
+    assert top1[1] == 2 and top1[2] == 1

@@ -78,10 +78,12 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:]) if len(sys.argv) > 2 else (
-        set(sys.argv[1:]) if len(sys.argv) > 1 and not os.path.isdir(sys.argv[1]) else None
-    )
+    args = sys.argv[1:]
+    if args and os.path.isdir(args[0]):
+        sf_dir, names = args[0], args[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.01", args
+    only = set(names) or None
     spark = get_spark("correctness-check")
     con = duck_connect(sf_dir)
     n_pass = n_fail = n_rows_only = 0

@@ -52,11 +52,17 @@ def cosine_topk_bruteforce(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_dp: int | None = None,
 ) -> DataFrame:
-    """Exact top-k by cosine against one query vector (id tiebreak)."""
-    scored = df.select(
-        F.col(id_col), cosine_score(F.col(vec_col), query).alias("cosine")
-    )
+    """Exact top-k by cosine against one query vector (id tiebreak).
+
+    ``round_dp`` rounds the score BEFORE the order/limit so a
+    rounding tie at the k boundary resolves by id identically in any
+    engine that ranks the rounded value (the oracle does)."""
+    score = cosine_score(F.col(vec_col), query)
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    scored = df.select(F.col(id_col), score.alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
@@ -89,6 +95,7 @@ def cosine_topk_lsh(
     bits: int = 8,
     seed: int = 42,
     probe_hamming: int = 1,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """ANN top-k: score only rows within ``probe_hamming`` bit flips of
     the query's LSH bucket.  Recall/cost dial: probes grow as
@@ -114,10 +121,83 @@ def cosine_topk_lsh(
 
     bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, bits, seed))
     candidates = bucketed.filter(F.col("__bucket").isin(probes))
-    scored = candidates.select(
-        F.col(id_col), cosine_score(F.col(vec_col), query).alias("cosine")
-    )
+    score = cosine_score(F.col(vec_col), query)
+    if round_dp is not None:
+        # round before the order/limit: a rounded tie at the k boundary
+        # then resolves by id exactly like an oracle ranking the
+        # rounded value (see cosine_topk_bruteforce)
+        score = F.round(score, round_dp)
+    scored = candidates.select(F.col(id_col), score.alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def knn_within_blocks(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "block",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact k-NN restricted to each block — the IVF-style scale path.
+
+    ``block_col`` is the coarse partitioner (LSH bucket, IVF centroid
+    id, shard key, ...).  Each block is handled by one Arrow batch in
+    ``applyInPandas``: a numpy matmul computes the full within-block
+    cosine matrix and emits only the top-k rows per source — O(b²) work
+    per block, never O(n²) globally, and no pairwise shuffle (the only
+    shuffle is the groupBy on the block key).  Cosines are rounded to
+    ``round_dp`` BEFORE ranking so the (cosine desc, nbr_id asc) order
+    is reproducible across float summation orders.
+
+    Mirrors the reference's scan-then-rank per-series access pattern
+    (reference streamlit_app.py:112-126) lifted to vector data.
+    """
+    import pandas as pd
+
+    schema = (
+        f"src_id long, nbr_id long, cosine double, rank int"
+    )
+
+    def _knn_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        m = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        norms = np.linalg.norm(m, axis=1)
+        safe = np.where(norms > 0, norms, 1.0)
+        unit = m / safe[:, None]
+        cos = unit @ unit.T
+        cos[norms == 0, :] = 0.0
+        cos[:, norms == 0] = 0.0
+        np.fill_diagonal(cos, -np.inf)
+        cos = np.round(cos, round_dp)
+        n = len(ids)
+        kk = min(k, n - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {"src_id": [], "nbr_id": [], "cosine": [], "rank": []}
+            ).astype({"src_id": "int64", "nbr_id": "int64",
+                      "cosine": "float64", "rank": "int32"})
+        out_src, out_nbr, out_cos, out_rank = [], [], [], []
+        for i in range(n):
+            order = np.lexsort((ids, -cos[i]))[:kk]
+            out_src.append(np.full(kk, ids[i]))
+            out_nbr.append(ids[order])
+            out_cos.append(cos[i][order])
+            out_rank.append(np.arange(1, kk + 1, dtype="int32"))
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate(out_src),
+                "nbr_id": np.concatenate(out_nbr),
+                "cosine": np.concatenate(out_cos),
+                "rank": np.concatenate(out_rank),
+            }
+        )
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+        .groupBy(block_col)
+        .applyInPandas(_knn_block, schema=schema)
+    )
 
 
 def knn_all_pairs_bruteforce(
