@@ -153,3 +153,32 @@ def test_jaccard_empty_guard(spark):
     )
     vals = [r.j for r in df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()]
     assert vals[0] == 0.0 and vals[1] == 1.0
+
+
+def test_simhash_vectorized_matches_reference_kernel(spark):
+    """The r4 vectorized FNV kernel must be bit-identical to the r3
+    per-token-loop reference on edge-heavy inputs."""
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        _simhash64,
+        _simhash64_ref,
+    )
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "the  QUICK   brown_fox! jumps-over (the) lazy dog??",
+        "",
+        None,
+        "!!! --- ???",                     # no tokens
+        "répétition déjà vu naïve café",   # non-ASCII letters
+        "a",                               # single char
+        "word " * 500,                     # one token repeated
+        "числа 123 and MIXED caseTOKENS 456seven",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {
+        r.i: r.sig
+        for r in df.select("i", _simhash64(F.col("text")).alias("sig")).collect()
+    }
+    ref = _simhash64_ref(texts)
+    assert [got[i] for i in range(len(texts))] == ref

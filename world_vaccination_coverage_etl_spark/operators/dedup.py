@@ -20,6 +20,8 @@ candidate-pair joins on short keys — the minimum any dedup needs.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -245,10 +247,15 @@ def minhash_near_dup_pairs(
             "band_idx", "band_hash"
         )
     )
+    # lazy lineage cuts: `banded` feeds both sides of the candidate
+    # self-join and `sh` both id-keyed re-attach joins — without the
+    # checkpoint each Arrow kernel runs twice (see simhash note above)
+    banded = banded.localCheckpoint(eager=False)
 
     sh = df.select(
         F.col(id_col), shingles_udf(shingle_k)(F.col(text_col)).alias("shingles")
     ).filter(F.size("shingles") > 0)
+    sh = sh.localCheckpoint(eager=False)
 
     cand_ids = (
         banded.alias("a")
@@ -392,14 +399,16 @@ def ngram_jaccard_pairs_from_grams(
 # SimHash
 
 
-@F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens — Arrow-batched numpy kernel.
+# maximal runs of alphanumeric characters, excluding underscore —
+# the regex form of splitting on ``not c.isalnum()`` (the reference
+# kernel below does exactly that char-by-char)
+_SIMHASH_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
 
-    Token hashing uses a deterministic FNV-1a (no Python ``hash``
-    randomization); the signature bit b is 1 iff the sum over tokens of
-    (bit b set ? +1 : -1) is positive.
-    """
+
+def _simhash64_ref(texts) -> list[int]:
+    """Reference SimHash kernel (r3 implementation, per-token Python
+    FNV loop).  Kept as the correctness oracle for the vectorized
+    kernel below — tests assert bit-identical signatures."""
     import numpy as np
 
     def fnv1a64(token: str) -> int:
@@ -408,35 +417,116 @@ def _simhash64(texts: pd.Series) -> pd.Series:
             h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
         return h
 
-    # corpus vocabulary repeats heavily across a batch — memoizing the
-    # per-token hash turns the dominant per-char Python loop into a
-    # dict hit for all but the first occurrence (same output bits)
-    memo: dict[str, int] = {}
-
-    def tok_hash(token: str) -> int:
-        h = memo.get(token)
-        if h is None:
-            h = memo[token] = fnv1a64(token)
-        return h
-
     shifts = np.arange(64, dtype=np.uint64)
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
+    out = []
+    for text in texts:
         if not text:
+            out.append(0)
             continue
         tokens = [t for t in "".join(
             c if c.isalnum() else " " for c in text.lower()
         ).split() if t]
         if not tokens:
+            out.append(0)
             continue
-        # hash each token once; go through uint64 so the top bit never
-        # overflows numpy's signed shift (h >= 2**63 is ~half of tokens)
-        hs = np.array([tok_hash(tok) for tok in tokens], dtype=np.uint64)
+        hs = np.array([fnv1a64(tok) for tok in tokens], dtype=np.uint64)
         bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
         acc = np.where(bits == 1, 1, -1).sum(axis=0)
         sig = int(np.packbits(acc > 0, bitorder="little").view(np.uint64)[0])
-        # two's-complement into int64
-        out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens — fully vectorized Arrow kernel.
+
+    Same semantics as ``_simhash64_ref`` (bit-identical, pytest-pinned):
+    deterministic FNV-1a token hashes, signature bit b is 1 iff the sum
+    over token OCCURRENCES of (bit b set ? +1 : -1) is positive.
+
+    Vectorization: tokens come from one C-speed regex scan per doc; the
+    batch vocabulary is FNV-hashed as a numpy byte matrix (one uint64
+    op per byte POSITION, not per byte); per-doc ±1 accumulation is a
+    single ``add.reduceat`` over the occurrence matrix.  Python-level
+    work drops from O(total chars) to O(docs + unique tokens).
+    """
+    import numpy as np
+
+    toks_per_doc = [
+        _SIMHASH_TOKEN_RE.findall(t.lower()) if t else [] for t in texts
+    ]
+    vocab: dict[str, int] = {}
+    tok_idx: list[int] = []
+    lens = np.empty(len(toks_per_doc), dtype=np.int64)
+    for i, toks in enumerate(toks_per_doc):
+        lens[i] = len(toks)
+        for t in toks:
+            j = vocab.get(t)
+            if j is None:
+                j = vocab[t] = len(vocab)
+            tok_idx.append(j)
+
+    n = len(texts)
+    v = len(vocab)
+    out = np.zeros(n, dtype=np.int64)
+    if v:
+        enc = [w.encode("utf-8") for w in vocab]
+        maxlen = max(len(b) for b in enc)
+        pad = b"".join(b.ljust(maxlen, b"\0") for b in enc)
+        byte_mat = np.frombuffer(pad, dtype=np.uint8).reshape(len(enc), maxlen)
+        blen = np.array([len(b) for b in enc])
+        h = np.full(len(enc), 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for pos in range(maxlen):
+            live = blen > pos
+            h[live] = (h[live] ^ byte_mat[live, pos].astype(np.uint64)) * prime
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+        tok_arr = np.asarray(tok_idx, dtype=np.int64)
+        ends = np.cumsum(lens)
+        starts_all = ends - lens
+        if n * v <= 16_000_000:
+            # small-vocab fast path: per-doc token-count matrix, then one
+            # BLAS matmul against the ±1 bit matrix.  Exact — counts and
+            # ±1 are integers well below 2^53, so the float64 sums are
+            # the integer sums.  Empty docs give an all-zero row → sig 0.
+            pmf = bits.astype(np.float64) * 2.0 - 1.0
+            doc_idx = np.repeat(np.arange(n), lens)
+            counts = (
+                np.bincount(doc_idx * v + tok_arr, minlength=n * v)
+                .reshape(n, v)
+                .astype(np.float64)
+            )
+            acc = counts @ pmf
+            sig = (
+                np.packbits(acc > 0, axis=1, bitorder="little")
+                .view(np.uint64)
+                .ravel()
+            )
+            out = sig.view(np.int64).copy()
+        else:
+            # large-vocab path: ±1 occurrence rows reduced per doc, in
+            # doc chunks that bound the materialized slice to ~2M rows
+            pm = bits.astype(np.int32) * 2 - 1
+            i = 0
+            while i < n:
+                j = i + 1
+                while j < n and ends[j] - starts_all[i] <= 2_000_000:
+                    j += 1
+                occ = pm[tok_arr[starts_all[i]:ends[j - 1]]]
+                lens_c = lens[i:j]
+                nz = lens_c > 0
+                st = (starts_all[i:j] - starts_all[i])[nz]
+                if st.size:
+                    acc = np.add.reduceat(occ, st, axis=0)
+                    sig = (
+                        np.packbits(acc > 0, axis=1, bitorder="little")
+                        .view(np.uint64)
+                        .ravel()
+                    )
+                    out[i:j][nz] = sig.view(np.int64)
+                i = j
     return pd.Series(out)
 
 
@@ -454,6 +544,12 @@ def simhash_near_dup_pairs(
     is a JVM-side ``bit_count(xor)``.
     """
     signed = df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("sig"))
+    # cut the lineage so the signature kernel runs ONCE: the blocking
+    # self-join would otherwise re-evaluate the Arrow UDF on every join
+    # side (observed 4 ArrowEvalPython nodes in the executed plan).
+    # Lazy local checkpoint = materialize per-executor on first use —
+    # the per-stage parquet pattern without driver-side temp dirs.
+    signed = signed.localCheckpoint(eager=False)
     chunks = F.array(
         *[
             F.struct(
