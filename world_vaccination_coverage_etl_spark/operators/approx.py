@@ -43,10 +43,16 @@ def distinct_with_hll_gate(
     rel_err = F.abs(
         F.col("approx_distinct").cast("double") - F.col("exact_distinct")
     ) / F.col("exact_distinct")
+    # all-NULL key group: exact_distinct = 0 makes rel_err 0/0 = NULL,
+    # which would mismatch the oracle's literal `true` — the gate there
+    # is simply "the sketch also saw nothing"
+    ok = F.when(
+        F.col("exact_distinct") > 0, rel_err <= tol_mult * rsd
+    ).otherwise(F.col("approx_distinct") == 0)
     return out.select(
         group_col,
         "exact_distinct",
-        (rel_err <= tol_mult * rsd).alias("approx_ok"),
+        ok.alias("approx_ok"),
     )
 
 

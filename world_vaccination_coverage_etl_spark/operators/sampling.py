@@ -92,12 +92,17 @@ def salted_agg_count(
     A plain ``groupBy(key)`` sends EVERY row of a hot key to one
     reducer; salting appends ``hash(row) % salt_parts`` to the key so
     phase 1 spreads each hot key over ``salt_parts`` partial
-    aggregates, and phase 2 merges the (tiny) partials.  Counts and
-    sums are associative, so the result is bit-identical to the
-    unsalted aggregation at any ``salt_parts`` — the oracle-checked
-    query pins that invariance.  (Spark's own partial aggregation
-    already does this map-side within a partition; explicit salting is
-    the lever when a single key exceeds what one reducer can hold.)
+    aggregates, and phase 2 merges the (tiny) partials.  Counts (and
+    any integer/decimal sum) are exactly associative, so those results
+    are bit-identical to the unsalted aggregation at any
+    ``salt_parts``.  A ``double`` sum is associative only up to FP
+    reassociation — salting changes the summation grouping, so the last
+    ulps can differ (as they already can between any two Spark
+    partitionings); round or cast to DECIMAL before comparing across
+    plans, which is what the oracle-checked query does.  (Spark's own
+    partial aggregation already does this map-side within a partition;
+    explicit salting is the lever when a single key exceeds what one
+    reducer can hold.)
     """
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_parts)

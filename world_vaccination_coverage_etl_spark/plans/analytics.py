@@ -26,8 +26,9 @@ def dimension_index(fact: DataFrame) -> DataFrame:
 # ``st.cache_data(ttl=3600)`` on its two hot queries
 # (streamlit_app.py:99,111).  ``.cache()`` pins the distinct result
 # (~10² rows) in executor memory; repeat dashboard calls skip the scan
-# + shuffle entirely.
-_DIM_INDEX_MEMO: dict[int, DataFrame] = {}
+# + shuffle entirely.  Keyed by (session, semantic hash) — see
+# cached_dimension_index.
+_DIM_INDEX_MEMO: dict[tuple[object, int], DataFrame] = {}
 
 
 def cached_dimension_index(fact: DataFrame) -> DataFrame:
@@ -38,8 +39,12 @@ def cached_dimension_index(fact: DataFrame) -> DataFrame:
     ``invalidate_dimension_index()`` after an ETL refresh (run_etl does
     this) — the reference's TTL-based expiry maps to explicit
     invalidation-on-refresh here, which is strictly fresher.
+
+    The memo key includes the owning SparkSession: a semantic hash can
+    recur after a session restart, and returning a DataFrame bound to a
+    stopped session would fail on first use (advisor-flagged r3).
     """
-    key = fact.semanticHash()
+    key = (fact.sparkSession, fact.semanticHash())
     memo = _DIM_INDEX_MEMO.get(key)
     if memo is None:
         memo = dimension_index(fact).cache()
@@ -50,7 +55,12 @@ def cached_dimension_index(fact: DataFrame) -> DataFrame:
 def invalidate_dimension_index() -> None:
     """Unpersist and forget every memoized dimension index."""
     for df in _DIM_INDEX_MEMO.values():
-        df.unpersist()
+        try:
+            df.unpersist()
+        except Exception:
+            # a stopped session can no longer unpersist; dropping the
+            # reference is all that's left to do
+            pass
     _DIM_INDEX_MEMO.clear()
 
 

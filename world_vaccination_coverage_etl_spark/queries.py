@@ -1317,12 +1317,11 @@ def q_streaming_tumbling_daily(spark, sf_dir):
     "restricted to watermark-closed windows; nothing accumulates on the driver",
 )
 def q_streaming_tumbling_append(spark, sf_dir):
-    import tempfile
-
+    from .scratch import scratch_dir
     from .streaming.event_windows import streaming_tumbling_to_files
 
-    out_dir = tempfile.mkdtemp(prefix="stream_append_out_")
-    ck_dir = tempfile.mkdtemp(prefix="stream_append_ck_")
+    out_dir = scratch_dir("stream_append_out_")
+    ck_dir = scratch_dir("stream_append_ck_")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     with _stream_state_partitions(spark):
         q = streaming_tumbling_to_files(
@@ -1938,7 +1937,7 @@ def _curation_oracle() -> str:
     "already-audited operator (operators/text.py, operators/dedup.py)",
 )
 def q_curation_pipeline(spark, sf_dir):
-    import tempfile
+    from .scratch import scratch_dir
 
     u = _docs_self_union(spark, sf_dir)
     scored = with_quality_score(with_language_id(u))
@@ -1956,7 +1955,7 @@ def q_curation_pipeline(spark, sf_dir):
     # the surviving (doc_id, grams) slice to parquet runs both once —
     # the production pattern at 100 TB too: each curation stage
     # persists, downstream stages scan the materialized table.
-    tmp = tempfile.mkdtemp(prefix="curation_uniq_")
+    tmp = scratch_dir("curation_uniq_")
     uniq.write.mode("overwrite").parquet(tmp)
     uniq = spark.read.parquet(tmp)
     pairs = ngram_jaccard_pairs_from_grams(uniq, block_col=None, threshold=0.7)
