@@ -24,17 +24,10 @@ WHITE_FLAG = "\U0001F3F3️"
 
 _REGIONAL_INDICATOR_BASE = 0x1F1E6  # 🇦
 
-# Minimal name→alpha-2 table for the fallback path (extend as needed);
-# the driver's star schema uses TPC-H nation names.
-_NAME_TO_ALPHA2 = {
-    "ALGERIA": "DZ", "ARGENTINA": "AR", "BRAZIL": "BR", "CANADA": "CA",
-    "EGYPT": "EG", "ETHIOPIA": "ET", "FRANCE": "FR", "GERMANY": "DE",
-    "INDIA": "IN", "INDONESIA": "ID", "IRAN": "IR", "IRAQ": "IQ",
-    "JAPAN": "JP", "JORDAN": "JO", "KENYA": "KE", "MOROCCO": "MA",
-    "MOZAMBIQUE": "MZ", "PERU": "PE", "CHINA": "CN", "ROMANIA": "RO",
-    "SAUDI ARABIA": "SA", "VIETNAM": "VN", "RUSSIA": "RU",
-    "UNITED KINGDOM": "GB", "UNITED STATES": "US",
-}
+# Full vendored ISO 3166-1 name→alpha-2 table (+OWID-style aliases)
+# for the fallback path; covers the driver's TPC-H nation names and
+# arbitrary OWID country names alike.
+from .iso3166 import NAME_TO_ALPHA2 as _NAME_TO_ALPHA2
 
 
 def _alpha2_to_flag(code: str) -> str:
@@ -51,10 +44,14 @@ def country_to_flag(name: str | None) -> str:
             country = pycountry.countries.lookup(trimmed)
             return _alpha2_to_flag(country.alpha_2.upper())
         upper = trimmed.upper()
+        # name table first: "UK" must resolve as the United Kingdom
+        # alias, not be mistaken for an (unassigned) alpha-2 code
+        code = _NAME_TO_ALPHA2.get(upper)
+        if code:
+            return _alpha2_to_flag(code)
         if len(upper) == 2 and upper.isalpha() and upper.isascii():
             return _alpha2_to_flag(upper)
-        code = _NAME_TO_ALPHA2.get(upper)
-        return _alpha2_to_flag(code) if code else WHITE_FLAG
+        return WHITE_FLAG
     except Exception:
         return WHITE_FLAG
 

@@ -1107,7 +1107,9 @@ def _flag_oracle() -> str:
     from .functions.flags import _NAME_TO_ALPHA2, WHITE_FLAG, _alpha2_to_flag
 
     cases = "\n             ".join(
-        f"WHEN upper(trim(n_name)) = '{name}' THEN '{_alpha2_to_flag(code)}'"
+        "WHEN upper(trim(n_name)) = '{}' THEN '{}'".format(
+            name.replace("'", "''"), _alpha2_to_flag(code)
+        )
         for name, code in sorted(_NAME_TO_ALPHA2.items())
     )
     return f"""
