@@ -122,3 +122,22 @@ def test_knn_within_blocks_zero_vector_and_singleton(spark):
     assert all(r.cosine == 0.0 for r in zero_rows)
     top1 = {r.src_id: r.nbr_id for r in out if r.rank == 1}
     assert top1[1] == 2 and top1[2] == 1
+
+
+def test_lsh_bucket_batched_matches_jvm_expression(spark):
+    """The Arrow bucket kernel must assign every vector to the same
+    bucket as the Catalyst lsh_bucket expression (same plane draw)."""
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        lsh_bucket,
+        lsh_bucket_batched,
+    )
+    from pyspark.sql import functions as F
+
+    rows = _clustered(n_clusters=6, per_cluster=15, dim=12)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = df.select(
+        "vec_id",
+        lsh_bucket(F.col("embedding"), dim=12, bits=5, seed=3).alias("jvm"),
+        lsh_bucket_batched(F.col("embedding"), dim=12, bits=5, seed=3).alias("arrow"),
+    ).collect()
+    assert all(r.jvm == r.arrow for r in out)

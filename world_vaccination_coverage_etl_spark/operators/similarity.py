@@ -21,9 +21,11 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -84,6 +86,35 @@ def lsh_bucket(
         bit = F.when(_dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + F.shiftleft(bit, b)
     return bucket
+
+
+def lsh_bucket_batched(
+    vec: F.Column, dim: int, bits: int = 8, seed: int = 42
+) -> F.Column:
+    """Sign-LSH bucket id via one Arrow-batched numpy matmul.
+
+    Same hyperplane draw (and therefore the same buckets) as
+    ``lsh_bucket``, but the per-row cost is a slice of a BLAS matmul
+    instead of ``bits`` interpreted Catalyst ``aggregate``/``zip_with``
+    folds (~100 µs each) — the difference between hours and minutes
+    when bucketing 10⁹ rows.  The only divergence channel is float
+    summation order on a plane dot product within ~1 ulp of zero,
+    which has negligible probability on real embeddings (and the JVM
+    variant stays available where exact fold order matters).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim)).T.copy()  # (dim, bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf(T.IntegerType())
+    def _bucket(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype="float64") for v in col])
+        signs = (m @ planes) >= 0.0
+        return pd.Series((signs @ weights).astype("int32"))
+
+    return _bucket(vec)
 
 
 def cosine_topk_lsh(

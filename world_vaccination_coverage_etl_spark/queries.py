@@ -2160,10 +2160,13 @@ def _knn_blocked_oracle(bits: int = 4, seed: int = 42, dim: int = 64, k: int = 5
     "at 100 TB with a learned coarse quantizer in place of LSH",
 )
 def q_knn_blocked_lsh(spark, sf_dir):
-    from .operators.similarity import knn_within_blocks, lsh_bucket
+    from .operators.similarity import knn_within_blocks, lsh_bucket_batched
 
+    # Arrow-batched bucket kernel: same hyperplane draw as the JVM
+    # lsh_bucket (pytest-pinned agreement) but one numpy matmul per
+    # Arrow batch instead of `bits` interpreted HOF folds per row
     e = _t(spark, sf_dir, "embeddings").withColumn(
-        "block", lsh_bucket(F.col("embedding"), dim=64, bits=4, seed=42)
+        "block", lsh_bucket_batched(F.col("embedding"), dim=64, bits=4, seed=42)
     )
     knn = knn_within_blocks(e, k=5, block_col="block")
     return knn.select("src_id", "nbr_id", "cosine", "rank").orderBy(
