@@ -136,3 +136,49 @@ def test_streaming_sessionize_state_across_batches(spark, tmp_path):
         mem.groupBy("user_id").agg(F.max("n_sessions").alias("n")).collect()
     )
     assert {(r.user_id, r.n) for r in final} == {(1, 2)}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate keys arriving within the watermark delay are
+    suppressed; each key's first arrival is emitted exactly once."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from world_vaccination_coverage_etl_spark.streaming.dedup_stream import (
+        dedup_within_watermark,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "click", 1.0),
+        (1, base + dt.timedelta(minutes=5), "click", 1.0),   # dup, later copy
+        (2, base, "view", 2.0),
+        (2, base, "view", 2.0),                              # dup, same ts
+        (3, base + dt.timedelta(hours=2), "click", 3.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    ).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(str(src))
+    qname = f"dedup_test_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_within_watermark(stream, ["event_id"], delay="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname).collect()
+    assert sorted(r.event_id for r in out) == [1, 2, 3]
+    # one row per key, not per copy
+    assert len(out) == 3
+    by_id = {r.event_id: r for r in out}
+    assert by_id[1].event_type == "click" and by_id[3].value == 3.0

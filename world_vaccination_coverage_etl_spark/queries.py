@@ -1348,6 +1348,52 @@ def q_streaming_tumbling_append(spark, sf_dir):
 
 
 @register(
+    "streaming_dedup_events",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="streaming exact dedup with BOUNDED state (streaming/dedup_stream.py "
+    "dedup_within_watermark -> dropDuplicatesWithinWatermark): the stream is a "
+    "self-union of the events feed, so every event_id arrives exactly twice; the "
+    "dedup emits each first arrival and evicts key state once the watermark "
+    "passes. Oracle = plain batch aggregate over the UN-duplicated table — the "
+    "hash check fails if even one duplicate leaks through (counts would double) "
+    "or one event is lost",
+)
+def q_streaming_dedup_events(spark, sf_dir):
+    import uuid
+
+    from .streaming.dedup_stream import dedup_within_watermark
+
+    s = _events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    deduped = dedup_within_watermark(
+        doubled, ["event_id"], watermark_col="ts", delay="1 day"
+    )
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "approx_distinct_users",
     """
     SELECT event_type,
@@ -2335,6 +2381,7 @@ _CERT_EARLY = [
     "udf_country_flag",
     "streaming_tumbling_daily",
     "streaming_tumbling_append",
+    "streaming_dedup_events",
     "approx_distinct_users",
     "approx_quantiles_value",
     "session_window_agg",
