@@ -67,3 +67,41 @@ def test_word_frequencies_counts(spark):
     df = _df(spark, ["a b a", "b a"])
     freqs = {r.word: r.freq for r in word_frequencies(df).collect()}
     assert freqs == {"a": 3, "b": 2}
+
+
+def test_chunk_text_windows_edges(spark):
+    from world_vaccination_coverage_etl_spark.operators.text import (
+        chunk_text_windows,
+    )
+
+    docs = [
+        (0, " ".join(f"t{i}" for i in range(10))),   # single short chunk
+        (1, " ".join(f"t{i}" for i in range(64))),   # exactly chunk_size
+        (2, " ".join(f"t{i}" for i in range(65))),   # one token past -> 2 chunks
+        (3, ""),                                     # token-free: emits nothing
+        (4, "   "),                                  # whitespace only
+        (5, "solo"),
+        (6, " ".join(f"t{i}" for i in range(150))),  # 3 full strides + tail
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_text_windows(df, chunk_size=64, overlap=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc and 4 not in by_doc
+    assert [r.n_tokens for r in sorted(by_doc[0], key=lambda r: r.chunk_idx)] == [10]
+    assert [r.n_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [64]
+    # 65 tokens, stride 48: windows at 0 (64 toks) and 48 (17 toks)
+    assert [r.n_tokens for r in sorted(by_doc[2], key=lambda r: r.chunk_idx)] == [64, 17]
+    assert [r.n_tokens for r in by_doc[5]] == [1]
+    # 150 tokens: starts 0,48,96 -> lengths 64,64,54 (window at 144 would
+    # be a subset of the one at 96: not emitted)
+    got6 = sorted(by_doc[6], key=lambda r: r.chunk_idx)
+    assert [r.n_tokens for r in got6] == [64, 64, 54]
+    # consecutive chunks overlap by exactly `overlap` tokens while full
+    first, second = got6[0].chunk_text.split(), got6[1].chunk_text.split()
+    assert first[48:] == second[:16]
+    # n_tokens always equals the emitted token count
+    for rows in by_doc.values():
+        for r in rows:
+            assert r.n_tokens == len(r.chunk_text.split())

@@ -127,3 +127,64 @@ def word_frequencies(
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= min_count)
     )
+
+
+def chunk_text_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    standard pre-tokenization chunking step of an LLM training/RAG
+    pipeline (context-window packing, embedding-index chunks).
+
+    Convention: whitespace tokens; window k covers tokens
+    [k·stride, k·stride + chunk_size) with stride = chunk_size − overlap,
+    and the number of windows is max(1, ceil((n − chunk_size)/stride) + 1)
+    — every token is covered, and no window is a subset of its
+    predecessor (no redundant tail chunk).  Emits (id, chunk_idx,
+    chunk_text, n_tokens); token-free docs emit nothing.
+
+    All JVM expressions: split → sequence → posexplode → slice →
+    array_join.  Row-local (no shuffle); the explode multiplies rows by
+    ~n_tokens/stride, which is the operator's output, not overhead.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
+    stride = chunk_size - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((n - F.lit(chunk_size)) / F.lit(float(stride))) + F.lit(1),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_idx", "__k"
+            ),
+        )
+        .filter(F.size("__toks") > 0)
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    F.col("chunk_idx") * stride + 1,
+                    chunk_size,
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_size),
+                F.size("__toks") - F.col("chunk_idx") * stride,
+            ).cast("int").alias("n_tokens"),
+        )
+    )

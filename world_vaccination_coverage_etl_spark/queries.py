@@ -1731,6 +1731,40 @@ def q_word_frequencies(spark, sf_dir):
     return word_frequencies(d).orderBy(F.desc("freq"), F.asc("word")).limit(100)
 
 
+@register(
+    "doc_chunk_windows",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, greatest(1,
+               CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1)))
+               AS chunk_idx
+      FROM t WHERE len(toks) > 0)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')
+             AS chunk_text,
+           CAST(least(64, n - chunk_idx * 48) AS INT) AS n_tokens
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    note="overlapping fixed-size token windows (chunk 64, overlap 16 -> stride 48) — "
+    "the context-window packing / RAG-chunking step of an LLM data pipeline "
+    "(operators/text.py chunk_text_windows). Pure JVM split->sequence->posexplode->"
+    "slice, row-local (no shuffle); output multiplicity IS the operator's product",
+)
+def q_doc_chunk_windows(spark, sf_dir):
+    from .operators.text import chunk_text_windows
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_text_windows(d, chunk_size=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 # --------------------------------------------------------------------- #
 # deterministic sampling / dataset splits (operators/sampling.py)
 
@@ -2388,6 +2422,7 @@ _CERT_EARLY = [
     "asof_join_last_purchase",
     "streaming_sessionize_state",
     "split_counts",
+    "doc_chunk_windows",
 ]
 
 _CERT_LATE = [
