@@ -123,3 +123,11 @@ def test_cli_main_writes_csv_and_chart_artifacts(spark, tmp_path):
     assert pdf.exists()
     raw = pdf.read_bytes()
     assert raw.startswith(b"%PDF") and b"Generated:" in raw
+    dash = tmp_path / "coverage_Aland_coverage__bcg.html"
+    assert dash.exists()
+    doc = dash.read_text()
+    assert doc.startswith("<!DOCTYPE html>")
+    assert "Vaccination coverage — Aland / coverage__bcg" in doc
+    assert doc.count("<svg") == 2          # line chart + CI bars, inline
+    assert "Policy brief" in doc and 'class="kpi"' in doc
+    assert "fill-opacity" in doc           # shaded campaign windows

@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import SparkSession
 
 from .functions.chart import save_series_chart
+from .functions.dashboard import save_dashboard_html
 from .functions.narrative import policy_brief
 from .functions.report import save_pdf_report
 from .plans.analytics import coverage_series, window_compare
@@ -149,6 +150,20 @@ def run_analysis(
         table_header=("year", "coverage_pct"),
     )
     print(f"  Saved report     -> {report_path}")
+
+    # static HTML dashboard (reference streamlit_app.py:176-505 as an
+    # export: KPI cards, shaded-window line chart, CI bars, brief)
+    dash_path = save_dashboard_html(
+        chart_base + ".html",
+        country,
+        antigen,
+        [(r.year, r.coverage_pct) for r in series_rows],
+        one,
+        start_year,
+        pre_years,
+        post_years,
+    )
+    print(f"  Saved dashboard  -> {dash_path}")
     return True
 
 

@@ -33,7 +33,11 @@ def _svg_chart(
     campaign_year: float | None,
     width: int,
     height: int,
+    windows: Sequence[tuple[float, float, str]] | None = None,
 ) -> str:
+    """``windows``: optional shaded x-ranges (x_from, x_to, css_color) —
+    the before/after campaign vrects of the reference dashboard
+    (reference streamlit_app.py:254-308)."""
     ml, mr, mt, mb = 56, 16, 40, 44  # margins
     pw, ph = width - ml - mr, height - mt - mb
     xs = [float(p[0]) for p in points]
@@ -65,6 +69,16 @@ def _svg_chart(
         f'<rect x="{ml}" y="{mt}" width="{pw}" height="{ph}" fill="none" '
         'stroke="#888" stroke-width="1"/>',
     ]
+    # shaded campaign windows (behind gridlines and the series)
+    for wx0, wx1, color in windows or ():
+        cx0, cx1 = max(float(wx0), x0), min(float(wx1), x1)
+        if cx1 <= cx0:
+            continue
+        parts.append(
+            f'<rect x="{sx(cx0):.1f}" y="{mt}" '
+            f'width="{sx(cx1) - sx(cx0):.1f}" height="{ph}" '
+            f'fill="{color}" fill-opacity="0.15"/>'
+        )
     # y gridlines + labels (4 ticks)
     for i in range(5):
         yv = y0 + (y1 - y0) * i / 4
