@@ -129,6 +129,11 @@ def render_dashboard_html(
 ) -> str:
     """Render the one-series dashboard view as a self-contained HTML
     string.  ``stats`` is one collected `window_compare` row."""
+    if not series_rows:
+        raise ValueError(
+            "cannot render a dashboard for an empty series "
+            "(callers guard with the nonempty check first)"
+        )
     risk, implication, action = policy_brief(
         stats.avg_before, stats.avg_after, stats.diff_pp, stats.p_value,
         stats.n_before, stats.n_after,

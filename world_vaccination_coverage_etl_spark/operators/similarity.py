@@ -200,7 +200,15 @@ def knn_within_blocks(
         cos[norms == 0, :] = 0.0
         cos[:, norms == 0] = 0.0
         np.fill_diagonal(cos, -np.inf)
-        cos = np.round(cos, round_dp)
+        # HALF_UP like Spark's F.round and DuckDB's round() — np.round
+        # is half-to-even, which could disagree on an exact .5 boundary
+        scale = 10.0 ** round_dp
+        with np.errstate(invalid="ignore"):
+            cos = np.where(
+                np.isfinite(cos),
+                np.sign(cos) * np.floor(np.abs(cos) * scale + 0.5) / scale,
+                cos,
+            )
         n = len(ids)
         kk = min(k, n - 1)
         if kk <= 0:

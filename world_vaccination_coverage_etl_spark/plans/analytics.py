@@ -44,12 +44,25 @@ def cached_dimension_index(fact: DataFrame) -> DataFrame:
     recur after a session restart, and returning a DataFrame bound to a
     stopped session would fail on first use (advisor-flagged r3).
     """
+    for sess, h in list(_DIM_INDEX_MEMO):
+        if _session_stopped(sess):
+            # dead sessions can't serve (or unpersist) their DataFrames;
+            # drop the entries so the memo doesn't pin them forever
+            del _DIM_INDEX_MEMO[(sess, h)]
     key = (fact.sparkSession, fact.semanticHash())
     memo = _DIM_INDEX_MEMO.get(key)
     if memo is None:
         memo = dimension_index(fact).cache()
         _DIM_INDEX_MEMO[key] = memo
     return memo
+
+
+def _session_stopped(sess) -> bool:
+    try:
+        sc = sess.sparkContext
+        return sc._jsc is None or sc._jsc.sc().isStopped()
+    except Exception:
+        return True
 
 
 def invalidate_dimension_index() -> None:

@@ -2388,16 +2388,20 @@ def q_multimodal_features_fake(spark, sf_dir):
 # the certified window on its first round.
 
 _CERT_EARLY = [
-    # tier 1: never driver-certified (added r3, fell past the cutoff)
+    # tier 1: no driver row in ANY round (added r3, fell past the cutoff)
     "curation_pipeline",
     "salted_agg_events",
     "det_sample_ids",
     "stratified_sample_docs",
     "multimodal_decode_fake",
     "multimodal_features_fake",
+    # tier 1b: r2 row was rows-only; upgraded since (simhash: blocking
+    # reworked; cosine_topk_lsh: hash-checked since r3) but no HASH row
+    # newer than the upgrade
     "simhash_near_dup",
     "cosine_topk_lsh",
-    # tier 2: r2-certified, truncated out of r3
+    # tier 2: r2 driver row on file, truncated out of r3; plus queries
+    # new in r4 (knn_blocked_lsh)
     "exact_dedup_keep",
     "exact_dedup_groups",
     "minhash_near_dup",
@@ -2407,7 +2411,8 @@ _CERT_EARLY = [
     "knn_blocked_lsh",
     "embedding_dup_pairs",
     "multimodal_metadata",
-    # tier 3: exactly one green driver round so far (r3)
+    # tier 3: re-registered with NEW gate oracles in r4 (r2/r3 rows
+    # certified the old rows-only form) or exactly one green round
     "agg_mean_ci_t",
     "agg_welch_pvalue",
     "q4_order_priority",
@@ -2448,13 +2453,12 @@ _CERT_LATE = [
 
 
 def _rotated(registry: dict[str, QueryDef]) -> dict[str, QueryDef]:
-    for name in (*_CERT_EARLY, *_CERT_LATE):
+    listed = set(_CERT_EARLY) | set(_CERT_LATE)
+    for name in listed:
         if name not in registry:
             raise KeyError(f"rotation list references unknown query {name!r}")
-    early = [n for n in _CERT_EARLY]
-    late = [n for n in _CERT_LATE]
-    middle = [n for n in registry if n not in set(early) | set(late)]
-    return {n: registry[n] for n in (*early, *middle, *late)}
+    middle = [n for n in registry if n not in listed]
+    return {n: registry[n] for n in (*_CERT_EARLY, *middle, *_CERT_LATE)}
 
 
 REGISTRY = _rotated(REGISTRY)
