@@ -105,3 +105,31 @@ def test_chunk_text_windows_edges(spark):
     for rows in by_doc.values():
         for r in rows:
             assert r.n_tokens == len(r.chunk_text.split())
+
+
+def test_scrub_pii_patterns(spark):
+    from world_vaccination_coverage_etl_spark.operators.text import scrub_pii
+
+    docs = [
+        (0, "reach me at jane.doe+spam@mail.example.org today"),
+        (1, "ssn 123-45-6789 on file"),
+        (2, "call +44-202-555-0199 or 1-555-0100"),
+        (3, "no pii here at all"),
+        (4, "two mails: a@b.io and c.d@e-f.co"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in scrub_pii(_df(spark, [t for _, t in docs])).collect()
+    }
+    assert out[0].scrubbed == "reach me at [PII] today"
+    assert out[0].n_email == 1 and out[0].n_phone == 0
+    assert out[1].scrubbed == "ssn [PII] on file"
+    assert out[1].n_ssn == 1
+    # ssn-shaped strings are claimed by the ssn pattern before phone
+    assert "123-45-6789" not in out[1].scrubbed
+    assert "[PII]" in out[2].scrubbed and "555" not in out[2].scrubbed
+    assert out[2].n_phone >= 1
+    assert out[3].scrubbed == "no pii here at all"
+    assert out[3].n_email == out[3].n_ssn == out[3].n_phone == 0
+    assert out[4].scrubbed == "two mails: [PII] and [PII]"
+    assert out[4].n_email == 2

@@ -188,3 +188,39 @@ def chunk_text_windows(
             ).cast("int").alias("n_tokens"),
         )
     )
+
+
+# PII patterns restricted to syntax both Java regex (Spark) and RE2
+# (DuckDB oracle) support identically: character classes and bounded
+# repetition only — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+?[0-9]{1,3}[-.][0-9]{3}[-.][0-9]{3,4}",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    replacement: str = "[PII]",
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Redact emails / SSNs / phone numbers — the PII-removal stage of a
+    training-data curation pipeline.
+
+    Patterns apply in the fixed order email → ssn → phone (ssn is a
+    phone-shaped string, so it must be claimed first); replacement is
+    sequential ``regexp_replace``, all JVM-side, row-local, no shuffle.
+    Per-pattern match counts (``n_email``/``n_ssn``/``n_phone``) are
+    computed on the ORIGINAL text, so overlapping patterns can both
+    count the same span — counts are audit telemetry, not a partition
+    of the matches.
+    """
+    t = F.col(text_col)
+    scrubbed = t
+    counts = {}
+    for name, pat in PII_PATTERNS.items():
+        counts[f"n_{name}"] = F.regexp_count(t, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    return df.withColumn(out_col, scrubbed).withColumns(counts)

@@ -1732,6 +1732,59 @@ def q_word_frequencies(spark, sf_dir):
 
 
 @register(
+    "doc_pii_scrub",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' now.' AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[PII]', 'g'),
+             '\+?[0-9]{1,3}[-.][0-9]{3}[-.][0-9]{3,4}', '[PII]', 'g')
+             AS scrubbed,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ssn,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9]{1,3}[-.][0-9]{3}[-.][0-9]{3,4}')) AS INT) AS n_phone
+    FROM w ORDER BY doc_id
+    """,
+    note="PII redaction (email/SSN/phone -> '[PII]') over a corpus with "
+    "deterministically synthesized PII per doc (the driver corpus has none) — "
+    "the privacy-scrub stage of a curation pipeline (operators/text.py scrub_pii). "
+    "Sequential JVM regexp_replace, row-local; patterns restricted to the "
+    "Java-regex/RE2 common subset so Spark and the DuckDB oracle match exactly",
+)
+def q_doc_pii_scrub(spark, sf_dir):
+    from .operators.text import scrub_pii
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now."),
+        ).alias("text"),
+    )
+    return (
+        scrub_pii(d)
+        .select("doc_id", "scrubbed", "n_email", "n_ssn", "n_phone")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "doc_chunk_windows",
     r"""
     WITH t AS (
@@ -2428,6 +2481,7 @@ _CERT_EARLY = [
     "streaming_sessionize_state",
     "split_counts",
     "doc_chunk_windows",
+    "doc_pii_scrub",
 ]
 
 _CERT_LATE = [
