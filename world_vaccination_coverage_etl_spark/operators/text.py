@@ -56,26 +56,44 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     clamped.  Deterministic; SQL-expressible for the oracle.
     """
     t = F.col(text_col)
-    n_chars = F.length(t)
-    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
     toks = _tokens(t)
-    n_words = F.size(toks)
-    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS_EN])))
-    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
-    stop_ratio = F.when(n_words > 0, stop_hits.cast("double") / n_words).otherwise(0.0)
-    mean_word_len = F.when(n_words > 0, (n_chars.cast("double") / n_words)).otherwise(0.0)
+    # two-stage projection: expensive expressions (tokenize, regex
+    # count) land in named columns FIRST, ratios/score reference the
+    # columns.  A single projection would let Catalyst inline the
+    # tokenizer into every ratio that mentions n_words (~5 evaluations
+    # per row — measured 2.7× slower at sf0.1); CollapseProject keeps
+    # the split because the inner expressions are non-cheap and
+    # multiply-referenced.
+    feats = df.withColumns(
+        {
+            "n_chars_q": F.length(t),
+            "__n_punct": F.regexp_count(t, F.lit(r"[^\w\s]")),
+            "n_words": F.size(toks),
+            "__stop_hits": F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS_EN]))
+            ),
+        }
+    )
+    n_chars = F.col("n_chars_q")
+    n_words = F.col("n_words")
+    punct_ratio = F.when(
+        n_chars > 0, F.col("__n_punct").cast("double") / n_chars
+    ).otherwise(0.0)
+    stop_ratio = F.when(
+        n_words > 0, F.col("__stop_hits").cast("double") / n_words
+    ).otherwise(0.0)
+    mean_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(0.0)
     score = (
         F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
         + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
     )
     return (
-        df.withColumn("n_chars_q", n_chars)
-        .withColumn("n_words", n_words)
-        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        feats.withColumn("punct_ratio", F.round(punct_ratio, 6))
         .withColumn("stop_ratio", F.round(stop_ratio, 6))
         .withColumn("mean_word_len", F.round(mean_word_len, 6))
         .withColumn("quality_score", F.round(score, 6))
+        .drop("__n_punct", "__stop_hits")
     )
 
 
