@@ -36,3 +36,24 @@ def test_assert_nonempty(spark):
     assert assert_nonempty(df) is df
     with pytest.raises(ValueError, match="empty series"):
         assert_nonempty(df.filter("x > 5"), context="series")
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from world_vaccination_coverage_etl_spark.sources.sinks import compact_parquet
+
+    src = tmp_path / "many"
+    # 40 tiny files (one per partition)
+    spark.range(0, 4000).repartition(40).write.parquet(str(src))
+    import os
+
+    n_in = sum(
+        1 for _r, _d, fs in os.walk(src) for f in fs if f.endswith(".parquet")
+    )
+    assert n_in == 40
+    out = tmp_path / "compact"
+    n_out = compact_parquet(spark, str(src), str(out), target_file_mb=128)
+    assert n_out == 1
+    # content preserved exactly
+    a = sorted(r.id for r in spark.read.parquet(str(src)).collect())
+    b = sorted(r.id for r in spark.read.parquet(str(out)).collect())
+    assert a == b
