@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from world_vaccination_coverage_etl_spark.operators.sampling import (
     deterministic_sample,
     hash_split,
+    mixture_sample,
     stratified_exact_sample,
 )
 
@@ -76,3 +77,39 @@ def test_fraction_validation(docs):
         hash_split(docs, train_frac=1.5)
     with pytest.raises(ValueError):
         stratified_exact_sample(docs, "lang", -0.1)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "lang", {"en": -0.5})
+
+
+def _mix_copies(doc_id: int, rate: float, salt: str = "mix") -> int:
+    whole = int(rate)
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:4]
+    frac = rate - whole
+    extra = 1 if (frac > 0 and h < format(int(frac * 65536), "04x")) else 0
+    return whole + extra
+
+
+def test_mixture_sample_matches_reference_multiplicity(docs):
+    rates = {"en": 0.5, "de": 2.25}
+    out = mixture_sample(docs, "lang", rates).collect()
+    got = {}
+    for r in out:
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+    for i in range(300):
+        lang = "en" if i % 3 else "de"
+        expect = _mix_copies(i, rates[lang])
+        assert got.get(i, 0) == expect, (i, lang)
+    # copy indices are 0..n-1 per doc
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+
+
+def test_mixture_sample_default_rate_passthrough(docs):
+    # unlisted groups keep every row exactly once
+    out = mixture_sample(docs, "lang", {"de": 0.0}, default_rate=1.0)
+    rows = out.collect()
+    assert all(r.lang == "en" for r in rows)
+    assert len(rows) == 200
+    assert all(r.copy_idx == 0 for r in rows)

@@ -116,6 +116,61 @@ def salted_agg_count(
     return partial.groupBy(*key_cols).agg(*aggs2)
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 1.0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Per-group mixture resampling — the domain/language re-weighting
+    step of a training-data pipeline (e.g. ``{"en": 0.5, "fr": 2.5}``
+    halves English and emits each French doc 2-3 times).
+
+    Each row is emitted ``floor(rate)`` times unconditionally, plus one
+    more copy iff its hash bucket falls below ``frac(rate)`` — so
+    downsampling (rate < 1) is a deterministic hash-threshold filter
+    and upsampling (rate > 1) is a row-local ``explode`` over
+    ``sequence(0, n_copies-1)``; expected multiplicity is exactly the
+    rate and membership is stable under corpus growth (same salted-md5
+    contract as `hash_split`).  ``copy_col`` disambiguates the emitted
+    copies (0-based) so downstream packing/shuffling treats them as
+    distinct examples.
+
+    Scale: zero shuffle.  The rates map becomes an inline CASE over
+    ``group_col`` (a handful of literals, not a join), and the explode
+    multiplies rows locally in the scan stage.  Rates are quantized to
+    1/65536 like every hash threshold here.
+    """
+    for g, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for {g!r} must be >= 0, got {r}")
+    if default_rate < 0:
+        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
+
+    def n_copies(rate: float) -> F.Column:
+        whole = int(rate)
+        thresh = _frac_threshold(rate - whole)
+        return F.lit(whole) + F.when(
+            _hash_hex4(id_col, salt) < thresh, F.lit(1)
+        ).otherwise(F.lit(0))
+
+    expr = n_copies(default_rate)
+    for g, r in rates.items():
+        expr = F.when(F.col(group_col) == g, n_copies(r)).otherwise(expr)
+    return (
+        df.withColumn("__n_copies", expr)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            copy_col,
+            F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)),
+        )
+        .drop("__n_copies")
+    )
+
+
 def stratified_exact_sample(
     df: DataFrame,
     strata_col: str,
