@@ -995,6 +995,49 @@ def q_q6_forecast_revenue(spark, sf_dir):
 
 
 @register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    note="TPC-H-style Q18: HAVING-filtered aggregate subquery joined back to "
+    "orders/customer (large-volume orders). The aggregate runs FIRST and its "
+    "survivor set (~0.1% of orders) gets an explicit broadcast into the orders "
+    "join; the customer join is left to AQE, which sees a tiny runtime left side "
+    "and plans a broadcast. Top-k via TakeOrdered with o_orderkey tiebreak — no "
+    "global sort",
+)
+def q_q18_large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty_raw"))
+        .filter(F.col("qty_raw") > 300)
+        .select("l_orderkey", F.round("qty_raw", 2).alias("total_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "o_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
     "set_ops",
     """
     SELECT c_nationkey AS nationkey FROM customer
@@ -1915,6 +1958,81 @@ def q_stratified_sample_docs(spark, sf_dir):
     )
 
 
+@register(
+    "mixture_sample_docs",
+    """
+    WITH c AS (
+      SELECT doc_id, lang,
+             CASE lang
+               WHEN 'en' THEN 0 + CASE WHEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                                            < '8000' THEN 1 ELSE 0 END
+               WHEN 'zh' THEN 2 + CASE WHEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                                            < '4000' THEN 1 ELSE 0 END
+               ELSE 1
+             END AS n_copies
+      FROM documents)
+    SELECT doc_id, lang,
+           CAST(unnest(range(0, n_copies)) AS INT) AS copy_idx
+    FROM c ORDER BY doc_id, copy_idx
+    """,
+    note="per-language mixture resampling (operators/sampling.py mixture_sample): "
+    "en x0.5 (hash-threshold downsample), zh x2.25 (explode upsample with a "
+    "deterministic fractional third copy), other langs x1 — the domain re-weighting "
+    "step of a training-data mix; zero shuffle, rates quantized to 1/65536",
+)
+def q_mixture_sample_docs(spark, sf_dir):
+    from .operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        mixture_sample(d, "lang", {"en": 0.5, "zh": 2.25})
+        .select("doc_id", "lang", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+@register(
+    "pack_token_bins_docs",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents),
+    p AS (
+      SELECT lang, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_idx, n_tokens AS bin_fill
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.bin_fill + t.n_tokens > 256
+                  THEN p.bin_idx + 1 ELSE p.bin_idx END,
+             CASE WHEN p.bin_fill + t.n_tokens > 256
+                  THEN t.n_tokens ELSE p.bin_fill + t.n_tokens END
+      FROM p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
+    SELECT doc_id, lang, n_tokens, bin_idx, bin_fill
+    FROM p ORDER BY doc_id
+    """,
+    note="greedy sequential token-bin packing per language, capacity 256 ws-tokens "
+    "(operators/packing.py pack_token_bins): the sequence-packing step before "
+    "tokenized-shard writing. One shuffle on the group key, Arrow-batched linear "
+    "scan per group; oracle reproduces the greedy rule with a recursive CTE, so "
+    "the full per-doc bin assignment is hash-checked",
+)
+def q_pack_token_bins_docs(spark, sf_dir):
+    from .operators.packing import pack_token_bins
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.withColumn(
+        "n_tokens",
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+        ).cast("long"),
+    )
+    return pack_token_bins(toks, "n_tokens", 256, "lang").orderBy("doc_id")
+
+
 # --------------------------------------------------------------------- #
 # deduplication over `documents` (operators/dedup.py)
 #
@@ -2482,6 +2600,10 @@ _CERT_EARLY = [
     "split_counts",
     "doc_chunk_windows",
     "doc_pii_scrub",
+    # new in r4 (mixture resampling, sequence packing, Q18)
+    "mixture_sample_docs",
+    "pack_token_bins_docs",
+    "q18_large_orders",
 ]
 
 _CERT_LATE = [
