@@ -182,3 +182,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert len(out) == 3
     by_id = {r.event_id: r for r in out}
     assert by_id[1].event_type == "click" and by_id[3].value == 3.0
+
+
+def test_enrich_with_dim_joins_and_validates(spark, tmp_path):
+    """Stream-static enrichment: every streamed row picks up its dim
+    attribute; invalid join types / swapped arguments are rejected."""
+    import uuid
+
+    import pytest
+
+    from world_vaccination_coverage_etl_spark.streaming.enrich import (
+        enrich_with_dim,
+    )
+
+    src = tmp_path / "facts"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 10, 3.0)],
+        "event_id long, user_id long, value double",
+    ).write.mode("overwrite").parquet(str(src))
+    dim = spark.createDataFrame(
+        [(10, "DE"), (20, "FR")], "user_id long, country string"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    ).parquet(str(src))
+
+    with pytest.raises(ValueError, match="stream-static join supports"):
+        enrich_with_dim(stream, dim, ["user_id"], how="full_outer")
+    with pytest.raises(ValueError, match="must be a streaming"):
+        enrich_with_dim(dim, dim, ["user_id"])
+    with pytest.raises(ValueError, match="must be a static"):
+        enrich_with_dim(stream, stream, ["user_id"])
+
+    qname = f"enrich_test_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_with_dim(stream, dim, ["user_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r.event_id: r.country for r in spark.table(qname).collect()}
+    assert out == {1: "DE", 2: "FR", 3: "DE"}

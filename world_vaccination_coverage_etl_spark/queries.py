@@ -1437,6 +1437,54 @@ def q_streaming_dedup_events(spark, sf_dir):
 
 
 @register(
+    "streaming_enrich_nation",
+    """
+    SELECT n.n_name, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 6) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, e.event_type ORDER BY n.n_name, e.event_type
+    """,
+    note="stream-static enrichment join (streaming/enrich.py enrich_with_dim): the "
+    "events stream joins a broadcast customer->nation dimension per micro-batch — "
+    "STATELESS (no join state store, dim refreshes picked up next batch), the "
+    "production clicks-x-users topology; downstream per-(nation, type) aggregate is "
+    "the only stateful operator. Oracle = the equivalent batch join+agg",
+)
+def q_streaming_enrich_nation(spark, sf_dir):
+    import uuid
+
+    from .streaming.enrich import enrich_with_dim
+
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    enriched = enrich_with_dim(_events_stream(spark, sf_dir), dim, ["user_id"])
+    agg = enriched.groupBy("n_name", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    qname = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).orderBy("n_name", "event_type")
+
+
+@register(
     "approx_distinct_users",
     """
     SELECT event_type,
@@ -2604,6 +2652,7 @@ _CERT_EARLY = [
     "mixture_sample_docs",
     "pack_token_bins_docs",
     "q18_large_orders",
+    "streaming_enrich_nation",
 ]
 
 _CERT_LATE = [
