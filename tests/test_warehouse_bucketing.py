@@ -63,3 +63,49 @@ def test_bucketed_join_correctness_matches_unbucketed(spark, bucketed_pair):
         .collect()
     )
     assert got == want
+
+
+def test_write_sorted_table_disjoint_file_ranges(spark, tmp_path):
+    """Range-partitioned sorted layout: per-file min/max on the sort
+    column must be non-overlapping (the property file skipping needs),
+    and content must round-trip exactly."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from world_vaccination_coverage_etl_spark.sources.warehouse import (
+        write_sorted_table,
+    )
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 2654435761 % 10007).alias("key"),
+        F.col("id").alias("payload"),
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted_table(df, out, ["key"], n_files=8)
+
+    ranges = []
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(root, f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "key"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if mins:
+                ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {ranges}"
+
+    back = spark.read.parquet(out)
+    assert back.count() == 10000
+    assert back.agg(F.sum("payload")).first()[0] == sum(range(10000))

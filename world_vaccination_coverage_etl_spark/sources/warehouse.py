@@ -41,6 +41,39 @@ def read_warehouse_table(spark: SparkSession, warehouse_dir: str, table: str) ->
     return spark.read.parquet(table_path(warehouse_dir, table))
 
 
+def write_sorted_table(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Range-partitioned, file-sorted layout — the data-skipping op.
+
+    ``repartitionByRange(sort_cols)`` gives each output file a DISJOINT
+    key range, and ``sortWithinPartitions`` orders rows inside it, so
+    every parquet footer carries tight, non-overlapping min/max stats
+    on ``sort_cols``.  A later scan with a predicate on those columns
+    then skips whole files (and whole row groups within files) from
+    metadata alone — this is the single-column essence of what table
+    formats call OPTIMIZE/ZORDER, done with two built-in operators.
+
+    At 100 TB this is the nightly layout job for the hot filter
+    column: one range shuffle (sampled range boundaries, so skew in
+    ``sort_cols`` spreads across files instead of hot-spotting one),
+    then a local sort per file.  Pair with `compact_parquet`
+    (sinks.py) when the input is also fragmented.
+
+    ``tests/test_warehouse_bucketing.py`` pins the layout property:
+    per-file min/max ranges on the sort column do not overlap.
+    """
+    parts = df.repartitionByRange(*sort_cols) if n_files is None else (
+        df.repartitionByRange(n_files, *sort_cols)
+    )
+    parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+    return path
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
