@@ -1962,6 +1962,39 @@ def q_salted_agg_events(spark, sf_dir):
 
 
 @register(
+    "skew_join_segment",
+    """
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 6) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    note="explicit salted skew join (operators/skewjoin.py salted_skew_join, 8 "
+    "parts): big side salted per-row, small side replicated per salt, so a hot "
+    "join key spreads over 8 reducers instead of one — the manual form of AQE "
+    "skew-join for the cases AQE can't see. Output is salt-invariant by "
+    "construction; the oracle is the plain unsalted join+agg, so the hash check "
+    "proves the equivalence",
+)
+def q_skew_join_segment(spark, sf_dir):
+    from .operators.skewjoin import salted_skew_join
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_skew_join(e, c, ["c_custkey"], salt_parts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "det_sample_ids",
     """
     SELECT doc_id FROM documents
@@ -2079,6 +2112,64 @@ def q_pack_token_bins_docs(spark, sf_dir):
         ).cast("long"),
     )
     return pack_token_bins(toks, "n_tokens", 256, "lang").orderBy("doc_id")
+
+
+@register(
+    "kmeans_clusters",
+    """
+    WITH init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+    dims AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS pos
+      FROM (SELECT embedding FROM embeddings LIMIT 1)),
+    c0 AS (
+      SELECT i.cid, d.pos, round(i.embedding[d.pos]::DOUBLE, 6) AS v
+      FROM init i CROSS JOIN dims d),
+    a1 AS (
+      SELECT e.vec_id, c.cid,
+             round(sum((e.embedding[c.pos]::DOUBLE - c.v)
+                       * (e.embedding[c.pos]::DOUBLE - c.v)), 6) AS d
+      FROM embeddings e CROSS JOIN c0 c
+      GROUP BY e.vec_id, c.cid),
+    s1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM a1) WHERE rn = 1),
+    upd AS (
+      SELECT s1.cid, d.pos, avg(e.embedding[d.pos]::DOUBLE) AS v
+      FROM s1 JOIN embeddings e USING (vec_id) CROSS JOIN dims d
+      GROUP BY s1.cid, d.pos),
+    c1 AS (
+      SELECT c0.cid, c0.pos, round(coalesce(u.v, c0.v), 6) AS v
+      FROM c0 LEFT JOIN upd u ON u.cid = c0.cid AND u.pos = c0.pos),
+    a2 AS (
+      SELECT e.vec_id, c.cid,
+             round(sum((e.embedding[c.pos]::DOUBLE - c.v)
+                       * (e.embedding[c.pos]::DOUBLE - c.v)), 6) AS d
+      FROM embeddings e CROSS JOIN c1 c
+      GROUP BY e.vec_id, c.cid)
+    SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM a2) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    note="distributed k-means, k=8, one Lloyd iteration + final assignment "
+    "(operators/clustering.py kmeans_fit_predict) — the IVF coarse-quantizer "
+    "trainer behind knn_blocked_lsh. Assignment = broadcast centroids into an "
+    "Arrow argmin kernel (zero shuffle); update = posexplode + per-(cluster,pos) "
+    "mean (map-side partials, k x dim collected = the model). Deterministic "
+    "contract (round-before-argmin, lowest-cid ties, first-k init) lets the "
+    "oracle unroll both iterations in SQL — full per-vector assignment hash-checked",
+)
+def q_kmeans_clusters(spark, sf_dir):
+    from .operators.clustering import kmeans_fit_predict
+
+    e = _t(spark, sf_dir, "embeddings")
+    out, _cents = kmeans_fit_predict(e, k=8, n_iter=1, round_dp=6)
+    return out.select("vec_id", "cluster").orderBy("vec_id")
 
 
 # --------------------------------------------------------------------- #
@@ -2653,6 +2744,8 @@ _CERT_EARLY = [
     "pack_token_bins_docs",
     "q18_large_orders",
     "streaming_enrich_nation",
+    "kmeans_clusters",
+    "skew_join_segment",
 ]
 
 _CERT_LATE = [
