@@ -133,3 +133,45 @@ def test_scrub_pii_patterns(spark):
     assert out[3].n_email == out[3].n_ssn == out[3].n_phone == 0
     assert out[4].scrubbed == "two mails: [PII] and [PII]"
     assert out[4].n_email == 2
+
+
+def test_repetition_stats_golden(spark):
+    import re
+
+    from world_vaccination_coverage_etl_spark.operators.text import (
+        repetition_stats,
+    )
+
+    docs = [
+        (1, "the cat sat on the cat sat again"),
+        (2, "a b a b a b"),          # one dominating bigram
+        (3, "all unique words here"),  # no repeated grams
+        (4, "x"),                      # too short for any bigram
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r.doc_id, r.n): (r.top_gram_frac, r.dup_gram_frac)
+        for r in repetition_stats(df).collect()
+    }
+
+    def ref(text, n):
+        toks = [t for t in re.split(r"[^a-zA-Z0-9]+", text.lower().strip()) if t]
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams:
+            return None
+        from collections import Counter
+
+        c = Counter(grams)
+        top = max(c.values()) / len(grams)
+        dup = sum(v for v in c.values() if v > 1) / len(grams)
+        return round(top, 6), round(dup, 6)
+
+    for doc_id, text in docs:
+        for n in (2, 3):
+            expect = ref(text, n)
+            if expect is None:
+                assert (doc_id, n) not in out
+            else:
+                assert out[(doc_id, n)] == expect, (doc_id, n)
+    # doc 2: "a b" appears 3 of 5 bigrams; every bigram is a repeat
+    assert out[(2, 2)] == (0.6, 1.0)

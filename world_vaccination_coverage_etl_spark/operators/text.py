@@ -242,3 +242,82 @@ def scrub_pii(
         counts[f"n_{name}"] = F.regexp_count(t, F.lit(pat))
         scrubbed = F.regexp_replace(scrubbed, pat, replacement)
     return df.withColumn(out_col, scrubbed).withColumns(counts)
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ns: tuple[int, ...] = (2, 3),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document n-gram repetition metrics — the Gopher-style
+    repetition quality filter (machine-generated and boilerplate text
+    repeats itself; natural text doesn't).
+
+    For each document and each n in ``ns`` emits one row with:
+
+    - ``top_gram_frac``: occurrences of the single most frequent
+      n-gram / total n-gram occurrences;
+    - ``dup_gram_frac``: fraction of n-gram occurrences whose n-gram
+      appears more than once.
+
+    Documents with fewer than n tokens emit no row for that n.
+
+    Plan shape (all JVM, no Python): tokenize + posexplode, n-grams
+    via `lead()` over (doc, position) — ONE window shuffle on the doc
+    id (a document's tokens always fit a partition), then a two-phase
+    count per (doc, n, gram) and a final per-(doc, n) aggregate.  The
+    gram-count shuffle key is high-cardinality and rows are
+    fixed-width, so the plan holds at corpus scale; nothing is
+    quadratic in document length.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(F.col(text_col))
+    ex = df.select(id_col, F.posexplode(toks).alias("pos", "w"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    max_n = max(ns)
+    # one window pass computes every lookahead; one explode emits every
+    # n's gram — the tokenize/explode/window chain runs once, not |ns|x
+    leads = ex.select(
+        id_col,
+        F.col("w"),
+        *[F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, max_n)],
+    )
+
+    def gram_struct(n: int) -> F.Column:
+        parts = [F.col("w")] + [F.col(f"w{i}") for i in range(1, n)]
+        return F.struct(
+            F.lit(n).alias("n"),
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias(
+                "gram"
+            ),
+        )
+
+    allg = (
+        leads.select(
+            id_col, F.explode(F.array(*[gram_struct(n) for n in ns])).alias("g")
+        )
+        .select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    counts = allg.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy(id_col, "n")
+        .agg(
+            F.round(
+                F.try_divide(F.max("cnt").cast("double"), F.sum("cnt")),
+                round_dp,
+            ).alias("top_gram_frac"),
+            F.round(
+                F.try_divide(
+                    F.coalesce(
+                        F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+                    ).cast("double"),
+                    F.sum("cnt"),
+                ),
+                round_dp,
+            ).alias("dup_gram_frac"),
+        )
+    )

@@ -696,6 +696,37 @@ def q_agg_rollup(spark, sf_dir):
 
 
 @register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    note="full grouping-sets lattice (Spark cube; completes §2.5 grouping-set "
+    "coverage next to rollup) — Spark expands the lattice map-side into one "
+    "aggregation pass, not 2^k scans",
+)
+def q_agg_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
     "pivot_wide",
     """
     SELECT l_returnflag,
@@ -1823,6 +1854,46 @@ def q_word_frequencies(spark, sf_dir):
 
 
 @register(
+    "doc_repetition_stats",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS w,
+             generate_subscripts({_DUCK_TOKS}, 1) AS pos
+      FROM documents),
+    l AS (
+      SELECT doc_id, w,
+             lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      FROM ex),
+    g AS (
+      SELECT doc_id, 2 AS n, w || ' ' || w2 AS gram FROM l WHERE w2 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, 3, w || ' ' || w2 || ' ' || w3 FROM l WHERE w3 IS NOT NULL),
+    c AS (
+      SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram)
+    SELECT doc_id, n,
+           round(max(cnt)::DOUBLE / sum(cnt), 6) AS top_gram_frac,
+           round(coalesce(sum(cnt) FILTER (cnt > 1), 0)::DOUBLE / sum(cnt), 6)
+             AS dup_gram_frac
+    FROM c GROUP BY doc_id, n ORDER BY doc_id, n
+    """,
+    note="Gopher-style n-gram repetition quality filter (operators/text.py "
+    "repetition_stats): per-doc top-gram and duplicate-gram occurrence fractions "
+    "for n=2,3 — machine-generated/boilerplate text repeats itself. All-JVM plan: "
+    "posexplode + lead() over one doc-key window shuffle, then two-phase gram "
+    "counts (high-cardinality fixed-width shuffle key; nothing quadratic in doc "
+    "length)",
+)
+def q_doc_repetition_stats(spark, sf_dir):
+    from .operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).withColumn("n", F.col("n").cast("int")).orderBy(
+        "doc_id", "n"
+    )
+
+
+@register(
     "doc_pii_scrub",
     r"""
     WITH w AS (
@@ -2746,6 +2817,8 @@ _CERT_EARLY = [
     "streaming_enrich_nation",
     "kmeans_clusters",
     "skew_join_segment",
+    "doc_repetition_stats",
+    "agg_cube",
 ]
 
 _CERT_LATE = [
