@@ -264,26 +264,30 @@ def repetition_stats(
 
     Documents with fewer than n tokens emit no row for that n.
 
-    Plan shape (all JVM, no Python): tokenize + posexplode, n-grams
-    via `lead()` over (doc, position) — ONE window shuffle on the doc
-    id (a document's tokens always fit a partition), then a two-phase
-    count per (doc, n, gram) and a final per-(doc, n) aggregate.  The
-    gram-count shuffle key is high-cardinality and rows are
-    fixed-width, so the plan holds at corpus scale; nothing is
-    quadratic in document length.
+    Plan shape (all JVM, no Python): the lookahead that a window
+    `lead()` would compute is built ROW-LOCALLY instead —
+    ``arrays_zip(toks, slice(toks, 2, n), slice(toks, 3, n))`` zips
+    each token with its successors (zip pads the shorter slices with
+    null, exactly lead's end-of-partition semantics) — so the only
+    shuffle in the whole plan is the two-phase count per
+    (doc, n, gram), whose key is high-cardinality and fixed-width.
+    Nothing is quadratic in document length and no per-doc ordering
+    ever crosses the wire.
     """
-    from pyspark.sql import Window
-
-    toks = _tokens(F.col(text_col))
-    ex = df.select(id_col, F.posexplode(toks).alias("pos", "w"))
-    win = Window.partitionBy(id_col).orderBy("pos")
     max_n = max(ns)
-    # one window pass computes every lookahead; one explode emits every
-    # n's gram — the tokenize/explode/window chain runs once, not |ns|x
-    leads = ex.select(
+    toks = _tokens(F.col(text_col))
+    big = F.size(toks)
+    zipped = F.arrays_zip(
+        toks.alias("w"),
+        *[
+            F.slice(toks, i + 1, big).alias(f"w{i}")
+            for i in range(1, max_n)
+        ],
+    )
+    leads = df.select(id_col, F.explode(zipped).alias("z")).select(
         id_col,
-        F.col("w"),
-        *[F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, max_n)],
+        F.col("z.w").alias("w"),
+        *[F.col(f"z.w{i}").alias(f"w{i}") for i in range(1, max_n)],
     )
 
     def gram_struct(n: int) -> F.Column:

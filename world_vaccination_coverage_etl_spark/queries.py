@@ -1516,6 +1516,70 @@ def q_streaming_enrich_nation(spark, sf_dir):
 
 
 @register(
+    "stream_click_attribution",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events)
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM e c JOIN e p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    note="watermarked stream-stream interval join (streaming/stream_join.py "
+    "stream_interval_join): click x purchase attribution within 6 hours per user. "
+    "Both sides buffer in the state store ONLY for watermark + interval width — "
+    "the built-in time-range predicate is what makes a two-sided streaming join "
+    "scale-safe. Oracle = the batch self-join at micros precision "
+    "(make_timestamp(epoch_ns//1000) mirrors the nanos->micros ingest truncation)",
+)
+def q_stream_click_attribution(spark, sf_dir):
+    import uuid
+
+    from .streaming.stream_join import stream_interval_join
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        clicks, purchases, on="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        max_delay="6 hours", watermark="1 day",
+    )
+    qname = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            joined.select("user_id", "click_id", "purchase_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).orderBy("user_id", "click_id", "purchase_id")
+
+
+@register(
     "approx_distinct_users",
     """
     SELECT event_type,
@@ -2819,6 +2883,7 @@ _CERT_EARLY = [
     "skew_join_segment",
     "doc_repetition_stats",
     "agg_cube",
+    "stream_click_attribution",
 ]
 
 _CERT_LATE = [
