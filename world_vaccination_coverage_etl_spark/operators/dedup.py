@@ -590,6 +590,132 @@ def simhash_near_dup_pairs(
 
 
 # --------------------------------------------------------------------------
+# SimHash, engine-portable flavor (md5 token hash, pure JVM expressions)
+
+SIMHASH_MD5_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def simhash_md5_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash as two 32-bit halves — zero Python in the plan.
+
+    Engine-portable by construction: tokenization is a lowercase split
+    on ``[^a-z0-9]+``, the token hash is the first/second 8 hex chars of
+    ``md5(token)`` parsed as integers, and signature bit b is set iff
+    the sum over token occurrences of (bit b set ? +1 : -1) is positive.
+    Every step has a bit-identical ANSI-SQL spelling (DuckDB:
+    ``('0x'||substr(md5(tok),...))::BIGINT``), so the full near-dup pair
+    set is oracle-checkable — unlike the FNV kernel flavor above, whose
+    signature only exists inside the Arrow UDF.
+
+    Scale shape: explode(tokens) → groupBy(id) with 64 conditional sums.
+    All whole-stage-codegen JVM expressions with map-side partial
+    aggregation; the only shuffle is the groupBy on the id key.  No
+    vocabulary state, no UDF, nothing driver-side — at 100 TB this is
+    a plain two-stage agg.
+
+    Docs with zero tokens drop out (explode of an empty array), matching
+    SQL ``unnest`` semantics.
+    """
+    toks = F.array_remove(
+        F.split(F.lower(F.col(text_col)), SIMHASH_MD5_TOKEN_SPLIT), ""
+    )
+    base = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    hashed = base.select(
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h_lo"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.col(col).bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"s_{half}_{b}")
+        for half, col in (("hi", "h_hi"), ("lo", "h_lo"))
+        for b in range(32)
+    ]
+    sums = hashed.groupBy(id_col).agg(*aggs)
+
+    def _pack(half: str) -> F.Column:
+        out = F.lit(0).cast("long")
+        for b in range(32):
+            out = out + F.when(
+                F.col(f"s_{half}_{b}") > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    return sums.select(
+        F.col(id_col),
+        _pack("hi").alias("sig_hi"),
+        _pack("lo").alias("sig_lo"),
+    )
+
+
+def simhash_md5_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs under the engine-portable md5 SimHash.
+
+    Same pigeonhole blocking as ``simhash_near_dup_pairs``: the 64
+    signature bits split into four 16-bit chunks (two per half); any
+    pair within hamming distance 3 shares at least one chunk, so the
+    blocked candidate set provably contains every qualifying pair and
+    the output equals the exact O(n²) pair set.  Verify is JVM
+    ``bit_count(xor)`` per half.
+    """
+    signed = simhash_md5_signatures(df, text_col, id_col)
+    # one narrow materialization so the signature agg runs once, not
+    # once per blocking-join side (same rationale as the FNV flavor)
+    signed = signed.localCheckpoint(eager=False)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftrightunsigned(half_col, shift)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk_val"),
+            )
+            for i, (half_col, shift) in enumerate(
+                [("sig_hi", 0), ("sig_hi", 16), ("sig_lo", 0), ("sig_lo", 16)]
+            )
+        ]
+    )
+    blocked = signed.select(
+        id_col, "sig_hi", "sig_lo", F.explode(chunks).alias("c")
+    ).select(id_col, "sig_hi", "sig_lo", "c.chunk_idx", "c.chunk_val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig_hi").alias("hi_a"),
+            F.col("a.sig_lo").alias("lo_a"),
+            F.col("b.sig_hi").alias("hi_b"),
+            F.col("b.sig_lo").alias("lo_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
 # embedding cosine near-dup
 
 

@@ -38,7 +38,7 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_from_grams,
     shingles_udf,
-    simhash_near_dup_pairs,
+    simhash_md5_near_dup_pairs,
 )
 from .operators.reshape import unpivot_measures
 from .operators.similarity import (
@@ -1287,23 +1287,52 @@ def q_sessionize_counts(spark, sf_dir):
 # parquet file source → watermark → event-time tumbling agg, run with
 # Trigger.AvailableNow and compared to the batch oracle.
 
-_EVENTS_STREAM_SCHEMA = (
+_EVENTS_STREAM_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+_EVENTS_STREAM_SCHEMA_NATIVE = (
+    # ts is declared TIMESTAMP (LTZ), not NTZ: withWatermark rejects NTZ
+    # event-time columns, and the LTZ read of parquet micros matches the
+    # legacy timestamp_micros() path bit-for-bit under a UTC session
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 
 
+def _events_stream_schema(sf_dir):
+    """Pick the stream schema matching the physical events layout.
+
+    File streams need a declared schema, so the nanos-vs-native probe
+    (sources.registry.events_ts_is_nanos, one footer read) decides
+    between the legacy ``ts long`` shape (+ ÷1000 conversion downstream)
+    and the native ``ts timestamp_ntz`` pass-through.  Hardcoding one
+    silently corrupted every streaming timestamp when the testdata
+    regenerated — hence the probe.
+    """
+    from .sources.registry import events_ts_is_nanos
+
+    if events_ts_is_nanos(sf_dir):
+        return _EVENTS_STREAM_SCHEMA_NANOS, True
+    return _EVENTS_STREAM_SCHEMA_NATIVE, False
+
+
 def _events_stream(spark, sf_dir):
     """File-stream over the events table (the source needs a directory;
-    pathGlobFilter scopes it within the shared sf dir).  ts arrives as
-    TIMESTAMP(NANOS) → read as long → truncate to micros."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+    pathGlobFilter scopes it within the shared sf dir).  ts handling is
+    schema-adaptive: TIMESTAMP(NANOS) era → read as long → truncate to
+    micros; native micro timestamps → pass through."""
+    schema, from_nanos = _events_stream_schema(sf_dir)
+    if from_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if from_nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 class _stream_state_partitions:
@@ -1398,18 +1427,20 @@ def q_streaming_tumbling_append(spark, sf_dir):
 
     out_dir = scratch_dir("stream_append_out_")
     ck_dir = scratch_dir("stream_append_ck_")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, from_nanos = _events_stream_schema(sf_dir)
+    if from_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     with _stream_state_partitions(spark):
         q = streaming_tumbling_to_files(
             spark,
             sf_dir,
-            _EVENTS_STREAM_SCHEMA,
+            schema,
             out_dir,
             ck_dir,
             duration="1 day",
             watermark="1 day",
             path_glob="events.parquet",
-            ts_from_nanos=True,
+            ts_from_nanos=from_nanos,
         )
         q.awaitTermination()
     res = spark.read.parquet(out_dir)
@@ -2494,17 +2525,77 @@ def q_curation_pipeline(spark, sf_dir):
     return survivors.select("doc_id").orderBy("doc_id")
 
 
+def _simhash_md5_oracle_sql() -> str:
+    """Generate the DuckDB spelling of the md5-SimHash pair set.
+
+    Mirrors operators/dedup.py simhash_md5_signatures expression by
+    expression (same tokenizer regex, same md5-prefix hashes, same
+    ±1 bit votes), then checks the BLOCKED Spark pair set against the
+    exact O(n²) pair set — certifying both the signature math and the
+    pigeonhole blocking's zero-miss guarantee in one hash compare.
+    """
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN ({col} & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS s_{half}_{b}"
+        for half, col in (("hi", "h_hi"), ("lo", "h_lo"))
+        for b in range(32)
+    )
+
+    def pack(half: str) -> str:
+        return " + ".join(
+            f"CASE WHEN s_{half}_{b} > 0 THEN {1 << b} ELSE 0 END"
+            for b in range(32)
+        )
+
+    return f"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DOC_SHIFT}, text FROM documents),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+      FROM u),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h_hi,
+             ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h_lo
+      FROM toks),
+    s AS (
+      SELECT doc_id,
+           {sums}
+      FROM h GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+             CAST({pack("hi")} AS BIGINT) AS sig_hi,
+             CAST({pack("lo")} AS BIGINT) AS sig_lo
+      FROM s),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sig_hi, b.sig_hi))
+                  + bit_count(xor(a.sig_lo, b.sig_lo)) AS INT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """
+
+
 @register(
     "simhash_near_dup",
-    None,
-    note="SimHash(64) near-dup pairs, 16-bit chunk blocking + bit_count verify "
-    "(operators/dedup.py simhash_near_dup_pairs) — FNV-1a signature not SQL-expressible; rows-only",
+    _simhash_md5_oracle_sql(),
+    note="SimHash(64) near-dup pairs, hash-certified end-to-end: engine-portable "
+    "md5-prefix token hashes in pure JVM expressions (operators/dedup.py "
+    "simhash_md5_near_dup_pairs), 16-bit pigeonhole blocking + bit_count verify; "
+    "the oracle recomputes signatures in SQL and takes the exact O(n^2) pair set, "
+    "so the hash compare also proves the blocking misses nothing. The Arrow "
+    "FNV-kernel flavor (simhash_near_dup_pairs) remains the library fast path, "
+    "bit-pinned by tests/test_dedup.py",
 )
 def q_simhash_near_dup(spark, sf_dir):
     # self-union: identical texts have identical signatures (hamming 0),
     # so the pair set is non-empty and deterministic
     u = _docs_self_union(spark, sf_dir)
-    pairs = simhash_near_dup_pairs(u, max_hamming=3)
+    pairs = simhash_md5_near_dup_pairs(u, max_hamming=3)
     return pairs.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
 
 
@@ -2794,7 +2885,10 @@ def q_multimodal_decode_fake(spark, sf_dir):
     None,
     note="feature-extraction stub via mapInPandas (operators/multimodal.py "
     "extract_features, deterministic fake hash-bucket kernel — no model runtime in "
-    "this environment); Arrow batch in/out, unit-norm asserted; rows-only",
+    "this environment); Arrow batch in/out, unit-norm asserted; rows-only. "
+    "The feature vector is serialized to_json in the registered output: the "
+    "driver's pandas canonicalizer lexsorts column values and raw python lists "
+    "are unhashable, so an array<double> column crashes the check harness",
 )
 def q_multimodal_features_fake(spark, sf_dir):
     from .operators.multimodal import extract_features
@@ -2806,7 +2900,9 @@ def q_multimodal_features_fake(spark, sf_dir):
     feats = extract_features(d, dim=8, fake=True)
     return feats.select(
         "asset_id",
-        F.transform("feature", lambda x: F.round(x, 6)).alias("feature"),
+        F.to_json(
+            F.transform("feature", lambda x: F.round(x, 6))
+        ).alias("feature_json"),
     ).orderBy("asset_id")
 
 

@@ -46,8 +46,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # driver testdata writes events.ts as TIMESTAMP(NANOS); read as
-        # long and convert in sources.registry.load_table
+        # harmless unless events.ts is physically TIMESTAMP(NANOS): the
+        # schema-adaptive sources.registry.load_table probes the footer
+        # and only then relies on this legacy long-nanos read
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
