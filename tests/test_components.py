@@ -1,0 +1,62 @@
+"""Unit tests for operators/components.py (connected components)."""
+
+from __future__ import annotations
+
+import pytest
+
+from world_vaccination_coverage_etl_spark.operators.components import (
+    component_summary,
+    connected_components,
+)
+
+
+def _cc(spark, node_ids, edge_pairs, **kw):
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "doc_id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_pairs], "id_a long, id_b long"
+    )
+    out = connected_components(nodes, edges, **kw)
+    return {r["doc_id"]: r["component_id"] for r in out.collect()}
+
+
+def test_chain_clique_singleton(spark):
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, singleton 20
+    got = _cc(
+        spark,
+        [1, 2, 3, 4, 10, 11, 12, 20],
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_direction_insensitive(spark):
+    # edges listed high->low still propagate the min label
+    got = _cc(spark, [5, 6, 7], [(7, 6), (6, 5)])
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_empty_edges(spark):
+    got = _cc(spark, [1, 2, 3], [])
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_summary(spark):
+    nodes = spark.createDataFrame([(n,) for n in [1, 2, 3, 9]], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    comp = connected_components(nodes, edges)
+    rows = {
+        r["component_id"]: (r["n_members"], r["keeper_id"])
+        for r in component_summary(comp).collect()
+    }
+    assert rows == {1: (3, 1), 9: (1, 9)}
+
+
+def test_nonconvergence_raises(spark):
+    # a 6-node chain has diameter 5; with max_iter=1 label propagation
+    # cannot finish -> the guard must fire rather than return bad labels
+    nodes = spark.createDataFrame([(n,) for n in range(6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=1)

@@ -2439,6 +2439,91 @@ def q_ngram_jaccard_block_lang(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# shingle CTE over the self-union (no lang blocking) for the
+# connected-components oracles below
+_DUCK_SHINGLES_U = rf"""
+    u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {DOC_SHIFT}, text FROM documents),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM u),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(0, greatest(len(toks) - 3, 0) + 1),
+                 i -> array_to_string(toks[i+1:i+3], ' '))) AS grams
+      FROM toks WHERE len(toks) > 0),
+    e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM u
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
+    comp AS (
+      SELECT node AS doc_id, min(lab) AS component_id
+      FROM reach GROUP BY node)
+"""
+
+
+@register(
+    "dup_connected_components",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES_U}
+    SELECT doc_id, component_id FROM comp ORDER BY doc_id
+    """,
+    note="duplicate-cluster connected components over the MinHash near-dup pair "
+    "graph (operators/components.py connected_components): iterative min-label "
+    "propagation, one edge-join + one partial-agg shuffle per round, "
+    "O(diameter) rounds, only a scalar changed-count per round on the driver; "
+    "oracle recomputes the exact Jaccard>=0.7 edge set and closes it with a "
+    "recursive CTE, certifying pair detection AND transitive clustering",
+)
+def q_dup_connected_components(spark, sf_dir):
+    from .operators.components import connected_components
+
+    u = _docs_self_union(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(u, threshold=0.7)
+    comp = connected_components(
+        u.select("doc_id"), pairs, id_col="doc_id"
+    )
+    return comp.orderBy("doc_id")
+
+
+@register(
+    "dup_cluster_sizes",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES_U}
+    SELECT component_id, CAST(count(*) AS BIGINT) AS n_members,
+           min(doc_id) AS keeper_id
+    FROM comp GROUP BY component_id
+    HAVING count(*) > 1 ORDER BY component_id
+    """,
+    note="duplicate-cluster roll-up (operators/components.py component_summary): "
+    "size + keeper per non-singleton component — the curation decision surface "
+    "(keep one doc per cluster); one shuffle over the component labels",
+)
+def q_dup_cluster_sizes(spark, sf_dir):
+    from .operators.components import component_summary, connected_components
+
+    u = _docs_self_union(spark, sf_dir)
+    pairs = minhash_near_dup_pairs(u, threshold=0.7)
+    comp = connected_components(u.select("doc_id"), pairs, id_col="doc_id")
+    return (
+        component_summary(comp)
+        .filter(F.col("n_members") > 1)
+        .select("component_id", "n_members", "keeper_id")
+        .orderBy("component_id")
+    )
+
+
 def _curation_oracle() -> str:
     langs = sorted(LANG_MARKERS)
     scores = ",\n             ".join(
