@@ -51,10 +51,16 @@ def test_report_lines_layout_and_caps():
 
 def test_save_pdf_report_and_chart(tmp_path):
     pdf = save_pdf_report(
-        str(tmp_path / "r.pdf"), "T", ["s"], [(2020, 10.0)], ("year", "cov")
+        str(tmp_path / "r.pdf"), "T", ["s"], [(2020, 10.0)], ("year", "cov"),
+        cover_subtitle="Policy report", cover_context=["Country: X"],
     )
     raw = open(pdf, "rb").read()
     assert raw.startswith(b"%PDF") and b"Generated:" in raw
+    # reference parity: page 1 is a dedicated cover, page 2+ the body
+    # (report_generator.py:38-55 cover + :147-153 merge)
+    assert raw.count(b"/Type /Page ") == 2
+    assert b"(Policy report) Tj" in raw and b"(Country: X) Tj" in raw
+    assert b"Generated on:" in raw
 
     svg = save_series_chart(
         [(2020, 10.0), (2021, 12.5)], str(tmp_path / "c"), "t", campaign_year=2021

@@ -148,6 +148,8 @@ def run_analysis(
         ],
         table_rows=[(r.year, f"{r.coverage_pct:.1f}") for r in series_rows],
         table_header=("year", "coverage_pct"),
+        cover_subtitle="Policy report for country vaccination coverage monitoring",
+        cover_context=[f"Country: {country}", f"Antigen: {antigen}"],
     )
     print(f"  Saved report     -> {report_path}")
 

@@ -43,6 +43,14 @@ def render_pdf(lines: Sequence[str]) -> bytes:
         list(lines[i : i + _LINES_PER_PAGE])
         for i in range(0, max(len(lines), 1), _LINES_PER_PAGE)
     ] or [[]]
+    return render_pdf_pages(pages)
+
+
+def render_pdf_pages(pages: Sequence[Sequence[str]]) -> bytes:
+    """Render explicit pages (cover + body) into one minimal PDF —
+    the hand-built analogue of the reference's pypdf cover/body merge
+    (report_generator.py:147-153)."""
+    pages = [list(p) for p in pages] or [[]]
 
     # object numbering: 1 catalog, 2 pages, 3 font, then per page:
     # (page obj, contents obj)
@@ -86,6 +94,26 @@ def render_pdf(lines: Sequence[str]) -> bytes:
     return bytes(out)
 
 
+def cover_lines(
+    title: str,
+    subtitle: str = "",
+    context: Sequence[str] = (),
+    today: _dt.date | None = None,
+) -> list[str]:
+    """Compose the reference cover page (report_generator.py:38-55):
+    vertical offset, report title, subtitle, context lines (the
+    reference shows Country/Antigen), and the generated-on stamp."""
+    today = today or _dt.date.today()
+    lines = ["" for _ in range(6)]  # ~1.1in spacer at 13pt leading
+    lines.append(title)
+    lines.append("")
+    if subtitle:
+        lines += [subtitle, ""]
+    lines += list(context)
+    lines.append(f"Generated on: {today.isoformat()}")
+    return lines
+
+
 def report_lines(
     title: str,
     summary: Sequence[str],
@@ -116,9 +144,20 @@ def save_pdf_report(
     table_rows: Sequence[tuple] = (),
     table_header: Sequence[str] = (),
     today: _dt.date | None = None,
+    cover_subtitle: str = "",
+    cover_context: Sequence[str] = (),
 ) -> str:
+    """Two-page-minimum output matching the reference shape: a dedicated
+    cover page (report_generator.py:38-55) followed by the body pages
+    (summary + top-20 table), merged into one document the way the
+    reference merges cover and body PDFs (report_generator.py:147-153).
+    """
+    cover = cover_lines(title, cover_subtitle, cover_context, today)
+    body = report_lines(title, summary, table_rows, table_header, today)
+    body_pages = [
+        body[i : i + _LINES_PER_PAGE]
+        for i in range(0, max(len(body), 1), _LINES_PER_PAGE)
+    ] or [[]]
     with open(path, "wb") as fh:
-        fh.write(
-            render_pdf(report_lines(title, summary, table_rows, table_header, today))
-        )
+        fh.write(render_pdf_pages([cover, *body_pages]))
     return path
