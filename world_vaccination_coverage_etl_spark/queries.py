@@ -1069,6 +1069,164 @@ def q_q18_large_orders(spark, sf_dir):
 
 
 @register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                     AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+    note="TPC-H-style Q10 (returned-item revenue): both selective predicates "
+    "(orderdate quarter, returnflag) push to their parquet scans BEFORE the "
+    "fact-fact shuffle join; the 25-row nation dim is an explicit broadcast; "
+    "top-20 via TakeOrdered with custkey tiebreak, no global sort. Decimal "
+    "revenue accumulation for exact cross-engine sums",
+)
+def q_q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT
+      CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                ELSE 0 END) AS DECIMAL(18,4)) AS DOUBLE) AS promo_revenue,
+      CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_revenue,
+      round(100.0
+            * CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                      ELSE 0 END) AS DECIMAL(18,4)) AS DOUBLE)
+            / CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                        AS DECIMAL(18,4)) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= DATE '1997-09-01' AND l.l_shipdate < DATE '1997-10-01'
+    """,
+    note="TPC-H-style Q14 (promo revenue share): shipdate month pushes to the "
+    "lineitem scan, part dim rides a broadcast join, conditional aggregation in "
+    "one pass. The pct is computed as a DOUBLE ratio of exact decimal sums so "
+    "both engines divide bit-identical operands",
+)
+def q_q14_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("date"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    agg = (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("decimal(18,4)").cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("decimal(18,4)").cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                     AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    note="TPC-H-style Q19 (disjunctive multi-clause predicate): the classic "
+    "OR-across-join test. Catalyst extracts the single-side conjuncts it can "
+    "prove common (l_quantity BETWEEN 1 AND 30 pushes to the lineitem scan, "
+    "brand/size disjunction to the part scan) and evaluates the full residual "
+    "disjunction after the broadcast join — scan-prunes without changing "
+    "semantics",
+)
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .filter(clause)
+        .agg(
+            F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@register(
     "set_ops",
     """
     SELECT c_nationkey AS nationkey FROM customer
