@@ -3160,73 +3160,57 @@ def q_multimodal_features_fake(spark, sf_dir):
 # operators get driver-certified each round.  Policy (pinned here, per
 # round-3 verdict):
 #
-#   1. queries with NO driver row in any round yet, plus queries new
-#      this round, come first;
-#   2. then queries with exactly one green driver round;
-#   3. then twice-driver-green queries (r2+r3) fill the head up to 50;
-#   4. the remaining twice-green SURVEY-core queries take the tail —
-#      they have two prior rounds of driver evidence on file
-#      (CORRECTNESS_r02/r03) plus the local oracle sweep every round.
+#   1. queries whose last driver row was broken (err/FAIL) or whose
+#      output changed since their last row come first;
+#   2. then queries NEW this round;
+#   3. then queries rotated out LAST round (their newest driver row is
+#      two rounds old after this one runs);
+#   4. remaining head slots go to once-green queries for a second row;
+#   5. the tail is everything green in the PREVIOUS round's driver run
+#      — freshest evidence, safest to defer.
 #
-# When adding a query, put its name in _CERT_EARLY so it lands inside
-# the certified window on its first round.
+# Round-5 ordering: the ten events.ts casualties lead (fixed this
+# round, per the r4 verdict), then the reworked outputs, then the five
+# r5 additions, then all 29 queries r4's window missed, then four
+# once-green r4 entries.  Everything r4 certified green takes the tail.
 
 _CERT_EARLY = [
-    # tier 1: no driver row in ANY round (added r3, fell past the cutoff)
-    "curation_pipeline",
+    # tier 1: broken in r4 by the events.ts fixture drift — fixed via
+    # the schema-adaptive load; re-certify first
     "salted_agg_events",
-    "det_sample_ids",
-    "stratified_sample_docs",
-    "multimodal_decode_fake",
-    "multimodal_features_fake",
-    # tier 1b: r2 row was rows-only; upgraded since (simhash: blocking
-    # reworked; cosine_topk_lsh: hash-checked since r3) but no HASH row
-    # newer than the upgrade
-    "simhash_near_dup",
-    "cosine_topk_lsh",
-    # tier 2: r2 driver row on file, truncated out of r3; plus queries
-    # new in r4 (knn_blocked_lsh)
-    "exact_dedup_keep",
-    "exact_dedup_groups",
-    "minhash_near_dup",
-    "ngram_jaccard_block_lang",
-    "cosine_topk",
-    "knn_allpairs_small",
-    "knn_blocked_lsh",
-    "embedding_dup_pairs",
-    "multimodal_metadata",
-    # tier 3: re-registered with NEW gate oracles in r4 (r2/r3 rows
-    # certified the old rows-only form) or exactly one green round
-    "agg_mean_ci_t",
-    "agg_welch_pvalue",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "udf_country_flag",
-    "streaming_tumbling_daily",
-    "streaming_tumbling_append",
-    "streaming_dedup_events",
     "approx_distinct_users",
     "approx_quantiles_value",
     "session_window_agg",
     "asof_join_last_purchase",
-    "streaming_sessionize_state",
-    "split_counts",
-    "doc_chunk_windows",
-    "doc_pii_scrub",
-    # new in r4 (mixture resampling, sequence packing, Q18)
-    "mixture_sample_docs",
-    "pack_token_bins_docs",
-    "q18_large_orders",
-    "streaming_enrich_nation",
-    "kmeans_clusters",
     "skew_join_segment",
-    "doc_repetition_stats",
-    "agg_cube",
+    "streaming_tumbling_daily",
+    "streaming_tumbling_append",
+    "streaming_sessionize_state",
     "stream_click_attribution",
-]
-
-_CERT_LATE = [
-    # twice-driver-green SURVEY core (r2 + r3 rows on file): safe tail
+    # tier 1b: output/oracle reworked this round (features: to_json
+    # serialization; simhash: md5 flavor with full hash oracle)
+    "multimodal_features_fake",
+    "simhash_near_dup",
+    # tier 2: new in r5
+    "dup_connected_components",
+    "dup_cluster_sizes",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    # tier 3: rotated out of r4's 50-row window (green r2+r3; their
+    # newest driver row is 2 rounds old after r5)
+    "set_ops",
+    "window_topn_per_group",
+    "window_lag_delta",
+    "window_moving_avg",
+    "event_tumbling_daily",
+    "event_sliding_2d",
+    "sessionize_counts",
+    "doc_fingerprint",
+    "doc_token_counts",
+    "doc_language_id",
+    "doc_quality_score",
+    "word_frequencies",
     "filter_eq2",
     "dim_index",
     "agg_unique_vals",
@@ -3244,6 +3228,49 @@ _CERT_LATE = [
     "agg_window_compare",
     "agg_welch_t",
     "limit_head",
+    # tier 4: exactly one green driver row (r4) — second row now
+    "curation_pipeline",
+    "kmeans_clusters",
+    "knn_blocked_lsh",
+    "q18_large_orders",
+]
+
+_CERT_LATE = [
+    # green in r4's driver run (freshest evidence): safe tail
+    "det_sample_ids",
+    "stratified_sample_docs",
+    "multimodal_decode_fake",
+    "cosine_topk_lsh",
+    "exact_dedup_keep",
+    "exact_dedup_groups",
+    "minhash_near_dup",
+    "ngram_jaccard_block_lang",
+    "cosine_topk",
+    "knn_allpairs_small",
+    "embedding_dup_pairs",
+    "multimodal_metadata",
+    "agg_mean_ci_t",
+    "agg_welch_pvalue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "udf_country_flag",
+    "streaming_dedup_events",
+    "split_counts",
+    "doc_chunk_windows",
+    "doc_pii_scrub",
+    "mixture_sample_docs",
+    "pack_token_bins_docs",
+    "streaming_enrich_nation",
+    "doc_repetition_stats",
+    "agg_cube",
+    "agg_rollup",
+    "pivot_wide",
+    "join_broadcast_dim",
+    "join_semi",
+    "join_anti",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
 ]
 
 
