@@ -1,0 +1,78 @@
+"""Unit tests for operators/rangejoin.py (bucketed interval join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from world_vaccination_coverage_etl_spark.operators.rangejoin import (
+    bucketed_interval_join,
+)
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def test_boundary_semantics_and_bucket_straddle(spark):
+    # anchor at 01:00; interval 1h -> matches [01:00, 02:00)
+    left = spark.createDataFrame(
+        [(1, _ts(1), "a")], "user_id long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(0, 59), 100),  # before anchor: no
+            (1, _ts(1, 0), 101),   # == anchor: yes (inclusive start)
+            (1, _ts(1, 30), 102),  # same bucket: yes
+            (1, _ts(1, 59, 59), 103),  # next bucket, in range: yes
+            (1, _ts(2, 0), 104),   # == end: no (exclusive end)
+            (2, _ts(1, 30), 105),  # other key: no
+        ],
+        "user_id long, ts timestamp, val long",
+    )
+    out = bucketed_interval_join(
+        left, right, keys=["user_id"], interval_seconds=3600
+    )
+    got = sorted(r["r_val"] for r in out.collect())
+    assert got == [101, 102, 103]
+
+
+def test_no_duplicate_matches_from_replication(spark):
+    # right row replicated to 2 buckets must still match each anchor once
+    left = spark.createDataFrame(
+        [(1, _ts(1)), (1, _ts(1, 30))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1, 45))], "user_id long, ts timestamp"
+    )
+    out = bucketed_interval_join(
+        left, right, keys=["user_id"], interval_seconds=3600
+    )
+    rows = [(r["l_ts"], r["r_ts"]) for r in out.collect()]
+    assert len(rows) == 2 and len(set(rows)) == 2
+
+
+def test_matches_naive_join(spark, sf_small):
+    from world_vaccination_coverage_etl_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_small, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cid"), "ts"
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), "ts"
+    )
+    fast = bucketed_interval_join(
+        clicks, buys, keys=["user_id"], interval_seconds=6 * 3600
+    ).select("user_id", F.col("l_cid").alias("cid"), F.col("r_pid").alias("pid"))
+    naive = (
+        clicks.alias("c")
+        .join(
+            buys.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") < F.col("c.ts") + F.expr("INTERVAL 6 HOURS")),
+        )
+        .select("c.user_id", F.col("c.cid").alias("cid"), F.col("p.pid").alias("pid"))
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))

@@ -113,3 +113,36 @@ def test_mixture_sample_default_rate_passthrough(docs):
     assert all(r.lang == "en" for r in rows)
     assert len(rows) == 200
     assert all(r.copy_idx == 0 for r in rows)
+
+
+def test_weighted_sample_topk_excludes_nonpositive(spark):
+    from world_vaccination_coverage_etl_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, None), (4, 5), (5, 1)],
+        "doc_id long, w long",
+    )
+    out = weighted_sample_topk(df, weight_col="w", k=10)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 5]  # zero/NULL weights never sampled
+
+
+def test_weighted_sample_topk_deterministic_and_k_bounded(spark):
+    from world_vaccination_coverage_etl_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g" if i % 2 else "h", 1 + i % 7) for i in range(60)],
+        "doc_id long, grp string, w long",
+    )
+    a = weighted_sample_topk(df, "w", k=4, strata_col="grp")
+    b = weighted_sample_topk(df, "w", k=4, strata_col="grp")
+    ra = sorted((r["grp"], r["doc_id"]) for r in a.collect())
+    rb = sorted((r["grp"], r["doc_id"]) for r in b.collect())
+    assert ra == rb and len(ra) == 8
+    # repartitioning the input must not change membership
+    c = weighted_sample_topk(df.repartition(7), "w", k=4, strata_col="grp")
+    assert sorted((r["grp"], r["doc_id"]) for r in c.collect()) == ra

@@ -171,6 +171,55 @@ def mixture_sample(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis–Spirakis exponential-race construction, "Weighted random
+    sampling with a reservoir", IPL 2006 — public literature).
+
+    Each row gets key = ln(u) / w with u hash-uniform in (0, 1); the k
+    LARGEST keys win, which selects rows with probability proportional
+    to weight.  u comes from the salted-md5 contract (first 8 digest
+    hex chars as a 32-bit integer, +0.5, /2^32) instead of ``rand()``,
+    so the sample is bit-stable across runs, partitionings, and engines
+    — the property every other operator in this module guarantees.
+    Ranking compares the key ROUNDED to 9 dp with the id as tiebreak so
+    engines whose libm ln() differs in the last ulp still agree.
+
+    Rows with weight <= 0 or NULL are excluded (never sampled).
+
+    Scale: global flavor (``strata_col=None``) is TakeOrdered — top-k
+    without a full sort, only k rows cross to the driver-side limit.
+    Stratified flavor is one window shuffle partitioned by the stratum.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))
+    key = F.round(F.log(u) / F.col(weight_col), 9)
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__key", key)
+    if strata_col is None:
+        return keyed.orderBy(F.desc("__key"), F.col(id_col)).limit(k).drop("__key")
+    w = Window.partitionBy(strata_col).orderBy(F.desc("__key"), F.col(id_col))
+    return (
+        keyed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__key", "__rk")
+    )
+
+
 def stratified_exact_sample(
     df: DataFrame,
     strata_col: str,

@@ -147,6 +147,53 @@ def word_frequencies(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — fully JVM, oracle-checkable.
+
+    tf = term occurrences within the doc; idf = ln(N / df_t) where df_t
+    counts documents containing the term.  Ranking is on the ROUNDED
+    score (6 dp) with the term as tiebreak, so the ordering is identical
+    across engines even when libm ln() differs in the last ulp.
+
+    Scale shape: explode → (doc, term) counts (one partial-agged
+    shuffle) → term doc-frequencies (second partial-agged shuffle, tiny
+    output) → join back on term (AQE broadcasts the df_t side when it
+    fits) → per-doc window top-k.  The corpus size N stays in-plan via
+    a broadcast 1-row aggregate — no driver-side count.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, on="term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
 def chunk_text_windows(
     df: DataFrame,
     text_col: str = "text",

@@ -1769,6 +1769,46 @@ def q_stream_click_attribution(spark, sf_dir):
 
 
 @register(
+    "range_join_attribution",
+    """
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 6 HOUR
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    note="BATCH interval join via bucketing (operators/rangejoin.py "
+    "bucketed_interval_join): a bare ts-range join plans as a nested-loop / "
+    "cartesian product at O(n*m); bucketing by the interval width + 2x "
+    "replication of the right side turns it into a plain equi hash join on "
+    "(user_id, bucket) with an exact residual range filter — one shuffle, "
+    "AQE-skew-safe, the time-series-engine range-join optimization. Oracle is "
+    "the naive inequality self-join",
+)
+def q_range_join_attribution(spark, sf_dir):
+    from .operators.rangejoin import bucketed_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = bucketed_interval_join(
+        clicks, purchases, keys=["user_id"],
+        left_ts="ts", right_ts="ts", interval_seconds=6 * 3600,
+    )
+    return joined.select(
+        "user_id",
+        F.col("l_click_id").alias("click_id"),
+        F.col("r_purchase_id").alias("purchase_id"),
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
+@register(
     "approx_distinct_users",
     """
     SELECT event_type,
@@ -2104,6 +2144,76 @@ def q_doc_quality_score(spark, sf_dir):
 def q_word_frequencies(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return word_frequencies(d).orderBy(F.desc("freq"), F.asc("word")).limit(100)
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term),
+    dft AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(n.n_docs::DOUBLE / dft.df_t), 6) AS tfidf
+      FROM tf JOIN dft USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, tfidf, rank
+    FROM ranked WHERE rank <= 3 AND doc_id < 200
+    ORDER BY doc_id, rank
+    """,
+    note="top-3 TF-IDF terms per doc (operators/text.py tfidf_top_terms): two "
+    "partial-agged shuffles (doc-term counts, term doc-freqs) + AQE-broadcast "
+    "join back + per-doc window top-k; corpus size N stays in-plan as a "
+    "broadcast 1-row aggregate — no driver-side count. Ranking compares the "
+    "6-dp-rounded score with the term tiebreak so libm ln() ulp differences "
+    "can't reorder engines; output bounded to doc_id < 200 for the oracle",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    from .operators.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(d, k=3)
+    return out.filter(F.col("doc_id") < 200).orderBy("doc_id", "rank")
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS weight,
+             round(ln((('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       + 0.5) / 4294967296.0) / length(text), 9) AS key
+      FROM documents WHERE length(text) > 0),
+    r AS (
+      SELECT doc_id, lang, weight,
+             row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
+      FROM w)
+    SELECT lang, doc_id, weight FROM r WHERE rk <= 5 ORDER BY lang, doc_id
+    """,
+    note="weighted sampling without replacement, Efraimidis-Spirakis "
+    "exponential race (operators/sampling.py weighted_sample_topk): key = "
+    "ln(u)/weight with u from the salted-md5 contract — engine-portable, "
+    "run-stable, inclusion probability proportional to length(text); top-5 per "
+    "lang stratum via one window shuffle (9-dp-rounded key + id tiebreak keeps "
+    "both engines' rankings identical)",
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    from .operators.sampling import weighted_sample_topk
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "weight", F.length("text").cast("long")
+    )
+    out = weighted_sample_topk(d, weight_col="weight", k=5, strata_col="lang")
+    return out.select("lang", "doc_id", "weight").orderBy("lang", "doc_id")
 
 
 @register(
@@ -3197,6 +3307,9 @@ _CERT_EARLY = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
+    "range_join_attribution",
+    "tfidf_top_terms",
+    "weighted_sample_docs",
     # tier 3: rotated out of r4's 50-row window (green r2+r3; their
     # newest driver row is 2 rounds old after r5)
     "set_ops",
@@ -3230,13 +3343,13 @@ _CERT_EARLY = [
     "limit_head",
     # tier 4: exactly one green driver row (r4) — second row now
     "curation_pipeline",
-    "kmeans_clusters",
-    "knn_blocked_lsh",
-    "q18_large_orders",
 ]
 
 _CERT_LATE = [
     # green in r4's driver run (freshest evidence): safe tail
+    "kmeans_clusters",
+    "knn_blocked_lsh",
+    "q18_large_orders",
     "det_sample_ids",
     "stratified_sample_docs",
     "multimodal_decode_fake",
