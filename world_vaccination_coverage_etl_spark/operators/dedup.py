@@ -590,6 +590,63 @@ def simhash_near_dup_pairs(
 
 
 # --------------------------------------------------------------------------
+# cross-corpus decontamination (benchmark n-gram overlap)
+
+
+def ngram_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: which corpus docs share word n-grams
+    with an evaluation set — the overlap check every public LLM data
+    pipeline runs before training (n-gram collision against held-out
+    benchmarks, cf. the GPT-3/Dolma decontamination write-ups).
+
+    Returns (corpus_id, bench_id, n_shared) for pairs sharing >=
+    ``min_shared`` DISTINCT n-grams.
+
+    Scale shape: both sides shingle row-locally into distinct word
+    n-grams via the Arrow ``shingles_udf`` kernel (the dedup family's
+    shared tokenizer/shingle contract: docs shorter than n words
+    contribute their full token join), then meet in an inverted-index
+    equi join keyed on ``xxhash64(gram)`` — the 8-byte shuffle key —
+    with gram-string equality kept as a residual predicate so a hash
+    collision can never fabricate overlap.  The benchmark side is
+    typically tiny (eval sets) and broadcasts; the count-distinct-grams
+    rollup is one partial-agged shuffle on the (corpus_id, bench_id)
+    pair key.  No self-join, no all-pairs.
+    """
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                shingles_udf(n)(F.col(text_col)).alias("grams"),
+            )
+            .filter(F.size("grams") > 0)
+            .select(out_id, F.explode("grams").alias("gram"))
+            .select(out_id, "gram", F.xxhash64("gram").alias("gram_h"))
+        )
+
+    c = grams(corpus, "corpus_id")
+    b = grams(benchmark, "bench_id")
+    return (
+        c.alias("c")
+        .join(
+            F.broadcast(b.alias("b")),
+            (F.col("c.gram_h") == F.col("b.gram_h"))
+            & (F.col("c.gram") == F.col("b.gram")),
+        )
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count_distinct(F.col("c.gram")).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash, engine-portable flavor (md5 token hash, pure JVM expressions)
 
 SIMHASH_MD5_TOKEN_SPLIT = "[^a-z0-9]+"

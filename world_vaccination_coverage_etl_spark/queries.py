@@ -2792,6 +2792,81 @@ def q_dup_cluster_sizes(spark, sf_dir):
     )
 
 
+@register(
+    "doc_length_stats",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 6) AS mean_chars,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+           round(quantile_cont(n_chars, 0.99), 6) AS p99_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    note="per-language corpus length distribution via EXACT percentiles "
+    "(Spark SQL percentile(), linear interpolation — same definition as "
+    "DuckDB quantile_cont): the corpus-reporting companion to the "
+    "approx_quantiles sketch queries; one partial-agged shuffle on lang. At "
+    "100 TB the sketch flavor is the default and this exact flavor runs on "
+    "sampled slices — both are registered so the trade-off is explicit",
+)
+def q_doc_length_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+            F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "decontaminate_overlap",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(0, greatest(len(toks) - 5, 0) + 1),
+                 i -> array_to_string(toks[i+1:i+5], ' '))) AS grams
+      FROM toks WHERE len(toks) > 0),
+    cg AS (SELECT doc_id AS corpus_id, unnest(grams) AS gram
+           FROM sh WHERE doc_id % 50 <> 0),
+    bg AS (SELECT doc_id AS bench_id, unnest(grams) AS gram
+           FROM sh WHERE doc_id % 50 = 0)
+    SELECT c.corpus_id, b.bench_id,
+           CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared
+    FROM cg c JOIN bg b USING (gram)
+    GROUP BY corpus_id, bench_id
+    ORDER BY corpus_id, bench_id
+    """,
+    note="benchmark decontamination (operators/dedup.py "
+    "ngram_contamination_pairs): corpus docs sharing distinct word 5-grams with "
+    "a held-out eval slice (doc_id % 50 == 0) — the n-gram collision check LLM "
+    "pipelines run before training. Arrow shingle kernel row-local on both "
+    "sides, inverted-index join on xxhash64(gram) with string-equality residual "
+    "(collisions can't fabricate overlap), benchmark side broadcast, one "
+    "partial-agged pair-key shuffle",
+)
+def q_decontaminate_overlap(spark, sf_dir):
+    from .operators.dedup import ngram_contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    out = ngram_contamination_pairs(corpus, bench, n=5)
+    return out.orderBy("corpus_id", "bench_id")
+
+
 def _curation_oracle() -> str:
     langs = sorted(LANG_MARKERS)
     scores = ",\n             ".join(
@@ -3310,6 +3385,8 @@ _CERT_EARLY = [
     "range_join_attribution",
     "tfidf_top_terms",
     "weighted_sample_docs",
+    "decontaminate_overlap",
+    "doc_length_stats",
     # tier 3: rotated out of r4's 50-row window (green r2+r3; their
     # newest driver row is 2 rounds old after r5)
     "set_ops",
@@ -3340,12 +3417,15 @@ _CERT_EARLY = [
     "agg_sem_ci",
     "agg_window_compare",
     "agg_welch_t",
-    "limit_head",
-    # tier 4: exactly one green driver row (r4) — second row now
-    "curation_pipeline",
 ]
 
 _CERT_LATE = [
+    # head-of-tail: limit_head (trivial LIMIT, green r2+r3) and
+    # curation_pipeline (green r4) were the two sacrificed for the r5
+    # additions — they sit FIRST after the cutoff so any driver window
+    # wider than 50 certifies them immediately; promote them in r6
+    "limit_head",
+    "curation_pipeline",
     # green in r4's driver run (freshest evidence): safe tail
     "kmeans_clusters",
     "knn_blocked_lsh",
