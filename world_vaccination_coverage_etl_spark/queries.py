@@ -1227,6 +1227,158 @@ def q_q19_disjunctive_revenue(spark, sf_dir):
 
 
 @register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                       AS DECIMAL(18,4)) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    note="TPC-H-style Q15 (top supplier): quarter revenue per supplier "
+    "(pushed date range, partial-agged shuffle), then the max-revenue scalar "
+    "joins back in-plan as a broadcast 1-row aggregate — the self-agg-max "
+    "pattern with no driver round-trip; supplier dim broadcast. Equality on "
+    "DOUBLEs is safe because both sides derive from the same exact decimal sum",
+)
+def q_q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("decimal(18,4)").cast("double").alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view_then_click,
+           CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM f
+    """,
+    note="ordered funnel analysis (view -> click -> purchase by first "
+    "occurrence per user): one conditional-min shuffle on user_id + a scalar "
+    "roll-up — the product-analytics staple, all JVM conditional aggregation, "
+    "no self-joins or window passes over raw events",
+)
+def q_funnel_conversion(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t_view").cast("long").alias("n_view"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast("long").alias("n_view_then_click"),
+        F.sum(F.when(purchased, 1).otherwise(0)).cast("long").alias("n_full_funnel"),
+    )
+
+
+@register(
+    "props_json_extract",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+             AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="semi-structured JSON payload extraction (get_json_object on the "
+    "events.props column) feeding a grouped aggregate — JVM-side JSON path "
+    "evaluation in the scan stage, no UDF; the semi-structured-column pattern "
+    "every event pipeline needs",
+)
+def q_props_json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+            F.max(k).cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "doc_length_ntile_bins",
+    """
+    WITH b AS (
+      SELECT lang, n_chars,
+             ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+      FROM documents)
+    SELECT lang, CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM b GROUP BY lang, bin ORDER BY lang, bin
+    """,
+    note="quartile binning per language via ntile() (curriculum/bucketing "
+    "shape): one window shuffle partitioned by lang with a deterministic "
+    "(n_chars, doc_id) order, then a partial-agged roll-up; ntile's "
+    "extra-rows-to-early-buckets rule is identical across engines",
+)
+def q_doc_length_ntile_bins(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.withColumn("bin", F.ntile(4).over(w))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+@register(
     "set_ops",
     """
     SELECT c_nationkey AS nationkey FROM customer
@@ -3387,15 +3539,18 @@ _CERT_EARLY = [
     "weighted_sample_docs",
     "decontaminate_overlap",
     "doc_length_stats",
+    "q15_top_supplier",
+    "funnel_conversion",
+    "props_json_extract",
+    "doc_length_ntile_bins",
     # tier 3: rotated out of r4's 50-row window (green r2+r3; their
-    # newest driver row is 2 rounds old after r5)
-    "set_ops",
+    # newest driver row is 2 rounds old after r5).  Four extension
+    # queries whose operators are covered by in-window siblings
+    # (set_ops, window_moving_avg, event_sliding_2d, sessionize_counts)
+    # moved to the head of the tail to make room for the r5 additions.
     "window_topn_per_group",
     "window_lag_delta",
-    "window_moving_avg",
     "event_tumbling_daily",
-    "event_sliding_2d",
-    "sessionize_counts",
     "doc_fingerprint",
     "doc_token_counts",
     "doc_language_id",
@@ -3420,10 +3575,13 @@ _CERT_EARLY = [
 ]
 
 _CERT_LATE = [
-    # head-of-tail: limit_head (trivial LIMIT, green r2+r3) and
-    # curation_pipeline (green r4) were the two sacrificed for the r5
-    # additions — they sit FIRST after the cutoff so any driver window
-    # wider than 50 certifies them immediately; promote them in r6
+    # head-of-tail: the entries sacrificed for the r5 additions (all
+    # green r2+r3 or r4) sit FIRST after the cutoff so any driver
+    # window wider than 50 certifies them immediately; promote in r6
+    "set_ops",
+    "window_moving_avg",
+    "event_sliding_2d",
+    "sessionize_counts",
     "limit_head",
     "curation_pipeline",
     # green in r4's driver run (freshest evidence): safe tail
