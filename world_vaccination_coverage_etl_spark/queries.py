@@ -1961,6 +1961,49 @@ def q_range_join_attribution(spark, sf_dir):
 
 
 @register(
+    "streaming_upsert_latest",
+    """
+    WITH r AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+    SELECT user_id, event_id AS last_event_id FROM r WHERE rk = 1
+    ORDER BY user_id
+    """,
+    note="streaming keyed upsert through foreachBatch "
+    "(streaming/foreach_upsert.py): each micro-batch merges into the parquet "
+    "warehouse keeping the latest row per user (total (ts, event_id) order, so "
+    "last-write-wins is deterministic); stateless stream — no watermark, "
+    "arbitrarily late keys still upsert. Plain-parquet merge = latest-per-key "
+    "+ materialize + overwrite; a table format swaps the batch body for MERGE "
+    "INTO. Oracle is the batch latest-per-key window",
+)
+def q_streaming_upsert_latest(spark, sf_dir):
+    from .scratch import scratch_dir
+    from .streaming.foreach_upsert import streaming_upsert_parquet
+
+    out_dir = scratch_dir("upsert_out_")
+    ck_dir = scratch_dir("upsert_ck_")
+    schema, from_nanos = _events_stream_schema(sf_dir)
+    if from_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    with _stream_state_partitions(spark):
+        q = streaming_upsert_parquet(
+            spark, sf_dir, schema, out_dir, ck_dir,
+            path_glob="events.parquet",
+        )
+        q.awaitTermination()
+    # nanos-era note: ordering by the raw long ts is order-equivalent
+    # to ordering by the decoded timestamp, and ts isn't projected out,
+    # so no conversion is needed on either branch
+    res = spark.read.parquet(out_dir)
+    return res.select(
+        "user_id", F.col("event_id").alias("last_event_id")
+    ).orderBy("user_id")
+
+
+@register(
     "approx_distinct_users",
     """
     SELECT event_type,
@@ -3019,6 +3062,55 @@ def q_decontaminate_overlap(spark, sf_dir):
     return out.orderBy("corpus_id", "bench_id")
 
 
+@register(
+    "decontaminated_corpus",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(0, greatest(len(toks) - 5, 0) + 1),
+                 i -> array_to_string(toks[i+1:i+5], ' '))) AS grams
+      FROM toks WHERE len(toks) > 0),
+    cg AS (SELECT doc_id AS corpus_id, unnest(grams) AS gram
+           FROM sh WHERE doc_id % 50 <> 0),
+    bg AS (SELECT doc_id AS bench_id, unnest(grams) AS gram
+           FROM sh WHERE doc_id % 50 = 0),
+    contaminated AS (SELECT DISTINCT c.corpus_id FROM cg c JOIN bg b USING (gram))
+    SELECT doc_id FROM documents
+    WHERE doc_id % 50 <> 0
+      AND doc_id NOT IN (SELECT corpus_id FROM contaminated)
+    ORDER BY doc_id
+    """,
+    note="the actionable decontamination step: corpus minus every doc sharing a "
+    "5-gram with the eval slice — contamination pair set (see "
+    "decontaminate_overlap) distinct-projected to ids and LEFT ANTI joined "
+    "against the corpus; the anti-join build side is the (small) contaminated "
+    "id set, broadcast by AQE",
+)
+def q_decontaminated_corpus(spark, sf_dir):
+    from .operators.dedup import ngram_contamination_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    dirty = (
+        ngram_contamination_pairs(corpus, bench, n=5)
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        corpus.join(dirty, on="doc_id", how="left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _curation_oracle() -> str:
     langs = sorted(LANG_MARKERS)
     scores = ",\n             ".join(
@@ -3543,16 +3635,17 @@ _CERT_EARLY = [
     "funnel_conversion",
     "props_json_extract",
     "doc_length_ntile_bins",
+    "streaming_upsert_latest",
+    "decontaminated_corpus",
     # tier 3: rotated out of r4's 50-row window (green r2+r3; their
-    # newest driver row is 2 rounds old after r5).  Four extension
+    # newest driver row is 2 rounds old after r5).  Six extension
     # queries whose operators are covered by in-window siblings
-    # (set_ops, window_moving_avg, event_sliding_2d, sessionize_counts)
-    # moved to the head of the tail to make room for the r5 additions.
+    # (set_ops, window_moving_avg, event_sliding_2d, sessionize_counts,
+    # doc_fingerprint, doc_token_counts) moved to the head of the tail
+    # to make room for the r5 additions.
     "window_topn_per_group",
     "window_lag_delta",
     "event_tumbling_daily",
-    "doc_fingerprint",
-    "doc_token_counts",
     "doc_language_id",
     "doc_quality_score",
     "word_frequencies",
@@ -3582,6 +3675,8 @@ _CERT_LATE = [
     "window_moving_avg",
     "event_sliding_2d",
     "sessionize_counts",
+    "doc_fingerprint",
+    "doc_token_counts",
     "limit_head",
     "curation_pipeline",
     # green in r4's driver run (freshest evidence): safe tail
