@@ -182,3 +182,72 @@ def test_simhash_vectorized_matches_reference_kernel(spark):
     }
     ref = _simhash64_ref(texts)
     assert [got[i] for i in range(len(texts))] == ref
+
+
+def test_simhash_md5_identical_and_empty_docs(spark):
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        simhash_md5_near_dup_pairs,
+        simhash_md5_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # dup
+            (3, "completely different content about spark engines"),
+            (4, "...!!!"),  # tokenizes to nothing -> excluded
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: (r["sig_hi"], r["sig_lo"])
+            for r in simhash_md5_signatures(df).collect()}
+    assert set(sigs) == {1, 2, 3}  # token-less docs drop out
+    assert sigs[1] == sigs[2]
+    pairs = simhash_md5_near_dup_pairs(df, max_hamming=3).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+
+
+def test_simhash_md5_blocking_is_exhaustive(spark):
+    """The blocked pair set must equal the exact O(n^2) pair set —
+    the pigeonhole guarantee the oracle also checks at corpus scale."""
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        simhash_md5_near_dup_pairs,
+        simhash_md5_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",
+        "alpha beta gamma delta theta eta",
+        "totally unrelated words here now",
+        "alpha beta gamma delta epsilon zeta extra",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    blocked = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_md5_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    s = simhash_md5_signatures(df).alias("a")
+    b = simhash_md5_signatures(df).alias("b")
+    exact = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in (
+            s.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                (
+                    F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
+                    + F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= 3)
+            .collect()
+        )
+    }
+    assert blocked == exact
