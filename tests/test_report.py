@@ -72,3 +72,32 @@ def test_save_pdf_report_and_chart(tmp_path):
 def test_chart_rejects_empty_series(tmp_path):
     with pytest.raises(ValueError):
         save_series_chart([], str(tmp_path / "c"), "t")
+
+
+def test_pdf_embedded_vector_chart(tmp_path):
+    pdf = save_pdf_report(
+        str(tmp_path / "c.pdf"), "T", ["s"],
+        [(2016, 70.0), (2017, 75.0)], ("year", "cov"),
+        series=[(2015, 60.0), (2016, 70.0), (2017, 75.0), (2018, 80.0)],
+        campaign_year=2017,
+    )
+    raw = open(pdf, "rb").read()
+    # cover + chart page + body
+    assert raw.count(b"/Type /Page ") == 3
+    # vector path ops present: moveto/lineto/stroke + dashed marker
+    assert b" m " in raw and b" l" in raw and b"S" in raw
+    assert b"[3 3] 0 d" in raw
+    # axis tick labels from the series extent
+    assert b"(2015) Tj" in raw and b"(2018) Tj" in raw
+    assert b"(60.0) Tj" in raw and b"(80.0) Tj" in raw
+
+
+def test_chart_graphics_ops_degenerate_series():
+    from world_vaccination_coverage_etl_spark.functions.report import (
+        chart_graphics_ops,
+    )
+
+    assert chart_graphics_ops([]) == ""
+    # single point / flat series: spans clamp to 1.0, no div-by-zero
+    ops = chart_graphics_ops([(2020, 50.0)])
+    assert "m" in ops and "S" in ops

@@ -150,6 +150,8 @@ def run_analysis(
         table_header=("year", "coverage_pct"),
         cover_subtitle="Policy report for country vaccination coverage monitoring",
         cover_context=[f"Country: {country}", f"Antigen: {antigen}"],
+        series=[(r.year, r.coverage_pct) for r in series_rows],
+        campaign_year=start_year,
     )
     print(f"  Saved report     -> {report_path}")
 
