@@ -60,3 +60,40 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iter=1)
+
+
+def test_random_graphs_match_union_find(spark):
+    """Randomized cross-check: label propagation == a union-find
+    reference on seeded random graphs (varying density, incl. isolated
+    nodes)."""
+    import random
+
+    for seed, n, m in [(1, 30, 10), (2, 40, 60), (3, 25, 5), (4, 50, 120)]:
+        rng = random.Random(seed)
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical: min node id reachable
+        expect = {}
+        for v in nodes:
+            root = find(v)
+            expect.setdefault(root, []).append(v)
+        want = {v: min(members) for root, members in expect.items() for v in members}
+
+        got = _cc(spark, nodes, edges)
+        assert got == want, f"seed={seed}"

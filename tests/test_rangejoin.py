@@ -76,3 +76,38 @@ def test_matches_naive_join(spark, sf_small):
         .select("c.user_id", F.col("c.cid").alias("cid"), F.col("p.pid").alias("pid"))
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_random_events_match_naive(spark):
+    """Randomized boundary sweep: bucketed join == naive inequality
+    join on seeded random timestamps clustered near bucket edges."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    interval = 600  # 10 min buckets
+    rows = []
+    for i in range(300):
+        # cluster timestamps near multiples of the interval to stress
+        # the bucket-boundary replication logic
+        base = rng.randrange(0, 40) * interval
+        jitter = rng.choice([-2, -1, 0, 1, 2, rng.randrange(interval)])
+        rows.append((rng.randrange(5), i, _ts(0) + dt.timedelta(seconds=base + jitter)))
+    df = spark.createDataFrame(rows, "user_id long, eid long, ts timestamp")
+    left = df.select("user_id", F.col("eid").alias("lid"), "ts")
+    right = df.select("user_id", F.col("eid").alias("rid"), "ts")
+    fast = bucketed_interval_join(
+        left, right, keys=["user_id"], interval_seconds=interval
+    ).select("user_id", F.col("l_lid").alias("lid"), F.col("r_rid").alias("rid"))
+    naive = (
+        left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (F.col("b.ts") < F.col("a.ts") + F.expr(f"INTERVAL {interval} SECONDS")),
+        )
+        .select("a.user_id", F.col("a.lid").alias("lid"), F.col("b.rid").alias("rid"))
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
