@@ -1227,6 +1227,98 @@ def q_q19_disjunctive_revenue(spark, sf_dir):
 
 
 @register(
+    "event_path_topk",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+    SELECT path, CAST(count(*) AS BIGINT) AS n
+    FROM paths GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+    note="top-10 three-step event paths per user timeline (path mining): two "
+    "lead() passes over one (user_id) window shuffle with a total (ts, "
+    "event_id) order — no self-joins for sequence extraction — then a "
+    "partial-agged count and TakeOrdered",
+)
+def q_event_path_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week,
+                                  CAST(date_trunc('week', e.ts) AS DATE)) / 7)
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    WHERE week_offset <= 8
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    note="weekly cohort retention triangle: first-activity week per user (one "
+    "partial-agged shuffle), joined back to activity (AQE broadcasts the "
+    "user->cohort map when it fits) and rolled up to distinct active users per "
+    "(cohort, week offset) — the canonical retention query, all JVM date math",
+)
+def q_cohort_retention(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week"),
+                )
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 8)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
     "q15_top_supplier",
     """
     WITH rev AS (
@@ -3637,6 +3729,8 @@ _CERT_EARLY = [
     "doc_length_ntile_bins",
     "streaming_upsert_latest",
     "decontaminated_corpus",
+    "event_path_topk",
+    "cohort_retention",
     # tier 3: rotated out of r4's 50-row window (green r2+r3; their
     # newest driver row is 2 rounds old after r5).  Six extension
     # queries whose operators are covered by in-window siblings
@@ -3644,8 +3738,6 @@ _CERT_EARLY = [
     # doc_fingerprint, doc_token_counts) moved to the head of the tail
     # to make room for the r5 additions.
     "window_topn_per_group",
-    "window_lag_delta",
-    "event_tumbling_daily",
     "doc_language_id",
     "doc_quality_score",
     "word_frequencies",
@@ -3677,6 +3769,8 @@ _CERT_LATE = [
     "sessionize_counts",
     "doc_fingerprint",
     "doc_token_counts",
+    "window_lag_delta",
+    "event_tumbling_daily",
     "limit_head",
     "curation_pipeline",
     # green in r4's driver run (freshest evidence): safe tail
