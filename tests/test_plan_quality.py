@@ -1,0 +1,61 @@
+"""Anti-pattern guard over EVERY lazily-plannable registered query.
+
+Two properties every plan must hold at any scale:
+
+1. no row-at-a-time Python UDF (`BatchEvalPython`) — the only allowed
+   exception is the country-flag lookup, which mirrors the reference's
+   per-row function over a 25-row dimension;
+2. no cartesian / broadcast-nested-loop join — the only allowed
+   exception is the explicitly-documented O(n²) recall oracle.
+
+This is the enforced version of tools/explain_audit.py's WARNING
+lines: a future query that slips a Python UDF or an accidental cross
+join into the hot path fails CI here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from world_vaccination_coverage_etl_spark.queries import REGISTRY
+
+# queries whose fn() EXECUTES work when called (streams start, loops
+# run, scratch dirs write) — planned-only inspection isn't free for
+# them, so they're covered by the audit/bench instead
+_EXECUTES = tuple(
+    name
+    for name in REGISTRY
+    if name.startswith(("streaming_", "stream_"))
+    or name
+    in {
+        "kmeans_clusters",            # iterative driver loop
+        "dup_connected_components",   # iterative driver loop
+        "dup_cluster_sizes",          # iterative driver loop
+        "curation_pipeline",          # stage materialization writes
+    }
+)
+
+ROW_UDF_OK = {"udf_country_flag"}
+NESTED_LOOP_OK = {
+    "knn_allpairs_small",
+    # crossJoin(broadcast(1-row aggregate)) — the in-plan-scalar
+    # pattern (corpus size N for the IDF): a nested-loop join whose
+    # build side is exactly one row is a constant-append, not O(n·m)
+    "tfidf_top_terms",
+    "q15_top_supplier",
+}
+
+_LAZY = [n for n in REGISTRY if n not in _EXECUTES]
+
+
+@pytest.mark.parametrize("name", _LAZY)
+def test_no_antipatterns_in_plan(spark, sf_small, name):
+    df = REGISTRY[name].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name not in ROW_UDF_OK:
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in NESTED_LOOP_OK:
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        assert (
+            "BroadcastNestedLoopJoin" not in plan
+        ), f"{name}: nested-loop join"
