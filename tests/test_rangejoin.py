@@ -111,3 +111,20 @@ def test_random_events_match_naive(spark):
         .select("a.user_id", F.col("a.lid").alias("lid"), F.col("b.rid").alias("rid"))
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_pre_epoch_timestamps_bucket_correctly(spark):
+    # negative epoch seconds: floor(-0.5) = -1 but cast() would give 0,
+    # splitting 1969 anchors from their in-range matches
+    left = spark.createDataFrame(
+        [(1, dt.datetime(1969, 12, 31, 23, 30))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(1969, 12, 31, 23, 45)),
+         (1, dt.datetime(1970, 1, 1, 0, 15))],
+        "user_id long, ts timestamp",
+    )
+    out = bucketed_interval_join(
+        left, right, keys=["user_id"], interval_seconds=3600
+    )
+    assert out.count() == 2  # both within [23:30, 00:30)

@@ -40,7 +40,9 @@ def bucketed_interval_join(
     to keep the join self-join-safe.
     """
     w = F.lit(interval_seconds)
-    lb = (F.unix_timestamp(F.col(left_ts)) / w).cast("long").alias("__bucket")
+    # floor, not cast: cast truncates toward zero, which would shift
+    # the bucket of any pre-1970 (negative-epoch) timestamp by one
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / w).alias("__bucket")
     l_pref = left.select(
         *[F.col(k) for k in keys],
         *[
@@ -53,7 +55,7 @@ def bucketed_interval_join(
     # right rows replicated to their bucket and the previous one: a
     # left anchor in bucket b can only match right rows in b or b+1,
     # equivalently a right row in bucket b matches anchors in b or b-1
-    rb = (F.unix_timestamp(F.col(right_ts)) / w).cast("long")
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / w)
     r_pref = right.select(
         *[F.col(k) for k in keys],
         *[
