@@ -667,6 +667,37 @@ def q_agg_welch_pvalue(spark, sf_dir):
 
 
 @register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    note="explicit GROUPING SETS (neither rollup nor cube): per-flag totals, "
+    "per-status totals, and the grand total in ONE pass — Spark expands the "
+    "sets into a single Expand + partial-agged aggregate instead of three "
+    "scans unioned; the hand-picked-sets flavor completes the grouping-sets "
+    "family (rollup/cube siblings above)",
+)
+def q_agg_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@register(
     "agg_rollup",
     """
     SELECT l_returnflag, l_linestatus,
@@ -3731,6 +3762,7 @@ _CERT_EARLY = [
     "decontaminated_corpus",
     "event_path_topk",
     "cohort_retention",
+    "agg_grouping_sets",
     # tier 3: rotated out of r4's 50-row window (green r2+r3; their
     # newest driver row is 2 rounds old after r5).  Six extension
     # queries whose operators are covered by in-window siblings
@@ -3738,7 +3770,6 @@ _CERT_EARLY = [
     # doc_fingerprint, doc_token_counts) moved to the head of the tail
     # to make room for the r5 additions.
     "window_topn_per_group",
-    "doc_language_id",
     "doc_quality_score",
     "word_frequencies",
     "filter_eq2",
@@ -3771,6 +3802,7 @@ _CERT_LATE = [
     "doc_token_counts",
     "window_lag_delta",
     "event_tumbling_daily",
+    "doc_language_id",
     "limit_head",
     "curation_pipeline",
     # green in r4's driver run (freshest evidence): safe tail
