@@ -1,21 +1,27 @@
 """Deduplication operators for large-scale corpus curation.
 
-Five families, all designed shuffle-lean for the 100 TB posture:
+Seven families, all designed shuffle-lean for the 100 TB posture:
 
 - exact:      hash-groupBy on normalized content (one shuffle);
 - MinHash:    shingle → per-row minhash signature (zero shuffle) →
               LSH banding → bucket join for candidates → row-local
               Jaccard verify;
-- SimHash:    vectorized Pandas-UDF signature → 16-bit chunk blocking →
-              popcount (bit_count) verify;
+- SimHash (Arrow): vectorized FNV Pandas-UDF signature → 16-bit chunk
+              blocking → popcount (bit_count) verify — the fast path;
+- SimHash (portable): md5-prefix signature in pure JVM expressions,
+              bit-identical in ANSI SQL, so the full pair set is
+              oracle-certifiable end-to-end;
 - n-gram Jaccard: row-local n-gram sets → blocked self-join → row-local
               intersect/union arithmetic;
 - embedding:  multi-table sign-LSH blocking (union of per-table bucket
-              collisions, banding-style) → row-local cosine verify.
+              collisions, banding-style) → row-local cosine verify;
+- decontamination: cross-corpus n-gram collision against a held-out
+              benchmark (inverted-index join + LEFT ANTI removal).
 
 The signature computations are all row-local column expressions (or an
-Arrow-batched UDF for SimHash), so the only shuffles are the final
-candidate-pair joins on short keys — the minimum any dedup needs.
+Arrow-batched UDF for SimHash/shingles), so the only shuffles are the
+final candidate-pair joins on short keys — the minimum any dedup
+needs.  Pairs → clusters is ``operators/components.py``.
 """
 
 from __future__ import annotations
