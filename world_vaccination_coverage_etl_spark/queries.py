@@ -2300,6 +2300,54 @@ def q_streaming_sessionize_state(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_funnel_state",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(CASE WHEN tc > tv AND tp > tc THEN 3
+                     WHEN tc > tv THEN 2
+                     WHEN tv IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage
+    FROM f ORDER BY user_id
+    """,
+    note="stateful streaming funnel via applyInPandasWithState "
+    "(streaming/funnel_state.py): per-user state is the order-insensitive "
+    "triple of first-occurrence minimums (O(1) per key), so arrival order "
+    "within/across micro-batches cannot change the result and no watermark is "
+    "needed — the oracle is an exact batch equivalence, the same "
+    "classification as funnel_conversion but per user. Stage is monotone, so "
+    "update-mode re-emissions collapse with max()",
+)
+def q_streaming_funnel_state(spark, sf_dir):
+    import uuid
+
+    from .streaming.funnel_state import streaming_funnel_state
+
+    agg = streaming_funnel_state(_events_stream(spark, sf_dir))
+    qname = f"stream_funnel_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    mem = spark.table(qname)
+    return (
+        mem.groupBy("user_id")
+        .agg(F.max("funnel_stage").alias("funnel_stage"))
+        .orderBy("user_id")
+    )
+
+
 # --------------------------------------------------------------------- #
 # LLM-data-pipeline extensions: text analysis over `documents`
 # (SURVEY §7.2 M3; operators in operators/text.py)
@@ -3763,6 +3811,7 @@ _CERT_EARLY = [
     "event_path_topk",
     "cohort_retention",
     "agg_grouping_sets",
+    "streaming_funnel_state",
     # tier 3: rotated out of r4's 50-row window (green r2+r3; their
     # newest driver row is 2 rounds old after r5).  Six extension
     # queries whose operators are covered by in-window siblings
@@ -3771,7 +3820,6 @@ _CERT_EARLY = [
     # to make room for the r5 additions.
     "window_topn_per_group",
     "doc_quality_score",
-    "word_frequencies",
     "filter_eq2",
     "dim_index",
     "agg_unique_vals",
@@ -3803,6 +3851,7 @@ _CERT_LATE = [
     "window_lag_delta",
     "event_tumbling_daily",
     "doc_language_id",
+    "word_frequencies",
     "limit_head",
     "curation_pipeline",
     # green in r4's driver run (freshest evidence): safe tail
