@@ -51,6 +51,13 @@ def main() -> int:
         (F.max("bin_idx") + 1).alias("n_bins"),
     ).orderBy("split").show()
     print(f"curated corpus written to {out_dir}/corpus")
+
+    # training-data handoff: partition-parallel JSONL next to the parquet
+    from world_vaccination_coverage_etl_spark.sources.jsonl import write_jsonl
+
+    jsonl_dir = os.path.join(out_dir, "corpus_jsonl")
+    write_jsonl(final.select("doc_id", "text", "split", "bin_idx"), jsonl_dir)
+    print(f"JSONL handoff written to {jsonl_dir}")
     return 0
 
 
