@@ -43,6 +43,9 @@ NESTED_LOOP_OK = {
     # build side is exactly one row is a constant-append, not O(n·m)
     "tfidf_top_terms",
     "q15_top_supplier",
+    # Q22's above-average-balance threshold: same 1-row broadcast
+    # scalar pattern (exact decimal avg joined in-plan)
+    "q22_dormant_customers",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]

@@ -1398,6 +1398,394 @@ def q_q15_top_supplier(spark, sf_dir):
 
 
 @register(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                     AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1998-01-01'
+      AND n1.n_name <> n2.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    note="TPC-H-style Q7 (volume shipping): cross-border revenue by (supplier "
+    "nation, customer nation, year). The nation dim joins TWICE under different "
+    "roles — both explicit broadcasts, as is the supplier dim — so the only "
+    "shuffles are the two fact-fact joins (lineitem-orders, orders-customer) "
+    "and the final partial-agged groupBy; the shipdate range pushes to the "
+    "lineitem scan. The inequality n1<>n2 is evaluated post-join (residual), "
+    "matching the reference pattern of international-only flows",
+)
+def q_q7_volume_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= DATE '1996-01-01'
+        AND o.o_orderdate < DATE '1998-01-01')
+    SELECT o_year,
+           round(CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                                    THEN volume ELSE 0 END)
+                           AS DECIMAL(18,4)) AS DOUBLE)
+                 / CAST(CAST(sum(volume) AS DECIMAL(18,4)) AS DOUBLE),
+                 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+    note="TPC-H-style Q8 (national market share): NATION_2's share of PROMO "
+    "revenue sold into ASIA-region customers, by order year. Nation again "
+    "plays two roles (customer-side chained through region to gate the "
+    "market, supplier-side for the share numerator); part/supplier/nation/"
+    "region all broadcast, p_type and the orderdate range push to their "
+    "scans, and the share is a conditional aggregation — one pass, no "
+    "separate numerator query. Both engines divide the same exact decimal "
+    "sums so round(...,6) is stable",
+)
+def q_q8_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0)))
+            .cast("decimal(18,4)").cast("double").alias("num"),
+            F.sum(vol).cast("decimal(18,4)").cast("double").alias("den"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("num") / F.col("den"), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_nation_profit",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                     AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))
+                         * CAST(p.p_retailprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,4)) AS DOUBLE) AS retail_value
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    note="TPC-H-style Q9 (product-type profit by nation and year): the driver "
+    "schema has no partsupp/ps_supplycost, so the profit expression is split "
+    "into its two exact components (discounted revenue and quantity x retail "
+    "value) instead of a supply-cost subtraction — same plan shape: LIKE "
+    "predicate pushes to the part scan as a string filter, part broadcast "
+    "prunes lineitem FIRST, supplier+nation broadcast, one partial-agged "
+    "groupBy over (nation, year). Decimal accumulation keeps both sums "
+    "bit-identical across engines",
+)
+def q_q9_nation_profit(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    retail = F.col("l_quantity").cast("decimal(18,2)") * F.col(
+        "p_retailprice"
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            retail.alias("retail"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum("rev").cast("decimal(18,4)").cast("double").alias("revenue"),
+            F.sum("retail").cast("decimal(18,4)").cast("double").alias("retail_value"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    note="TPC-H-style Q13 (customer order-count distribution): LEFT OUTER "
+    "join so zero-order customers survive with c_count=0 — the ON-clause "
+    "predicate on the right side is pre-filtered onto the orders scan "
+    "(equivalent for left joins, and it pushes to parquet where an ON-clause "
+    "residual would not), then a two-level aggregation: per-customer count "
+    "(shuffle on custkey) and the histogram roll-up (shuffle on the tiny "
+    "count domain). count(o_orderkey) counts only matched rows, preserving "
+    "outer-join null semantics in both engines",
+)
+def q_q13_customer_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey)
+    SELECT round(CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                           AS DECIMAL(18,4)) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < pa.qty_thresh
+    """,
+    note="TPC-H-style Q17 (small-quantity-order revenue): the correlated "
+    "scalar subquery (per-part average quantity) decorrelates to a "
+    "partial-agged groupBy on l_partkey joined back as an equi join — never "
+    "a per-row subquery execution. The brand predicate pushes to the part "
+    "scan and the broadcast part join prunes lineitem before the threshold "
+    "join. Quantities are integral doubles so avg() is order-independent "
+    "and the 0.2x threshold compares identically in both engines; revenue "
+    "accumulates in exact decimal before the /7.0 presentation divide",
+)
+def q_q17_small_qty_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = (
+        li.groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh"))
+    )
+    return (
+        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        .join(pa, F.col("pa_partkey") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("decimal(18,4)").cast("double") / F.lit(7.0),
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+               AS n_ret_supp
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN per_order po ON po.l_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND po.n_supp >= 2 AND po.n_ret_supp = 1
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 100
+    """,
+    note="TPC-H-style Q21 (suppliers who kept orders waiting): the driver "
+    "schema has no commit/receipt dates, so 'failed delivery' maps to "
+    "l_returnflag='R' — the EXISTS (another supplier contributed) and NOT "
+    "EXISTS (no OTHER supplier failed) correlated subqueries decorrelate "
+    "into ONE aggregate over lineitem per order (distinct-supplier count + "
+    "distinct-failing-supplier count) instead of two extra self-joins: "
+    "n_supp>=2 is the EXISTS, n_ret_supp=1 combined with l1 failing is the "
+    "NOT EXISTS. Supplier broadcast, TakeOrdered top-k with name tiebreak",
+)
+def q_q21_waiting_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(F.broadcast(s), s.s_suppkey == l1.l_suppkey)
+        .join(o, o.o_orderkey == l1.l_orderkey)
+        .join(
+            per_order,
+            (F.col("po_orderkey") == l1.l_orderkey)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_ret_supp") == 1),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS a
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                     AS DECIMAL(18,4)) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
+    GROUP BY segment ORDER BY segment
+    """,
+    note="TPC-H-style Q22 (global sales opportunity): above-average-balance "
+    "customers with no recent orders, grouped by market segment (the driver "
+    "schema has no phone column for country codes). The scalar average is an "
+    "in-plan 1-row broadcast (exact decimal sum / count, so the threshold is "
+    "bit-identical across engines — no driver round-trip), the NOT EXISTS "
+    "decorrelates to a LEFT ANTI join against the date-pruned orders scan, "
+    "and balances aggregate in exact decimal",
+)
+def q_q22_dormant_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,4)").cast("double").alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
     "funnel_conversion",
     """
     WITH f AS (
@@ -3839,6 +4227,15 @@ _CERT_EARLY = [
 ]
 
 _CERT_LATE = [
+    # NOTE: the seven r5b TPC-H additions (q7/q8/q9/q13/q17/q21/q22)
+    # are intentionally NOT listed in either rotation list: _rotated()
+    # places unlisted entries in the middle block, i.e. immediately
+    # after the 50-entry head — the head is already fully claimed by
+    # the ten events.ts re-certifications, the reworked outputs, the
+    # r5a additions, and the 2-round-stale tier-3 backlog, none of
+    # which can slip past the driver window without violating the
+    # nothing->2-rounds-stale policy.  The r5b queries ride the local
+    # oracle sweep this round and lead r6's window as never-certified.
     # head-of-tail: the entries sacrificed for the r5 additions (all
     # green r2+r3 or r4) sit FIRST after the cutoff so any driver
     # window wider than 50 certifies them immediately; promote in r6
