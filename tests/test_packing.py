@@ -64,3 +64,51 @@ def test_pack_sharded_scopes_bins(spark):
 def test_pack_validates_capacity(docs):
     with pytest.raises(ValueError):
         pack_token_bins(docs, "n_tokens", 0, "lang")
+
+
+def test_concat_shards_digest_and_order(spark):
+    import hashlib
+
+    from world_vaccination_coverage_etl_spark.operators.packing import (
+        concat_shards,
+    )
+
+    rows = [(i, f"src{i % 2}", f"doc number {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = concat_shards(df).collect()
+    # every doc lands in exactly one (source, shard); totals conserved
+    assert sum(r.n_docs for r in out) == 40
+    assert sum(r.total_chars for r in out) == sum(
+        len(t) for _, _, t in rows
+    )
+    # digest equals md5 of the ascending-doc_id '\n\n' join per group
+    def shard_of(i):
+        return hashlib.md5(f"shard:{i}".encode()).hexdigest()[:1]
+
+    expected = {}
+    for i, src, text in sorted(rows):
+        expected.setdefault((src, shard_of(i)), []).append(text)
+    for r in out:
+        want = hashlib.md5(
+            "\n\n".join(expected[(r.source, r.shard)]).encode()
+        ).hexdigest()
+        assert r.text_digest == want, (r.source, r.shard)
+
+
+def test_concat_shards_growth_stable_assignment(spark):
+    from world_vaccination_coverage_etl_spark.operators.packing import (
+        concat_shards,
+    )
+
+    rows = [(i, "s", f"t{i}") for i in range(30)]
+    small = spark.createDataFrame(rows[:20], "doc_id long, source string, text string")
+    big = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # a doc's shard never changes when the corpus grows (row-local hash)
+    def assignment(df):
+        return {
+            (r.source, r.shard): r.n_docs for r in concat_shards(df).collect()
+        }
+
+    a_small, a_big = assignment(small), assignment(big)
+    for key, n in a_small.items():
+        assert a_big.get(key, 0) >= n

@@ -146,3 +146,43 @@ def test_weighted_sample_topk_deterministic_and_k_bounded(spark):
     # repartitioning the input must not change membership
     c = weighted_sample_topk(df.repartition(7), "w", k=4, strata_col="grp")
     assert sorted((r["grp"], r["doc_id"]) for r in c.collect()) == ra
+
+
+def test_capped_per_group_equals_single_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from world_vaccination_coverage_etl_spark.operators.sampling import (
+        capped_per_group,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        r.doc_id for r in capped_per_group(df, "source", cap=25).collect()
+    )
+    u = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(u, "doc_id")
+    want = sorted(
+        r.doc_id
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .collect()
+    )
+    assert got == want
+    # cap respected per group
+    from collections import Counter
+
+    by_src = Counter(i % 3 for i in got)
+    assert all(v <= 25 for v in by_src.values())
+    assert len(got) == 75
+
+
+def test_capped_per_group_small_groups_untouched(spark):
+    from world_vaccination_coverage_etl_spark.operators.sampling import (
+        capped_per_group,
+    )
+
+    rows = [(i, "only") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    assert capped_per_group(df, "source", cap=50).count() == 10

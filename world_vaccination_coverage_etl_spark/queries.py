@@ -1709,11 +1709,18 @@ def q_q21_waiting_supplier(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supp"),
+    # two-level aggregate instead of a double countDistinct: Spark
+    # plans multi-column distinct aggregates with an Expand (x2 row
+    # blow-up of the whole fact); per-(order, supplier) partial agg
+    # first keeps every pass map-side combinable and Expand-free
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+        ).alias("has_r")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_ret_supp"),
     )
     l1 = li.filter(F.col("l_returnflag") == "R")
     return (
@@ -1782,6 +1789,173 @@ def q_q22_dormant_customers(spark, sf_dir):
             .cast("decimal(18,4)").cast("double").alias("totacctbal"),
         )
         .orderBy("segment")
+    )
+
+
+@register(
+    "doc_concat_shards",
+    """
+    SELECT source,
+           substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id))
+             AS text_digest
+    FROM documents
+    GROUP BY source, shard ORDER BY source, shard
+    """,
+    note="pretraining shard assembly (operators/packing.py concat_shards): "
+    "row-local salted-md5 shard assignment (16 shards via 1 hex char — the "
+    "hash_split contract, growth-stable and engine-portable), then ONE "
+    "shuffle on (source, shard) and an all-JVM ordered concatenation "
+    "(array_sort(collect_list(struct(doc_id, text))) -> transform -> "
+    "array_join). The md5 digest of each joined shard certifies the exact "
+    "byte order of the concatenation against the oracle's ORDER BY "
+    "string_agg without shipping shard text into the result; per-group "
+    "state is bounded by the shard fanout — the same lever pack_token_bins "
+    "uses",
+)
+def q_doc_concat_shards(spark, sf_dir):
+    from .operators.packing import concat_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return concat_shards(d).orderBy("source", "shard")
+
+
+@register(
+    "sql_api_running_revenue",
+    """
+    WITH m AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(month(l_shipdate) AS INT) AS mo,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                       AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY yr, mo)
+    SELECT yr, mo, revenue,
+           round(sum(revenue) OVER (PARTITION BY yr ORDER BY mo
+                                    ROWS UNBOUNDED PRECEDING), 4)
+             AS ytd_revenue
+    FROM m ORDER BY yr, mo
+    """,
+    note="SQL-API parity: this query is executed as LITERAL SQL TEXT via "
+    "spark.sql() over temp views — the same string both engines parse "
+    "(reference users write SQL against SQLite; the engine accepts the "
+    "identical entry path, and Catalyst plans it exactly like the "
+    "DataFrame build: pushed scans, partial agg, one window pass over the "
+    "tiny month domain). The running sum accumulates in deterministic "
+    "frame order over decimal-exact doubles, so round(...,4) is stable "
+    "cross-engine",
+)
+def q_sql_api_running_revenue(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sql_api_lineitem_v"
+    )
+    return spark.sql(
+        """
+        WITH m AS (
+          SELECT CAST(year(l_shipdate) AS INT) AS yr,
+                 CAST(month(l_shipdate) AS INT) AS mo,
+                 CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                           AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+          FROM sql_api_lineitem_v GROUP BY yr, mo)
+        SELECT yr, mo, revenue,
+               round(sum(revenue) OVER (PARTITION BY yr ORDER BY mo
+                                        ROWS UNBOUNDED PRECEDING), 4)
+                 AS ytd_revenue
+        FROM m ORDER BY yr, mo
+        """
+    )
+
+
+@register(
+    "domain_cap_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, source, lang,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, lang FROM r WHERE rn <= 40 ORDER BY doc_id
+    """,
+    note="per-domain frequency capping (operators/sampling.py "
+    "capped_per_group, cap=40): the web-corpus step that bounds any one "
+    "source's contribution. Deterministic salted-md5 order makes the kept "
+    "prefix unbiased, growth-stable, and engine-portable; the "
+    "implementation is TWO-PHASE (rank within (source, hash-part) first, "
+    "then re-rank the <= cap x 16 survivors) so a hot domain spreads over "
+    "16 tasks instead of serializing one window task — provably identical "
+    "to the oracle's single row_number() because any row of the global "
+    "top-cap is in its own part's top-cap",
+)
+def q_domain_cap_sample(spark, sf_dir):
+    from .operators.sampling import capped_per_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return capped_per_group(d, "source", cap=40).orderBy("doc_id")
+
+
+@register(
+    "incremental_dedup_new_docs",
+    rf"""
+    WITH assigned AS (
+      SELECT doc_id, source, text,
+             CASE WHEN substr(md5('incr:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       < 'c000'
+                  THEN 'base' ELSE 'new' END AS batch
+      FROM documents),
+    base_keys AS (
+      SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+      FROM assigned WHERE batch = 'base'),
+    new_first AS (
+      SELECT min(doc_id) AS doc_id,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+      FROM assigned WHERE batch = 'new' GROUP BY 2)
+    SELECT n.doc_id FROM new_first n
+    WHERE NOT EXISTS (SELECT 1 FROM base_keys b WHERE b.k = n.k)
+    ORDER BY n.doc_id
+    """,
+    note="incremental ingest dedup: the continuous-crawl step — an "
+    "incoming batch ('new', 25% by the salted-md5 split contract) is "
+    "deduplicated WITHIN itself (keep-min-id per normalized key, one "
+    "hash-partial-agged shuffle) and then LEFT ANTI joined against the "
+    "existing corpus's distinct normalized keys ('base'). At 100 TB the "
+    "base side is the pre-computed key column of the warehouse (already "
+    "distinct, bucketed on the key) so the anti join co-locates without "
+    "re-scanning history; here both sides derive from the documents "
+    "fixture via the deterministic batch assignment. Normalization is "
+    "the exact_dedup contract (whitespace-collapse + lowercase)",
+)
+def q_incremental_dedup_new_docs(spark, sf_dir):
+    from .operators.dedup import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    batch = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        )
+        < "c000",
+        F.lit("base"),
+    ).otherwise(F.lit("new"))
+    assigned = d.select(
+        "doc_id", normalized_text(F.col("text")).alias("k"), batch.alias("batch")
+    )
+    base_keys = (
+        assigned.filter(F.col("batch") == "base").select("k").distinct()
+    )
+    new_first = (
+        assigned.filter(F.col("batch") == "new")
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        new_first.join(base_keys, "k", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
     )
 
 
