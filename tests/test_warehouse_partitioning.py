@@ -43,3 +43,98 @@ def test_partitioned_roundtrip_preserves_rows(spark, sf_small, tmp_path):
     # partition column round-trips as a real column
     assert set(r["event_type"] for r in back.select("event_type").distinct().collect()) \
         == set(r["event_type"] for r in events.select("event_type").distinct().collect())
+
+
+def _file_stats(path, cols):
+    """Per-file (min, max) footer stats for each column."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    stats = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                    hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+        stats.append((lo, hi))
+    return stats
+
+
+def _candidate_files(stats, col, q_lo, q_hi):
+    """Files whose [min, max] on col intersects [q_lo, q_hi]."""
+    return sum(
+        1 for lo, hi in stats if not (hi[col] < q_lo or lo[col] > q_hi)
+    )
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    from world_vaccination_coverage_etl_spark.sources.warehouse import (
+        write_sorted_table,
+        write_zorder_table,
+    )
+
+    n = 100_000
+    df = spark.range(n).selectExpr(
+        "cast(pmod(hash(id), 1000) as long) as x",
+        "cast(pmod(hash(id * 7 + 3), 1000) as long) as y",
+        "id as payload",
+    )
+    p_sorted = str(tmp_path / "sorted_by_x")
+    p_z = str(tmp_path / "zorder_xy")
+    write_sorted_table(df, p_sorted, ["x"], n_files=16)
+    write_zorder_table(df, p_z, "x", "y", bits=10, n_files=16)
+
+    # layouts are lossless
+    assert spark.read.parquet(p_z).count() == n
+    assert sorted(
+        r.payload for r in spark.read.parquet(p_z).limit(0).collect()
+    ) == []
+
+    s_sorted = _file_stats(p_sorted, ["x", "y"])
+    s_z = _file_stats(p_z, ["x", "y"])
+    assert len(s_sorted) >= 8 and len(s_z) >= 8
+
+    # a filter on y alone: the x-sorted layout cannot skip anything,
+    # the z-ordered layout must skip a real fraction of files
+    y_only_sorted = _candidate_files(s_sorted, "y", 0, 99)
+    y_only_z = _candidate_files(s_z, "y", 0, 99)
+    assert y_only_sorted == len(s_sorted)
+    assert y_only_z < len(s_z)
+
+    # a small 2-D box: z-order candidates must be fewer than the
+    # 1-D layout's candidates for the same box
+    def box_candidates(stats):
+        return sum(
+            1
+            for lo, hi in stats
+            if not (hi["x"] < 0 or lo["x"] > 249)
+            and not (hi["y"] < 0 or lo["y"] > 249)
+        )
+
+    assert box_candidates(s_z) < box_candidates(s_sorted)
+
+
+def test_zorder_roundtrip_exact(spark, tmp_path):
+    from world_vaccination_coverage_etl_spark.sources.warehouse import (
+        write_zorder_table,
+    )
+
+    df = spark.range(5_000).selectExpr(
+        "cast(id % 77 as long) as x",
+        "cast(id % 131 as long) as y",
+        "id as payload",
+    )
+    p = str(tmp_path / "z_rt")
+    write_zorder_table(df, p, "x", "y", bits=8, n_files=8)
+    back = spark.read.parquet(p)
+    assert sorted(r.payload for r in back.collect()) == list(range(5_000))

@@ -2606,6 +2606,93 @@ def q_stream_click_attribution(spark, sf_dir):
 
 
 @register(
+    "stream_attribution_outer",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events),
+    c AS (SELECT user_id, event_id AS click_id, ts FROM e
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts FROM e
+          WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                  - INTERVAL 1 DAY AS w),
+    matched AS (
+      SELECT c.user_id, c.click_id, p.purchase_id
+      FROM c JOIN p ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR),
+    unmatched AS (
+      SELECT c.user_id, c.click_id, CAST(-1 AS BIGINT) AS purchase_id
+      FROM c, wm
+      WHERE NOT EXISTS (SELECT 1 FROM p
+                        WHERE p.user_id = c.user_id
+                          AND p.ts >= c.ts
+                          AND p.ts <= c.ts + INTERVAL 6 HOUR)
+        AND c.ts + INTERVAL 6 HOUR < wm.w)
+    SELECT user_id, click_id, CAST(purchase_id AS BIGINT) AS purchase_id
+    FROM matched
+    UNION ALL SELECT user_id, click_id, purchase_id FROM unmatched
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    note="watermarked stream-stream LEFT OUTER interval join (streaming/"
+    "stream_join.py how='left_outer'): clicks that never convert emit a "
+    "null-extended row (surfaced as purchase_id=-1) once the watermark "
+    "proves no purchase can still arrive. The oracle encodes the exact "
+    "eviction semantics, empirically pinned: the GLOBAL watermark is the "
+    "MIN across both inputs' event-time maxima minus the delay (not the "
+    "union max — clicks and purchases advance at different rates), and a "
+    "click is released when click_ts + interval < watermark. Matched "
+    "pairs emit immediately; only the outer tail waits on state eviction "
+    "— which is what bounds the state store at 100 TB/day",
+)
+def q_stream_attribution_outer(spark, sf_dir):
+    import uuid
+
+    from .streaming.stream_join import stream_interval_join
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        clicks, purchases, on="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        max_delay="6 hours", watermark="1 day", how="left_outer",
+    )
+    qname = f"stream_attr_outer_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            joined.select(
+                "user_id",
+                "click_id",
+                F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).orderBy("user_id", "click_id", "purchase_id")
+
+
+@register(
     "range_join_attribution",
     """
     SELECT c.user_id AS user_id, c.event_id AS click_id,
