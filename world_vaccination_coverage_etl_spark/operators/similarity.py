@@ -275,3 +275,83 @@ def knn_all_pairs_bruteforce(
         .filter(F.col("rank") <= k)
         .select("src_id", "nbr_id", "cosine", "rank")
     )
+
+
+def hard_negatives_within_blocks(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    block_col: str = "block",
+    dup_ceiling: float = 0.95,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training companion to
+    `knn_within_blocks`.
+
+    For each vector, the most similar OTHER-labeled vectors that are
+    not near-duplicates: candidates must carry a different
+    ``label_col`` (a same-label "negative" is a false negative for the
+    loss) and a cosine <= ``dup_ceiling`` (above it the pair is
+    probably the same content mislabeled — mining it would teach the
+    model to split duplicates).  Same scale shape as the k-NN kernel:
+    one shuffle on the coarse block key, one numpy matmul per block,
+    top-k emitted per source — O(b²) per block, never global.
+
+    Masking happens on the ROUNDED cosine so the ceiling compares
+    identically in any engine (the oracle applies ``cosine <= ceiling``
+    to the same 6-dp value).
+    """
+    import pandas as pd
+
+    schema = "src_id long, nbr_id long, cosine double, rank int"
+
+    def _mine_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        labels = pdf[label_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        norms = np.linalg.norm(m, axis=1)
+        safe = np.where(norms > 0, norms, 1.0)
+        unit = m / safe[:, None]
+        cos = unit @ unit.T
+        cos[norms == 0, :] = 0.0
+        cos[:, norms == 0] = 0.0
+        scale = 10.0 ** round_dp
+        with np.errstate(invalid="ignore"):
+            cos = np.sign(cos) * np.floor(np.abs(cos) * scale + 0.5) / scale
+        same_label = labels[:, None] == labels[None, :]
+        cos = np.where(same_label | (cos > dup_ceiling), -np.inf, cos)
+        np.fill_diagonal(cos, -np.inf)
+        out_src, out_nbr, out_cos, out_rank = [], [], [], []
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -cos[i]))
+            order = order[np.isfinite(cos[i][order])][:k]
+            kk = len(order)
+            if kk == 0:
+                continue
+            out_src.append(np.full(kk, ids[i]))
+            out_nbr.append(ids[order])
+            out_cos.append(cos[i][order])
+            out_rank.append(np.arange(1, kk + 1, dtype="int32"))
+        if not out_src:
+            return pd.DataFrame(
+                {"src_id": [], "nbr_id": [], "cosine": [], "rank": []}
+            ).astype({"src_id": "int64", "nbr_id": "int64",
+                      "cosine": "float64", "rank": "int32"})
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate(out_src),
+                "nbr_id": np.concatenate(out_nbr),
+                "cosine": np.concatenate(out_cos),
+                "rank": np.concatenate(out_rank),
+            }
+        )
+
+    return (
+        df.select(
+            F.col(id_col), F.col(vec_col), F.col(label_col), F.col(block_col)
+        )
+        .groupBy(block_col)
+        .applyInPandas(_mine_block, schema=schema)
+    )

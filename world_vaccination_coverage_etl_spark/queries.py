@@ -4282,6 +4282,77 @@ def q_knn_blocked_lsh(spark, sf_dir):
     )
 
 
+def _hard_negatives_oracle(
+    bits: int = 4, seed: int = 42, dim: int = 64, k: int = 5,
+    ceiling: float = 0.95,
+) -> str:
+    """Same hyperplane-literal bucketing as `_knn_blocked_oracle`, with
+    the hard-negative constraints: different label, 6-dp cosine at or
+    below the near-dup ceiling."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {lits[b]}) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    b AS (SELECT vec_id, label, emb, {bucket} AS bkt FROM v),
+    pairs AS (
+      SELECT a.vec_id AS src_id, c.vec_id AS nbr_id,
+             round(CASE WHEN sqrt(list_dot_product(a.emb, a.emb))
+                             * sqrt(list_dot_product(c.emb, c.emb)) > 0
+                        THEN list_dot_product(a.emb, c.emb)
+                             / (sqrt(list_dot_product(a.emb, a.emb))
+                                * sqrt(list_dot_product(c.emb, c.emb)))
+                        ELSE 0.0 END, 6) AS cosine
+      FROM b a JOIN b c
+        ON a.bkt = c.bkt AND a.vec_id <> c.vec_id AND a.label <> c.label),
+    ranked AS (
+      SELECT src_id, nbr_id, cosine,
+             CAST(row_number() OVER (PARTITION BY src_id
+                                     ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+      FROM pairs WHERE cosine <= {ceiling})
+    SELECT src_id, nbr_id, cosine, rank
+    FROM ranked WHERE rank <= {k} ORDER BY src_id, rank
+    """
+
+
+@register(
+    "hard_negatives_topk",
+    _hard_negatives_oracle(),
+    note="hard-negative mining for contrastive training (operators/"
+    "similarity.py hard_negatives_within_blocks): per vector, the top-5 "
+    "most-similar OTHER-labeled vectors with 6-dp cosine <= 0.95 — "
+    "same-label candidates are false negatives for the loss, and "
+    "above-ceiling pairs are near-dups that would teach the model to "
+    "split duplicates. Same scale shape as knn_blocked_lsh: sign-LSH "
+    "coarse blocks, one Arrow matmul per block, top-k per source, one "
+    "shuffle — the constraint masks run inside the kernel on the "
+    "rounded cosine so the ceiling compares identically to the oracle",
+)
+def q_hard_negatives_topk(spark, sf_dir):
+    from .operators.similarity import (
+        hard_negatives_within_blocks,
+        lsh_bucket_batched,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "block", lsh_bucket_batched(F.col("embedding"), dim=64, bits=4, seed=42)
+    )
+    mined = hard_negatives_within_blocks(e, k=5, block_col="block")
+    return mined.select("src_id", "nbr_id", "cosine", "rank").orderBy(
+        "src_id", "rank"
+    )
+
+
 @register(
     "embedding_dup_pairs",
     f"""
