@@ -141,3 +141,40 @@ def test_lsh_bucket_batched_matches_jvm_expression(spark):
         lsh_bucket_batched(F.col("embedding"), dim=12, bits=5, seed=3).alias("arrow"),
     ).collect()
     assert all(r.jvm == r.arrow for r in out)
+
+
+def test_hard_negatives_respects_label_and_ceiling(spark):
+    import numpy as np
+
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        hard_negatives_within_blocks,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = rng.standard_normal((4, 8))
+    for i in range(80):
+        lab = i % 4
+        v = base[lab] + 0.3 * rng.standard_normal(8)
+        rows.append((i, lab, [float(x) for x in v]))
+    # vec 80 duplicates vec 0 but with a different label: the pair's
+    # cosine ~1.0 must be EXCLUDED by the dup ceiling
+    rows.append((80, 1, [float(x) for x in base[0]]))
+    rows.append((81, 0, [float(x) for x in base[0]]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).withColumn("block", F.lit(0))
+    out = hard_negatives_within_blocks(
+        df, k=3, block_col="block", dup_ceiling=0.95
+    ).collect()
+    labels = {i: i % 4 for i in range(80)}
+    labels[80], labels[81] = 1, 0
+    for r in out:
+        assert labels[r.src_id] != labels[r.nbr_id], (r.src_id, r.nbr_id)
+        assert r.cosine <= 0.95 + 1e-12
+    # the cross-label duplicate pair (80, 81) must not be mined
+    pairs = {(r.src_id, r.nbr_id) for r in out}
+    assert (81, 80) not in pairs and (80, 81) not in pairs
+    # every source with any eligible candidate appears
+    assert len({r.src_id for r in out}) >= 75

@@ -1793,6 +1793,124 @@ def q_q22_dormant_customers(spark, sf_dir):
 
 
 @register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                             AS DECIMAL(18,4)) AS DOUBLE)
+                   / sum(l_quantity), 4) AS unit_cost
+      FROM lineitem l GROUP BY 1, 2),
+    eu AS (
+      SELECT c.l_partkey, c.unit_cost, s.s_name, n.n_name
+      FROM cost c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    mn AS (SELECT l_partkey, min(unit_cost) AS mc FROM eu GROUP BY 1)
+    SELECT p.p_partkey, p.p_brand, p.p_type, e.s_name, e.n_name, e.unit_cost
+    FROM eu e
+    JOIN mn ON mn.l_partkey = e.l_partkey AND e.unit_cost = mn.mc
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE p.p_size BETWEEN 10 AND 30
+    ORDER BY e.unit_cost, p.p_partkey, e.s_name LIMIT 100
+    """,
+    note="TPC-H-style Q2 (min-cost supplier per part in a region): no "
+    "partsupp in the driver schema, so supply cost derives from lineitem "
+    "(average realized unit price per (part, supplier) — exact decimal sum "
+    "over integral quantities, rounded to 4 dp so the argmin equality "
+    "compares identically cross-engine). The correlated MIN subquery "
+    "decorrelates to a per-part aggregate broadcast back as an equi join "
+    "on (partkey, unit_cost) — the per-group ARGMIN join-back, the one "
+    "TPC-H shape q15 (global max) and q17 (threshold filter) don't cover; "
+    "supplier/nation/region prune before the min so only regional offers "
+    "compete, and the size predicate pushes to the part scan",
+)
+def q_q2_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").between(10, 30))
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,4)").cast("double")
+            / F.sum("l_quantity"),
+            4,
+        ).alias("unit_cost")
+    )
+    eu = (
+        cost.join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .select("l_partkey", "unit_cost", "s_name", "n_name")
+    )
+    mn = eu.groupBy(F.col("l_partkey").alias("mn_partkey")).agg(
+        F.min("unit_cost").alias("mc")
+    )
+    return (
+        eu.join(
+            F.broadcast(mn),
+            (F.col("mn_partkey") == F.col("l_partkey"))
+            & (F.col("unit_cost") == F.col("mc")),
+        )
+        .join(F.broadcast(p), p.p_partkey == F.col("l_partkey"))
+        .select(
+            "p_partkey", "p_brand", "p_type", "s_name", "n_name", "unit_cost"
+        )
+        .orderBy("unit_cost", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "q16_supplier_diversity",
+    """
+    SELECT p.p_brand, p.p_type,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+    note="TPC-H-style Q16 (supplier diversity by part attributes): the "
+    "driver schema has no partsupp, so the supplier-part relation derives "
+    "from lineitem. Shapes: the NOT IN exclusion subquery (negative-balance "
+    "suppliers standing in for the complaints LIKE) decorrelates to a LEFT "
+    "ANTI join against a broadcast few-row set — safe because s_suppkey is "
+    "non-null, the NULL-semantics trap of NOT IN never triggers; the "
+    "brand/type/size predicates all push to the part scan; a SINGLE-column "
+    "count(DISTINCT) plans as a two-phase aggregate (no Expand — the "
+    "multi-distinct blow-up q21 avoids does not apply)",
+)
+def q_q16_supplier_diversity(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), p.p_partkey == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+@register(
     "doc_concat_shards",
     """
     SELECT source,
