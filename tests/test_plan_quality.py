@@ -46,6 +46,8 @@ NESTED_LOOP_OK = {
     # Q22's above-average-balance threshold: same 1-row broadcast
     # scalar pattern (exact decimal avg joined in-plan)
     "q22_dormant_customers",
+    # corpus-total scalar for the unigram NLL normalization
+    "doc_unigram_logprob",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]

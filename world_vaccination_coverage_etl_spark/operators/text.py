@@ -372,3 +372,50 @@ def repetition_stats(
             ).alias("dup_gram_frac"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Unigram negative-log-likelihood per document — the perplexity
+    proxy (CCNet-style) quality signal.
+
+    Scores each document by the token-weighted average of
+    ``-ln(p(w))`` where ``p(w)`` is the corpus unigram distribution:
+    gibberish and boilerplate-free rare-token noise score HIGH,
+    templated/duplicated text scores LOW — both tails are curation
+    candidates.  Self-contained: the language model IS the corpus, no
+    external artifacts.
+
+    Scale design: the naive shape joins every TOKEN OCCURRENCE to the
+    vocabulary (the 'the' key alone carries ~5% of the corpus through
+    one shuffle partition).  This computes per-(doc, term) counts
+    FIRST — one partial-agged shuffle — and joins the tf rows to the
+    vocabulary, so the join key skew is bounded by document frequency,
+    not occurrence count, and AQE's skew-join splits whatever remains.
+    The corpus total rides a 1-row broadcast (in-plan scalar, no
+    driver round-trip).  ln() at 6-dp rounding is the same
+    libm-portability contract `tfidf_top_terms` certifies.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("w")
+    )
+    tf = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    cnt = tf.groupBy("w").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    return (
+        tf.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * -F.log(F.col("c") / F.col("n")))
+                / F.sum("tf"),
+                round_dp,
+            ).alias("avg_nll"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+    )

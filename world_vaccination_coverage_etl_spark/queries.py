@@ -3280,6 +3280,35 @@ def q_word_frequencies(spark, sf_dir):
 
 
 @register(
+    "doc_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+    cnt AS (SELECT w, sum(tf) AS c FROM tf GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM cnt)
+    SELECT tf.doc_id,
+           round(sum(tf.tf * -ln(cnt.c / tot.n)) / sum(tf.tf), 6) AS avg_nll,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens
+    FROM tf JOIN cnt USING (w), tot
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+    note="unigram NLL perplexity proxy (operators/text.py unigram_logprob, "
+    "CCNet-style quality signal; the LM is the corpus itself): per-(doc, "
+    "term) counts FIRST so the vocabulary join's skew is bounded by "
+    "document frequency (not occurrence count — the naive shape funnels "
+    "'the' through one partition), corpus total as an in-plan 1-row "
+    "broadcast, token-weighted average; ln() certified at 6-dp rounding, "
+    "the tfidf libm-portability contract",
+)
+def q_doc_unigram_logprob(spark, sf_dir):
+    from .operators.text import unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_logprob(d).orderBy("doc_id")
+
+
+@register(
     "tfidf_top_terms",
     f"""
     WITH toks AS (
