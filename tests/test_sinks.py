@@ -57,3 +57,24 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     a = sorted(r.id for r in spark.read.parquet(str(src)).collect())
     b = sorted(r.id for r in spark.read.parquet(str(out)).collect())
     assert a == b
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark, sf_small, tmp_path):
+    """ORC is the engine's second columnar warehouse format: exact
+    round-trip, schema preserved, and filters reach the ORC scan
+    (PushedFilters) just as they do for parquet."""
+    from world_vaccination_coverage_etl_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_small, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "lineitem_orc")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == li.count()
+    assert dict(back.dtypes) == dict(li.dtypes)
+
+    filtered = back.filter("l_returnflag = 'R'")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+    assert filtered.count() == li.filter("l_returnflag = 'R'").count()

@@ -3309,6 +3309,58 @@ def q_doc_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "corpus_health_by_source",
+    """
+    WITH lang_mix AS (
+      SELECT source, lang, count(*) AS nl FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, sum(nl) AS n FROM lang_mix GROUP BY source),
+    ent AS (
+      SELECT l.source,
+             round(-sum((l.nl / t.n) * ln(l.nl / t.n)), 6) AS lang_entropy
+      FROM lang_mix l JOIN tot t ON t.source = l.source
+      GROUP BY l.source)
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(d.n_chars), 4) AS avg_chars,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           e.lang_entropy
+    FROM documents d JOIN ent e ON e.source = d.source
+    GROUP BY d.source, e.lang_entropy
+    ORDER BY d.source
+    """,
+    note="per-source corpus health report — the monitoring query a "
+    "training-data pipeline runs per ingest batch: volume, mean length, "
+    "and the language-mix Shannon entropy per source (a sudden entropy "
+    "drop flags a crawler stuck in one language; a spike flags "
+    "mis-routed content). Two partial-agged shuffles on the source key "
+    "plus a broadcast of the tiny per-source entropy — integral sums "
+    "keep avg() exact, entropy under the 6-dp ln() contract",
+)
+def q_corpus_health_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    lang_mix = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("nl"))
+    tot = lang_mix.groupBy("source").agg(F.sum("nl").alias("n"))
+    p = F.col("nl") / F.col("n")
+    ent = (
+        lang_mix.join(tot, "source")
+        .groupBy("source")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"))
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .join(F.broadcast(ent), "source")
+        .select(
+            "source", "n_docs", "avg_chars", "n_langs", "lang_entropy"
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "tfidf_top_terms",
     f"""
     WITH toks AS (
@@ -4497,6 +4549,46 @@ def q_hard_negatives_topk(spark, sf_dir):
     mined = hard_negatives_within_blocks(e, k=5, block_col="block")
     return mined.select("src_id", "nbr_id", "cosine", "rank").orderBy(
         "src_id", "rank"
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    WITH n AS (
+      SELECT label,
+             sqrt(list_dot_product(
+               list_transform(embedding, x -> x::DOUBLE),
+               list_transform(embedding, x -> x::DOUBLE))) AS nrm
+      FROM embeddings)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(nrm), 6) AS avg_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+    note="embedding L2-norm distribution per label — the vector sanity "
+    "gate before ANN/dedup (zero or wild norms break cosine). Exercises "
+    "the Catalyst higher-order-function surface (aggregate() fold for the "
+    "dot product) on an O(rows) pass; HOFs are interpreted (~100 us/eval "
+    "at dim 64) so this shape is for reporting volumes — candidate-verify "
+    "volumes use the Arrow kernels (see _cosine_pairs_udf), the split the "
+    "repo applies everywhere",
+)
+def q_embedding_norm_stats(spark, sf_dir):
+    from .operators.similarity import _norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.select("label", _norm(F.col("embedding")).alias("nrm"))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
     )
 
 
