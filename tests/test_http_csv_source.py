@@ -1,0 +1,90 @@
+"""HTTP CSV Python DataSource (sources/http_csv_source.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from world_vaccination_coverage_etl_spark.sources.http_csv_source import (
+    register_http_csv,
+)
+
+DDL = "entity string, year int, coverage__bcg double"
+
+
+@pytest.fixture()
+def csv_urls(tmp_path):
+    a = tmp_path / "a.csv"
+    # mixed-case headers + an undeclared extra column: the reference's
+    # case-insensitive resolution must apply and extras must drop
+    a.write_text("Entity,Year,coverage__BCG,junk\nAland,1990,70.5,x\nAland,1991,71.0,y\n")
+    b = tmp_path / "b.csv"
+    b.write_text("entity,year,coverage__bcg,junk\nBorland,1990,60.0,z\n")
+    return [a.as_uri(), b.as_uri()]
+
+
+def test_http_csv_reads_multiple_urls_in_parallel(spark, csv_urls):
+    register_http_csv(spark)
+    df = (
+        spark.read.format("http_csv")
+        .schema(DDL)
+        .option("urls", ",".join(csv_urls))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one partition per URL
+    rows = {(r.entity, r.year, r.coverage__bcg) for r in df.collect()}
+    assert rows == {
+        ("Aland", 1990, 70.5),
+        ("Aland", 1991, 71.0),
+        ("Borland", 1990, 60.0),
+    }
+    assert dict(df.dtypes) == {
+        "entity": "string", "year": "int", "coverage__bcg": "double",
+    }
+
+
+def test_http_csv_missing_declared_column_is_typed_null(spark, tmp_path):
+    register_http_csv(spark)
+    p = tmp_path / "nocov.csv"
+    p.write_text("entity,year\nAland,1990\n")
+    df = (
+        spark.read.format("http_csv")
+        .schema(DDL)
+        .option("urls", p.as_uri())
+        .load()
+    )
+    row = df.collect()[0]
+    assert row.entity == "Aland" and row.year == 1990
+    assert row.coverage__bcg is None
+
+
+def test_http_csv_requires_schema(spark, tmp_path):
+    register_http_csv(spark)
+    p = tmp_path / "x.csv"
+    p.write_text("a\n1\n")
+    with pytest.raises(Exception, match="explicit .schema"):
+        spark.read.format("http_csv").option("urls", p.as_uri()).load().collect()
+
+
+def test_http_csv_feeds_the_etl_unpivot(spark, csv_urls):
+    """End-to-end: the custom source slots into the reference ETL's
+    melt step exactly like the staged-file scan does."""
+    from world_vaccination_coverage_etl_spark.operators.reshape import (
+        unpivot_measures,
+    )
+
+    register_http_csv(spark)
+    wide = (
+        spark.read.format("http_csv")
+        .schema(DDL)
+        .option("urls", ",".join(csv_urls))
+        .load()
+    )
+    tidy = unpivot_measures(
+        wide,
+        ids=["entity", "year"],
+        values=[c for c in wide.columns if c.startswith("coverage__")],
+        variable_col="antigen",
+        value_col="coverage_pct",
+    )
+    assert tidy.count() == 3
+    assert {r.antigen for r in tidy.collect()} == {"coverage__bcg"}

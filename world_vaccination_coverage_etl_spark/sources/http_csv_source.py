@@ -1,0 +1,117 @@
+"""HTTP CSV as a first-class Spark data source (Python DataSource API).
+
+The reference's extract step is a driver-side ``requests.get`` of the
+OWID grapher CSV followed by an in-process pandas parse (reference
+etl_pipeline.py:28-31,51-53, 60 s timeout).  The engine's original
+port kept that shape (sources/csv_source.py: driver download → staged
+file → ``spark.read.csv``).  This module upgrades the operator to the
+Spark 4 Python DataSource API so the fetch itself is part of the
+query plan:
+
+- ``spark.read.format("http_csv").schema(ddl).option("urls", ...)`` —
+  no driver staging, no temp files;
+- one input partition PER URL: a multi-extract load (sharded exports,
+  per-year files) fetches and parses in parallel ON EXECUTORS, which
+  is the 100 TB posture — the driver never touches the bytes;
+- rows are delivered to the JVM as Arrow RecordBatches (the fast
+  path the API offers), not per-row Python tuples;
+- the reference's column contract is preserved: header names resolve
+  case-insensitively (etl_pipeline.py:56-58), missing declared columns
+  surface as typed NULLs, undeclared CSV columns are dropped — the
+  schema-drift guard stays where it was, ahead of the plan.
+
+``file://`` URLs are supported for hermetic tests; ``http(s)://`` uses
+stdlib urllib with the reference's 60 s default timeout (no external
+deps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _UrlPartition(InputPartition):
+    def __init__(self, idx: int, url: str):
+        super().__init__(idx)
+        self.url = url
+
+
+def _arrow_type(spark_type_name: str):
+    import pyarrow as pa
+
+    return {
+        "string": pa.string(),
+        "int": pa.int32(),
+        "integer": pa.int32(),
+        "bigint": pa.int64(),
+        "long": pa.int64(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+    }[spark_type_name]
+
+
+class HttpCsvReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self._schema = schema
+        urls = options.get("urls") or options.get("path") or ""
+        self._urls = [u.strip() for u in urls.split(",") if u.strip()]
+        if not self._urls:
+            raise ValueError("http_csv requires option 'urls' (comma-separated)")
+        self._timeout = float(options.get("timeout", "60"))
+
+    def partitions(self):
+        return [_UrlPartition(i, u) for i, u in enumerate(self._urls)]
+
+    def read(self, partition):
+        import io
+        import urllib.request
+
+        import pandas as pd
+        import pyarrow as pa
+
+        with urllib.request.urlopen(
+            partition.url, timeout=self._timeout
+        ) as resp:
+            raw = resp.read()
+        pdf = pd.read_csv(io.BytesIO(raw))
+        # case-insensitive header resolution — the reference contract
+        lower_to_actual = {c.lower(): c for c in pdf.columns}
+        fields = []
+        arrays = []
+        n = len(pdf)
+        for f in self._schema.fields:
+            at = _arrow_type(f.dataType.simpleString())
+            actual = lower_to_actual.get(f.name.lower())
+            if actual is None:
+                arrays.append(pa.nulls(n, type=at))
+            else:
+                arrays.append(
+                    pa.array(pdf[actual], type=at, from_pandas=True)
+                )
+            fields.append(pa.field(f.name, at))
+        table = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+        yield from table.to_batches()
+
+
+class HttpCsvDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "http_csv"
+
+    def schema(self):
+        # an explicit schema is required: CSV-over-HTTP inference would
+        # need a driver-side fetch, exactly what this source removes.
+        raise NotImplementedError(
+            "http_csv requires an explicit .schema(...) — inference would "
+            "re-introduce the driver-side fetch this source removes"
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return HttpCsvReader(schema, self.options)
+
+
+def register_http_csv(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(HttpCsvDataSource)
