@@ -88,3 +88,24 @@ def test_http_csv_feeds_the_etl_unpivot(spark, csv_urls):
     )
     assert tidy.count() == 3
     assert {r.antigen for r in tidy.collect()} == {"coverage__bcg"}
+
+
+def test_http_csv_pushes_equality_filters(spark, csv_urls):
+    register_http_csv(spark)
+    df = (
+        spark.read.format("http_csv")
+        .schema(DDL)
+        .option("urls", ",".join(csv_urls))
+        .load()
+        .filter("entity = 'Aland' AND year > 1989")
+    )
+    rows = {(r.entity, r.year) for r in df.collect()}
+    assert rows == {("Aland", 1990), ("Aland", 1991)}
+    # the equality filter is claimed by the source (absent from the
+    # post-scan Filter), the range filter stays with Spark
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    post = [ln for ln in plan.splitlines() if "Filter" in ln and "year" in ln]
+    assert post, "range filter must remain a Spark post-scan filter"
+    assert not any(
+        "entity" in ln and "Aland" in ln for ln in post
+    ), "pushed equality must not be re-evaluated by Spark"

@@ -60,6 +60,22 @@ class HttpCsvReader(DataSourceReader):
         if not self._urls:
             raise ValueError("http_csv requires option 'urls' (comma-separated)")
         self._timeout = float(options.get("timeout", "60"))
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        """Handle conjunctive EqualTo filters inside the source: rows are
+        dropped right after the parse, before Arrow serialization and the
+        Python→JVM hop.  (For a remote CSV nothing is skipped server-side —
+        the win is transfer volume out of the Python worker, which is why
+        only the cheap equality case is claimed.)  Everything else is
+        returned to Spark for post-scan evaluation."""
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self._pushed.append(f)
+            else:
+                yield f
 
     def partitions(self):
         return [_UrlPartition(i, u) for i, u in enumerate(self._urls)]
@@ -78,6 +94,11 @@ class HttpCsvReader(DataSourceReader):
         pdf = pd.read_csv(io.BytesIO(raw))
         # case-insensitive header resolution — the reference contract
         lower_to_actual = {c.lower(): c for c in pdf.columns}
+        for f in self._pushed:
+            actual = lower_to_actual.get(f.attribute[0].lower())
+            if actual is not None:
+                pdf = pdf[pdf[actual] == f.value]
+        pdf = pdf.reset_index(drop=True)
         fields = []
         arrays = []
         n = len(pdf)
@@ -113,5 +134,11 @@ class HttpCsvDataSource(DataSource):
 
 
 def register_http_csv(spark) -> None:
-    """Idempotently register the source on a session."""
+    """Idempotently register the source on a session.
+
+    Python-data-source filter pushdown is gated off by default
+    (`spark.sql.python.filterPushdown.enabled`); the reader implements
+    `pushFilters`, so registration enables the runtime conf alongside.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HttpCsvDataSource)
