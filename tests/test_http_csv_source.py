@@ -109,3 +109,44 @@ def test_http_csv_pushes_equality_filters(spark, csv_urls):
     assert not any(
         "entity" in ln and "Aland" in ln for ln in post
     ), "pushed equality must not be re-evaluated by Spark"
+
+
+def test_http_csv_stream_incremental_manifest(spark, tmp_path):
+    """Streaming flavor: offsets = consumed manifest lines. Two
+    AvailableNow runs over one checkpoint — the second must ingest ONLY
+    the URL appended between runs (checkpointed offset resume)."""
+    import uuid
+
+    register_http_csv(spark)
+    a = tmp_path / "a.csv"
+    a.write_text("entity,year,coverage__bcg\nAland,1990,70.5\n")
+    b = tmp_path / "b.csv"
+    b.write_text("entity,year,coverage__bcg\nBorland,1991,60.0\n")
+    manifest = tmp_path / "manifest.txt"
+    manifest.write_text(a.as_uri() + "\n")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            spark.readStream.format("http_csv")
+            .schema(DDL)
+            .option("manifest", str(manifest))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = {(r.entity, r.year) for r in spark.read.parquet(out).collect()}
+    assert first == {("Aland", 1990)}
+
+    manifest.write_text(a.as_uri() + "\n" + b.as_uri() + "\n")
+    run_once()
+    both = [(r.entity, r.year) for r in spark.read.parquet(out).collect()]
+    # a.csv must NOT be re-ingested: offset resumed past manifest line 1
+    assert sorted(both) == [("Aland", 1990), ("Borland", 1991)]
