@@ -4798,15 +4798,19 @@ _CERT_EARLY = [
 ]
 
 _CERT_LATE = [
-    # NOTE: the seven r5b TPC-H additions (q7/q8/q9/q13/q17/q21/q22)
-    # are intentionally NOT listed in either rotation list: _rotated()
-    # places unlisted entries in the middle block, i.e. immediately
-    # after the 50-entry head — the head is already fully claimed by
-    # the ten events.ts re-certifications, the reworked outputs, the
-    # r5a additions, and the 2-round-stale tier-3 backlog, none of
-    # which can slip past the driver window without violating the
-    # nothing->2-rounds-stale policy.  The r5b queries ride the local
-    # oracle sweep this round and lead r6's window as never-certified.
+    # NOTE: the r5b additions — TPC-H q2/q7/q8/q9/q13/q16/q17/q21/q22,
+    # doc_concat_shards, sql_api_running_revenue, domain_cap_sample,
+    # incremental_dedup_new_docs, stream_attribution_outer,
+    # hard_negatives_topk, doc_unigram_logprob, corpus_health_by_source,
+    # embedding_norm_stats — are intentionally NOT listed in either
+    # rotation list: _rotated() places unlisted entries in the middle
+    # block, i.e. immediately after the 50-entry head — the head is
+    # already fully claimed by the ten events.ts re-certifications, the
+    # reworked outputs, the r5a additions, and the 2-round-stale tier-3
+    # backlog, none of which can slip past the driver window without
+    # violating the nothing->2-rounds-stale policy.  Every r5b query is
+    # oracle-certified by the local sweep at BOTH sf0.001 and sf0.01
+    # this round and must LEAD r6's window as never-driver-certified.
     # head-of-tail: the entries sacrificed for the r5 additions (all
     # green r2+r3 or r4) sit FIRST after the cutoff so any driver
     # window wider than 50 certifies them immediately; promote in r6
