@@ -124,10 +124,17 @@ def extract_features(
             feats = []
             for p in pdf[payload_col]:
                 buf = bytes(p) if p is not None else b""
-                vec = np.zeros(dim, dtype=np.float64)
-                for i, byte in enumerate(buf):
-                    vec[i % dim] += byte / 255.0
-                norm = np.linalg.norm(vec)
+                # integer bucket sums first, ONE division after: exact
+                # int arithmetic makes the pre-normalization vector
+                # bit-reproducible from any engine (a float accumulated
+                # per byte would drift by summation order), which is
+                # what lets the registered query carry a SQL oracle
+                acc = np.zeros(dim, dtype=np.int64)
+                arr = np.frombuffer(buf, dtype=np.uint8)
+                for b in range(dim):
+                    acc[b] = int(arr[b::dim].sum(dtype=np.int64))
+                vec = acc / 255.0
+                norm = float(np.sqrt(np.sum(vec * vec)))
                 feats.append((vec / norm).tolist() if norm > 0 else vec.tolist())
             yield pd.DataFrame({"asset_id": pdf[id_col], "feature": feats})
 

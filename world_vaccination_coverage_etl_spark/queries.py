@@ -4660,9 +4660,34 @@ def q_multimodal_metadata(spark, sf_dir):
 
 @register(
     "multimodal_decode_fake",
-    None,
-    note="binary decode via mapInPandas (operators/multimodal.py decode_image_batch, "
-    "deterministic fake kernel — no media libs in this environment); rows-only",
+    """
+    WITH b AS (
+      SELECT doc_id AS asset_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents),
+    sums AS (
+      SELECT asset_id,
+             sum(ord(substring(text, CAST(i AS INT), 1))) AS byte_sum
+      FROM b, unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS t(i)
+      GROUP BY asset_id)
+    SELECT b.asset_id, b.n_bytes,
+           CAST(greatest(1, b.n_bytes % 64) AS INT) AS width,
+           CAST(greatest(1, (b.n_bytes // 64) % 64 + 1) AS INT) AS height,
+           round(CASE WHEN b.n_bytes > 0
+                      THEN coalesce(s.byte_sum, 0) / b.n_bytes
+                      ELSE 0.0 END, 6) AS mean_intensity
+    FROM b LEFT JOIN sums s ON s.asset_id = b.asset_id
+    ORDER BY b.asset_id
+    """,
+    note="binary decode via mapInPandas (operators/multimodal.py "
+    "decode_image_batch, deterministic fake kernel — no media libs in this "
+    "environment). HASH-CERTIFIED since r5b: the fake is pure byte math "
+    "(dims from length, intensity = byte mean) and the documents fixture is "
+    "ASCII (verified: octet_length(encode(text)) == length(text) corpus-"
+    "wide), so the oracle recomputes it with ord() over characters — "
+    "integer sums divide exactly in both engines. The mapInPandas Arrow "
+    "contract (columnar in/out, no shuffle) is exactly what a real "
+    "PIL/libvips kernel would keep",
 )
 def q_multimodal_decode_fake(spark, sf_dir):
     from .operators.multimodal import decode_image_batch
@@ -4684,13 +4709,35 @@ def q_multimodal_decode_fake(spark, sf_dir):
 
 @register(
     "multimodal_features_fake",
-    None,
+    """
+    WITH docs AS (SELECT doc_id AS asset_id, text FROM documents),
+    pos AS (SELECT unnest(range(0, 8)) AS p),
+    sums AS (
+      SELECT asset_id, CAST((i - 1) % 8 AS BIGINT) AS p,
+             sum(ord(substring(text, CAST(i AS INT), 1))) AS s
+      FROM docs, unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS t(i)
+      GROUP BY 1, 2),
+    buckets AS (
+      SELECT d.asset_id, pos.p, coalesce(s.s, 0) / 255.0 AS v
+      FROM docs d CROSS JOIN pos
+      LEFT JOIN sums s ON s.asset_id = d.asset_id AND s.p = pos.p),
+    norms AS (SELECT asset_id, sqrt(sum(v * v)) AS nrm
+              FROM buckets GROUP BY asset_id)
+    SELECT b.asset_id, CAST(b.p AS INT) AS pos,
+           round(CASE WHEN n.nrm > 0 THEN b.v / n.nrm ELSE 0.0 END, 6)
+             AS feat
+    FROM buckets b JOIN norms n ON n.asset_id = b.asset_id
+    ORDER BY b.asset_id, pos
+    """,
     note="feature-extraction stub via mapInPandas (operators/multimodal.py "
-    "extract_features, deterministic fake hash-bucket kernel — no model runtime in "
-    "this environment); Arrow batch in/out, unit-norm asserted; rows-only. "
-    "The feature vector is serialized to_json in the registered output: the "
-    "driver's pandas canonicalizer lexsorts column values and raw python lists "
-    "are unhashable, so an array<double> column crashes the check harness",
+    "extract_features, deterministic byte-bucket kernel — no model runtime "
+    "in this environment); Arrow batch in/out, unit-norm pinned by pytest. "
+    "HASH-CERTIFIED since r5b: the kernel accumulates INTEGER bucket sums "
+    "and divides once (bit-reproducible pre-normalization from any "
+    "engine), the fixture is ASCII so the oracle rebuilds the buckets with "
+    "ord() over character positions, and the vector is exploded to "
+    "(asset_id, pos, feat) rows at 6-dp — numeric rows hash cleanly where "
+    "the earlier to_json form depended on float formatting",
 )
 def q_multimodal_features_fake(spark, sf_dir):
     from .operators.multimodal import extract_features
@@ -4700,12 +4747,11 @@ def q_multimodal_features_fake(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
     )
     feats = extract_features(d, dim=8, fake=True)
-    return feats.select(
-        "asset_id",
-        F.to_json(
-            F.transform("feature", lambda x: F.round(x, 6))
-        ).alias("feature_json"),
-    ).orderBy("asset_id")
+    return (
+        feats.select("asset_id", F.posexplode("feature").alias("pos", "feat"))
+        .select("asset_id", "pos", F.round("feat", 6).alias("feat"))
+        .orderBy("asset_id", "pos")
+    )
 
 
 
