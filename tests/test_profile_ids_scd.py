@@ -1,0 +1,257 @@
+"""Tests for the r5c operator batch: global ID assignment, segment
+dedup, int8 quantization, profiling/constraints, SCD2."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from world_vaccination_coverage_etl_spark.operators.ids import assign_global_ids
+from world_vaccination_coverage_etl_spark.operators.profile import (
+    check_constraints,
+    profile_columns,
+)
+from world_vaccination_coverage_etl_spark.operators.quantize import quantize_int8
+from world_vaccination_coverage_etl_spark.operators.scd import scd2_collapse
+from world_vaccination_coverage_etl_spark.operators.text import segment_dedup
+
+
+# --------------------------------------------------------------------- #
+# assign_global_ids
+
+
+def test_global_ids_match_naive_window(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, k long").repartition(7)
+    got = assign_global_ids(
+        df, ["k", "id"], range_col="k", num_buckets=5
+    )
+    naive = df.withColumn(
+        "expect",
+        F.row_number().over(Window.orderBy("k", "id")).cast("long"),
+    )
+    joined = got.join(naive, ["id", "k"])
+    assert joined.filter(F.col("global_id") != F.col("expect")).count() == 0
+
+
+def test_global_ids_descending_and_contiguous(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(101)], "id long, k long"
+    )
+    got = assign_global_ids(
+        df, ["k", "id"], range_col="k", descending=True, num_buckets=4
+    )
+    ids = sorted(r["global_id"] for r in got.collect())
+    assert ids == list(range(1, 102))
+    top = got.orderBy("global_id").first()
+    assert top["k"] == 100  # largest k gets id 1 under descending
+
+
+def test_global_ids_skewed_key(spark):
+    # 90% of rows share one range value: buckets are lopsided but the
+    # rank is still exact
+    rows = [(i, 5 if i % 10 else i) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k long")
+    got = assign_global_ids(df, ["k", "id"], range_col="k", num_buckets=8)
+    assert sorted(r["global_id"] for r in got.collect()) == list(range(1, 201))
+
+
+# --------------------------------------------------------------------- #
+# segment_dedup
+
+
+def test_segment_dedup_removes_repeated_span(spark):
+    span = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, span + " unique one text here aa bb cc dd"),
+            (2, span + " other tail words xx yy zz qq rr"),
+            (3, "totally distinct body of eight words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df, seg_len=8).collect()}
+    # doc 1 keeps the span (first occurrence), doc 2 loses it
+    assert out[1]["clean_text"].startswith(span)
+    assert span not in out[2]["clean_text"]
+    assert out[2]["n_kept"] == out[2]["n_segs"] - 1
+    assert out[3]["n_kept"] == out[3]["n_segs"]
+
+
+def test_segment_dedup_identical_docs_keep_first_only(spark):
+    text = " ".join(f"t{i}" for i in range(16))  # exactly 2 segments
+    df = spark.createDataFrame(
+        [(10, text), (11, text), (12, text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df, seg_len=8).collect()}
+    assert out[10]["clean_text"] == text
+    assert out[11]["clean_text"] == "" and out[11]["n_kept"] == 0
+    assert out[12]["clean_text"] == "" and out[12]["n_kept"] == 0
+
+
+def test_segment_dedup_each_span_survives_exactly_once(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = segment_dedup(docs, seg_len=8)
+    segs = out.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim("clean_text"), r"\s+"), lambda t: t != ""
+            )
+        ).alias("w")
+    )
+    # every 8-token span kept somewhere is kept exactly once globally:
+    # re-running dedup on the cleaned corpus must be a no-op
+    again = segment_dedup(
+        out.selectExpr("doc_id", "clean_text AS text"), seg_len=8
+    )
+    changed = (
+        out.select("doc_id", F.col("clean_text").alias("a"))
+        .join(again.select("doc_id", F.col("clean_text").alias("b")), "doc_id")
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert changed == 0
+    assert segs.count() > 0
+
+
+# --------------------------------------------------------------------- #
+# quantize_int8
+
+
+def test_quantize_codes_bounded_and_saturating(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = quantize_int8(emb)
+    bad = q.filter(
+        (F.col("q_l1") < F.abs(F.col("q_sum")))  # |sum| <= L1 always
+        | (F.col("n_sat") < 1)  # max element maps to +/-127
+        | (F.col("scale6") <= 0)
+    ).count()
+    assert bad == 0
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    row = quantize_int8(df).first()
+    assert row["q_sum"] == 0 and row["q_l1"] == 0 and row["n_sat"] == 0
+
+
+def test_quantize_reconstruction_error_bounded(spark):
+    # |x - q*scale| <= scale/2 by construction
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.25, 3.0, 0.01], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    row = quantize_int8(df).first()
+    scale = 3.0 / 127.0
+    assert row["scale6"] == pytest.approx(round(scale, 6))
+    assert row["n_sat"] == 1
+
+
+# --------------------------------------------------------------------- #
+# profile_columns / check_constraints
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", -1.0),
+            (2, None, 0.0),
+            (4, "zz", None),
+        ],
+        "k long, s string, v double",
+    )
+
+
+def test_profile_columns_values(spark, messy):
+    prof = {r["col_name"]: r for r in profile_columns(messy, ["k", "s", "v"]).collect()}
+    assert prof["k"]["n_rows"] == 4
+    assert prof["k"]["n_distinct"] == 3
+    assert prof["s"]["n_nulls"] == 1
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "zz"
+    assert prof["s"]["min_num"] is None
+    assert prof["v"]["min_num"] == -1.0 and prof["v"]["max_num"] == 10.0
+
+
+def test_profile_columns_approximate_no_expand(spark, messy):
+    plan = profile_columns(
+        messy, ["k", "s", "v"], approximate=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_check_constraints_counts(spark, messy):
+    ref = messy.sparkSession.createDataFrame([(1,), (2,)], "k long")
+    out = {
+        r["check_name"]: r
+        for r in check_constraints(
+            messy,
+            not_null=["s"],
+            unique=["k"],
+            positive=["v"],
+            domain={"s": ["a", "b"]},
+            references={"k": ref},
+        ).collect()
+    }
+    assert out["s_not_null"]["violations"] == 1
+    assert out["k_unique"]["violations"] == 1
+    assert out["v_positive"]["violations"] == 3  # -1, 0, NULL
+    assert out["s_domain"]["violations"] == 1  # 'zz' (NULL not counted)
+    assert out["k_references"]["violations"] == 1  # k=4
+    assert not out["k_unique"]["passed"]
+
+
+# --------------------------------------------------------------------- #
+# scd2_collapse
+
+
+def test_scd2_versions_and_validity(spark):
+    from datetime import datetime
+
+    ts = lambda d: datetime(2024, 1, d)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, "A", ts(1), 100),
+            (1, "A", ts(2), 101),
+            (1, "B", ts(3), 102),
+            (1, "A", ts(4), 103),
+            (2, "X", ts(5), 104),
+        ],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    out = scd2_collapse(df, "user_id", "event_type", "ts", "event_id")
+    rows = sorted(
+        out.collect(), key=lambda r: (r["user_id"], r["version"])
+    )
+    u1 = [r for r in rows if r["user_id"] == 1]
+    assert [r["event_type"] for r in u1] == ["A", "B", "A"]
+    assert [r["n_events"] for r in u1] == [2, 1, 1]
+    assert u1[0]["effective_to"] == u1[1]["effective_from"]
+    assert u1[2]["is_current"] and u1[2]["effective_to"] is None
+    assert not u1[0]["is_current"]
+    u2 = [r for r in rows if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]
+
+
+def test_scd2_tiebreak_deterministic(spark):
+    from datetime import datetime
+
+    t = datetime(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(1, "B", t, 2), (1, "A", t, 1)],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    rows = sorted(
+        scd2_collapse(df, "user_id", "event_type", "ts", "event_id").collect(),
+        key=lambda r: r["version"],
+    )
+    # equal timestamps order by event_id: A (id 1) then B (id 2)
+    assert [r["event_type"] for r in rows] == ["A", "B"]

@@ -1,0 +1,142 @@
+"""Data profiling and declarative quality constraints (deequ-style).
+
+Two reporting operators a 100 TB ingest pipeline runs on every batch:
+
+- ``profile_columns``: per-column stats (rows, nulls, distincts,
+  numeric min/max, string min/max) in ONE scan.  Multi-column exact
+  distinct counts plan as a single pass with an Expand (xN rows in the
+  shuffle) — acceptable for a per-batch report; at extreme widths pass
+  ``approximate=True`` to switch to HLL sketches (no Expand), the
+  deequ default.  The exact flavor is registered so the DuckDB oracle
+  can certify values.
+- ``check_constraints``: a constraint suite evaluated as ONE
+  conditional-aggregate pass (+ one broadcast-able anti-join per
+  referential constraint), returning (constraint, violations, passed)
+  rows — the monitoring sink shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    NumericType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], approximate: bool = False
+) -> DataFrame:
+    """One-pass per-column profile; one output row per column."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n_rows")]
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"__nulls_{c}")
+        )
+        if approximate:
+            aggs.append(F.approx_count_distinct(c).alias(f"__dist_{c}"))
+        else:
+            aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"__dist_{c}"))
+        if isinstance(dt, (NumericType, TimestampType, TimestampNTZType)):
+            # timestamps profile as epoch seconds (Spark's TIMESTAMP ->
+            # DOUBLE cast; matches DuckDB's epoch()).  NTZ has no direct
+            # DOUBLE cast — hop through TIMESTAMP (wall-clock-preserving
+            # under the repo's UTC session convention).
+            num = (
+                F.col(c).cast("timestamp").cast("double")
+                if isinstance(dt, TimestampNTZType)
+                else F.col(c).cast("double")
+            )
+            aggs.append(F.round(F.min(num), 6).alias(f"__min_{c}"))
+            aggs.append(F.round(F.max(num), 6).alias(f"__max_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__max_{c}"))
+        if isinstance(dt, StringType):
+            aggs.append(F.min(c).alias(f"__smin_{c}"))
+            aggs.append(F.max(c).alias(f"__smax_{c}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"__smin_{c}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__smax_{c}"))
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__dist_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_num"),
+            F.col(f"__max_{c}").alias("max_num"),
+            F.col(f"__smin_{c}").alias("min_str"),
+            F.col(f"__smax_{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")
+
+
+def check_constraints(
+    df: DataFrame,
+    *,
+    not_null: list[str] = (),
+    unique: list[str] = (),
+    positive: list[str] = (),
+    domain: dict[str, list[str]] | None = None,
+    references: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Evaluate a declarative constraint suite; one row per constraint.
+
+    ``references`` maps ``col -> (dim_df with the same column)`` and is
+    checked with a LEFT ANTI join (broadcast when the dim is small).
+    """
+    spark = df.sparkSession
+    aggs, names = [], []
+    for c in not_null:
+        names.append(f"{c}_not_null")
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).cast("long"))
+    for c in unique:
+        names.append(f"{c}_unique")
+        aggs.append(
+            (F.count(F.col(c)) - F.count_distinct(F.col(c))).cast("long")
+        )
+    for c in positive:
+        names.append(f"{c}_positive")
+        aggs.append(
+            F.sum((F.col(c).isNull() | (F.col(c) <= 0)).cast("long")).cast("long")
+        )
+    for c, allowed in (domain or {}).items():
+        names.append(f"{c}_domain")
+        aggs.append(F.sum((~F.col(c).isin(allowed)).cast("long")).cast("long"))
+    wide = df.agg(*[a.alias(f"__v{i}") for i, a in enumerate(aggs)])
+    rows = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("check_name"),
+                        F.col(f"__v{i}").alias("violations"),
+                    )
+                    for i, n in enumerate(names)
+                ]
+            )
+        ).alias("c")
+    ).select("c.*")
+    for c, dim in (references or {}).items():
+        viol = (
+            df.select(c)
+            .join(F.broadcast(dim.select(c).distinct()), c, "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+            .select(
+                F.lit(f"{c}_references").alias("check_name"), "violations"
+            )
+        )
+        rows = rows.unionByName(viol)
+    return rows.select(
+        "check_name", "violations", (F.col("violations") == 0).alias("passed")
+    )

@@ -419,3 +419,88 @@ def unigram_logprob(
             F.sum("tf").cast("long").alias("n_tokens"),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 8,
+) -> DataFrame:
+    """Corpus-wide duplicate-span removal (the C4 / RefinedWeb line-dedup
+    step, expressed over fixed token spans since this corpus has no
+    newlines).
+
+    Every document is cut into NON-overlapping ``seg_len``-token
+    segments; a segment that occurs in multiple places corpus-wide is
+    kept only at its globally-first occurrence (min ``(doc_id,
+    seg_idx)``) and deleted everywhere else; surviving segments are
+    re-joined in order.  This is the within-corpus complement of
+    document-level dedup: boilerplate shared across otherwise-distinct
+    documents is removed exactly once.
+
+    Scale shape: segment explode is row-local; the keeper rule is ONE
+    partial-agged groupBy on the segment text (``min(struct(id, idx))``
+    — the keeper row itself carries everything needed, so no join-back),
+    then one groupBy on ``id_col`` to reassemble; a final doc-keyed
+    equi-join restores documents that lost every segment.  At
+    production scale the segment key would be ``xxhash64(seg)`` with a
+    string residual (same pattern as ngram_jaccard); the plain string
+    key keeps the oracle exact here.
+
+    Output: (id, clean_text, n_segs, n_kept) — ``clean_text`` is ''
+    for fully-deduplicated documents.
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.ceil(F.size(toks) / F.lit(float(seg_len))).cast("long").alias("n_segs"),
+    )
+    # n_segs == 0 guard: Spark's sequence(0, -1) infers step -1 and
+    # yields [0, -1] instead of []; empty docs are restored by the
+    # final left join.
+    segs = base.filter(F.col("n_segs") > 0).select(
+        id_col,
+        F.posexplode(F.sequence(F.lit(0).cast("long"), F.col("n_segs") - 1)).alias(
+            "__k", "seg_idx"
+        ),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("seg_idx") * seg_len + 1, seg_len), " "
+        ).alias("seg"),
+    )
+    keepers = segs.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("__keep")
+    )
+    rebuilt = (
+        keepers.select(
+            F.col(f"__keep.{id_col}").alias(id_col),
+            F.col("__keep.seg_idx").alias("seg_idx"),
+            "seg",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        base.select(id_col, "n_segs")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )
