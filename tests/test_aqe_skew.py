@@ -86,3 +86,53 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     assert len(df.collect()) == 50  # execute THIS plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_oracle):
+    # The third runtime behavior the 100 TB posture depends on: when a
+    # selective dimension filter feeds a shuffle join, Spark's
+    # InjectRuntimeFilter builds a bloom filter from the dimension keys
+    # and pushes might_contain() into the FACT side's scan — fact rows
+    # that cannot match drop before the shuffle.  The size thresholds
+    # are cluster-scale; lower the application-side floor so the
+    # rewrite fires on the local fixture exactly as it would at scale.
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        big = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+        small = spark.read.parquet(f"{sf_oracle}/orders.parquet").filter(
+            F.col("o_orderstatus") == "P"
+        )
+        j = (
+            big.join(small, big.l_orderkey == small.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, (
+            "runtime bloom filter not injected; plan:\n" + plan[:2000]
+        )
+        assert "bloom_filter_agg" in plan
+        # the might_contain sits in a Filter ABOVE the lineitem scan —
+        # i.e. on the application (fact) side, not the creation side
+        fact_region = plan[: plan.index("bloom_filter_agg")]
+        assert "might_contain" in fact_region
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -5176,6 +5176,98 @@ def q_events_daily_anomaly(spark, sf_dir):
     )
 
 
+@register(
+    "window_range_1h_user",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 6) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(epoch(ts) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    note="value-based (RANGE) window frame over event time — the "
+    "trailing-1-hour per-user activity feature (SURVEY §2.6 extension): "
+    "frame membership is decided by the epoch-second VALUE, not row "
+    "position, so simultaneous events share a frame deterministically.  "
+    "One shuffle on user_id; both engines order by the same truncated "
+    "epoch so the frames agree exactly",
+)
+def q_window_range_1h_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+    )
+
+
+@register(
+    "orders_price_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    note="fixed-width histogram of order totals (floor-division "
+    "bucketing — engine-portable, no width_bucket dependency): the "
+    "distribution-profiling companion to profile_orders_columns.  "
+    "Partial-agged single shuffle on the bucket key",
+)
+def q_orders_price_histogram(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_median_acctbal",
+    """
+    SELECT c_mktsegment,
+           round(median(c_acctbal), 6) AS med_acctbal,
+           round(quantile_cont(c_acctbal, 0.9), 6) AS p90_acctbal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    note="exact interpolated median / p90 per segment: Spark median() "
+    "and percentile() match DuckDB median()/quantile_cont() "
+    "(linear-interpolation contract).  Exact percentiles buffer the "
+    "group's values; the sketch flavor for 100 TB volumes is "
+    "approx_quantiles_value — this is the small-group reporting shape",
+)
+def q_agg_median_acctbal(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.median("c_acctbal"), 6).alias("med_acctbal"),
+            F.round(F.percentile("c_acctbal", 0.9), 6).alias("p90_acctbal"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
