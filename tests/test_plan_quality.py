@@ -48,6 +48,9 @@ NESTED_LOOP_OK = {
     "q22_dormant_customers",
     # corpus-total scalar for the unigram NLL normalization
     "doc_unigram_logprob",
+    # Q11's fraction-of-global-total threshold: 1-row broadcast scalar
+    # over the already-aggregated per-part values
+    "q11_important_parts",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]
