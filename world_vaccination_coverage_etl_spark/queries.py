@@ -5453,6 +5453,196 @@ def q_q20_dominant_promo_supplier(spark, sf_dir):
     )
 
 
+@register(
+    "full_outer_reconcile_users",
+    """
+    WITH p AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_purchase,
+             round(sum(value), 6) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_signup
+      FROM events WHERE event_type = 'signup' GROUP BY 1)
+    SELECT coalesce(p.user_id, s.user_id) AS user_id,
+           coalesce(p.n_purchase, 0) AS n_purchase,
+           coalesce(p.purchase_value, 0.0) AS purchase_value,
+           coalesce(s.n_signup, 0) AS n_signup,
+           CASE WHEN p.user_id IS NULL THEN 'signup_only'
+                WHEN s.user_id IS NULL THEN 'purchase_only'
+                ELSE 'both' END AS presence
+    FROM p FULL OUTER JOIN s ON s.user_id = p.user_id
+    ORDER BY user_id
+    """,
+    note="FULL OUTER reconciliation — the one join family the registry "
+    "didn't yet exercise: per-user purchase activity vs signup activity "
+    "with null-side coalescing and a presence flag (the data-quality "
+    "'which side is missing' report shape).  Both sides partial-agg "
+    "BEFORE the join so the full-outer shuffle moves one row per user "
+    "per side, not raw events; at 100 TB both inputs arrive "
+    "hash-partitioned on user_id from their aggregations so the join "
+    "reuses the exchange",
+)
+def q_full_outer_reconcile_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchase"),
+            F.round(F.sum("value"), 6).alias("purchase_value"),
+        )
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").alias("s_user_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+    )
+    j = p.join(s, s.s_user_id == p.user_id, "full_outer")
+    return (
+        j.select(
+            F.coalesce(p.user_id, s.s_user_id).alias("user_id"),
+            F.coalesce("n_purchase", F.lit(0)).alias("n_purchase"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+            F.coalesce("n_signup", F.lit(0)).alias("n_signup"),
+            F.when(p.user_id.isNull(), F.lit("signup_only"))
+            .when(s.s_user_id.isNull(), F.lit("purchase_only"))
+            .otherwise(F.lit("both"))
+            .alias("presence"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "window_rank_family",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, rn
+    """,
+    note="the full ranking-function family in ONE window pass (one "
+    "shuffle on the partition key, one sort): row_number / rank / "
+    "dense_rank / percent_rank / cume_dist / ntile share a single "
+    "WindowExec.  The order key carries a c_custkey tiebreak so the "
+    "tie-sensitive functions (row_number, ntile) are deterministic "
+    "cross-engine; the value-based ones agree on ties by definition",
+)
+def q_window_rank_family(spark, sf_dir):
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "events_gapfill_locf",
+    """
+    WITH d AS (
+      SELECT event_type, user_id % 50 AS ub, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2, 3),
+    spans AS (
+      SELECT event_type, ub, min(day) AS d0, max(day) AS d1
+      FROM d GROUP BY 1, 2),
+    cal AS (
+      SELECT s.event_type, s.ub, CAST(g.day AS DATE) AS day
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.d0, s.d1,
+                                      INTERVAL 1 DAY))::DATE AS day) g)
+    SELECT c.event_type, c.ub, c.day,
+           coalesce(d.n, 0) AS n,
+           last_value(d.v IGNORE NULLS) OVER (
+             PARTITION BY c.event_type, c.ub ORDER BY c.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_locf,
+           CAST(d.n IS NULL AS BOOLEAN) AS filled
+    FROM cal c LEFT JOIN d
+      ON d.event_type = c.event_type AND d.ub = c.ub AND d.day = c.day
+    ORDER BY c.event_type, c.ub, c.day
+    """,
+    note="time-series gap filling + LOCF interpolation (the hypertable "
+    "rollup / time_bucket_gapfill shape): per-(type, user-bucket) daily "
+    "series densified to a complete calendar via sequence()+explode of "
+    "each series' own [min, max] span, missing days filled with "
+    "count=0 and last-observation-carried-forward value (one "
+    "ignoreNulls window pass).  The calendar derives from the per-group "
+    "aggregate (tiny) and joins back on the grouped daily rows, so "
+    "nothing re-scans raw events; generation is per-group (no global "
+    "calendar broadcast blow-up at 100 TB)",
+)
+def q_events_gapfill_locf(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.pmod(F.col("user_id"), F.lit(50)).cast("long").alias("ub"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("v"),
+        )
+    )
+    cal = (
+        d.groupBy(
+            F.col("event_type").alias("c_type"), F.col("ub").alias("c_ub")
+        )
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "c_type",
+            "c_ub",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("c_day"),
+        )
+    )
+    j = cal.join(
+        d,
+        (d.event_type == cal.c_type)
+        & (d.ub == cal.c_ub)
+        & (d.day == cal.c_day),
+        "left",
+    )
+    w = (
+        Window.partitionBy("c_type", "c_ub")
+        .orderBy("c_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.select(
+            F.col("c_type").alias("event_type"),
+            F.col("c_ub").alias("ub"),
+            F.col("c_day").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("v", ignorenulls=True).over(w).alias("v_locf"),
+            F.col("n").isNull().alias("filled"),
+        )
+        .orderBy("event_type", "ub", "day")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
