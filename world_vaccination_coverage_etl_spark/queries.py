@@ -5643,6 +5643,152 @@ def q_events_gapfill_locf(spark, sf_dir):
     )
 
 
+@register(
+    "regr_trend_daily_value",
+    """
+    WITH x AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS DOUBLE) AS d,
+             value
+      FROM events)
+    SELECT event_type,
+           round(regr_slope(value, d), 6) AS slope,
+           round(regr_intercept(value, d), 6) AS intercept,
+           round(regr_r2(value, d), 6) AS r2,
+           round(corr(d, value), 6) AS corr_dv,
+           CAST(count(*) AS BIGINT) AS n
+    FROM x GROUP BY event_type ORDER BY event_type
+    """,
+    note="per-group OLS trend detection with the SQL regression "
+    "aggregate family (regr_slope/intercept/r2 + corr) — drift "
+    "monitoring over a metric stream in ONE partial-aggregable pass "
+    "(each regr_* is sums/co-moments, so map-side combine applies; no "
+    "window, no second scan).  The regressor is days-since-epoch-start "
+    "(small magnitude) so the co-moment cancellation stays far from "
+    "double precision limits and 6-dp rounding is stable cross-engine",
+)
+def q_regr_trend_daily_value(spark, sf_dir):
+    d = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("double")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", d.alias("d"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.regr_slope("value", "d"), 6).alias("slope"),
+            F.round(F.regr_intercept("value", "d"), 6).alias("intercept"),
+            F.round(F.regr_r2("value", "d"), 6).alias("r2"),
+            F.round(F.corr("d", "value"), 6).alias("corr_dv"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "hll_sketch_union_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="re-aggregatable distinct-count sketches — THE 100 TB "
+    "pre-aggregation pattern: per-(type, day) HLL sketches built once "
+    "(hll_sketch_agg), then merged across days with hll_union_agg and "
+    "estimated — the daily sketch table is what a warehouse would "
+    "persist so weekly/monthly rollups never re-touch raw events.  "
+    "Hash-certified via an in-plan accuracy gate: the merged estimate "
+    "must sit within 5%% of the exact distinct (far beyond HLL's "
+    "lgConfigK=12 error of ~1.6%%); the driver-visible columns are the "
+    "exact count and the gate boolean, both engine-portable",
+)
+def q_hll_sketch_union_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy(F.col("event_type").alias("e_type")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        merged.join(exact, F.col("e_type") == merged.event_type)
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fuzzy_blocked_match_docs",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 64 AS lb, substr(text, 1, 40) AS h
+      FROM documents)
+    SELECT least(a.doc_id, b.doc_id) AS doc_lo,
+           greatest(a.doc_id, b.doc_id) AS doc_hi,
+           CAST(levenshtein(a.h, b.h) AS BIGINT) AS dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND b.lb - a.lb IN (0, 1)
+     AND ((a.lb = b.lb AND a.doc_id < b.doc_id) OR a.lb < b.lb)
+    WHERE levenshtein(a.h, b.h) <= 16
+    ORDER BY doc_lo, doc_hi
+    """,
+    note="record-linkage fuzzy matching with blocking: candidate pairs "
+    "come only from (lang, length-bucket) blocks — never an all-pairs "
+    "self-join — and each left row probes its own bucket plus the next "
+    "(dual-probe via a 2-element explode, an equi hash join on the "
+    "probed key) so near-boundary pairs aren't missed; the prefix-40 "
+    "levenshtein <= 16 residual runs per candidate only.  Same-bucket "
+    "pairs are id-ordered and cross-bucket pairs bucket-ordered, so "
+    "each unordered pair emerges exactly once (no DISTINCT pass).  "
+    "Levenshtein is the standard edit distance in both engines",
+)
+def q_fuzzy_blocked_match_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("long").alias("lb"),
+        F.substring("text", 1, 40).alias("h"),
+    )
+    probes = d.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("lang").alias("a_lang"),
+        F.col("lb").alias("a_lb"),
+        F.col("h").alias("a_h"),
+        F.explode(F.array(F.col("lb"), F.col("lb") + 1)).alias("probe_lb"),
+    )
+    j = probes.join(
+        d,
+        (d.lang == probes.a_lang) & (d.lb == probes.probe_lb),
+    ).filter(
+        (
+            (F.col("a_lb") == F.col("lb")) & (F.col("a_id") < F.col("doc_id"))
+        )
+        | (F.col("a_lb") < F.col("lb"))
+    )
+    dist = F.levenshtein(F.col("a_h"), F.col("h"))
+    return (
+        j.filter(dist <= 16)
+        .select(
+            F.least("a_id", "doc_id").alias("doc_lo"),
+            F.greatest("a_id", "doc_id").alias("doc_hi"),
+            dist.cast("long").alias("dist"),
+        )
+        .orderBy("doc_lo", "doc_hi")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
