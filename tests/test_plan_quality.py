@@ -51,6 +51,8 @@ NESTED_LOOP_OK = {
     # Q11's fraction-of-global-total threshold: 1-row broadcast scalar
     # over the already-aggregated per-part values
     "q11_important_parts",
+    # total-user-count scalar for support/lift normalization
+    "assoc_rules_event_types",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]

@@ -504,3 +504,60 @@ def segment_dedup(
             F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Bigram conditional-NLL per document — the order-sensitive
+    perplexity proxy (`unigram_logprob`'s context-aware sibling).
+
+    Scores each document by the token-weighted average of
+    ``-ln(p(w | prev))`` where the conditional comes from corpus bigram
+    counts over corpus context counts.  Unlike the unigram score this
+    penalizes scrambled word order, so it separates fluent text from
+    bag-of-frequent-words spam the unigram model scores identically.
+    Only observed bigrams are scored (the LM is the corpus, which
+    contains the document), so no smoothing term is needed and the
+    probability is exactly ``c2/c1`` — a ratio of integers, stable
+    under the 6-dp ln() contract.
+
+    Scale design: bigrams are built ROW-LOCALLY by zipping the token
+    array against itself shifted one position (``slice`` +
+    ``arrays_zip``) — no window shuffle, no per-position explode-join.
+    Per-(doc, bigram) counts come first, so the vocabulary join's skew
+    is bounded by document frequency exactly as in
+    :func:`unigram_logprob`; the context-count table derives from the
+    (small) bigram vocabulary, never from occurrences.
+    """
+    toks = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        id_col,
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("prev"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w"),
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.prev").alias("prev"), F.col("b.w").alias("w"))
+    tf = bg.groupBy(id_col, "prev", "w").agg(F.count(F.lit(1)).alias("tf"))
+    c2 = tf.groupBy("prev", "w").agg(F.sum("tf").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    return (
+        tf.join(c2, ["prev", "w"])
+        .join(c1, "prev")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * -F.log(F.col("c2") / F.col("c1")))
+                / F.sum("tf"),
+                round_dp,
+            ).alias("avg_bigram_nll"),
+            F.sum("tf").cast("long").alias("n_bigrams"),
+        )
+    )

@@ -5789,6 +5789,156 @@ def q_fuzzy_blocked_match_docs(spark, sf_dir):
     )
 
 
+@register(
+    "doc_bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS prev, t[i + 1] AS w
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+      WHERE len(t) >= 2),
+    tf AS (SELECT doc_id, prev, w, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    c2 AS (SELECT prev, w, sum(tf) AS c2 FROM tf GROUP BY 1, 2),
+    c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY 1)
+    SELECT tf.doc_id,
+           round(sum(tf.tf * -ln(c2.c2 / c1.c1)) / sum(tf.tf), 6)
+             AS avg_bigram_nll,
+           CAST(sum(tf.tf) AS BIGINT) AS n_bigrams
+    FROM tf JOIN c2 USING (prev, w) JOIN c1 USING (prev)
+    GROUP BY tf.doc_id ORDER BY tf.doc_id
+    """,
+    note="bigram conditional-NLL perplexity proxy (operators/text.py "
+    "bigram_logprob) — the order-sensitive sibling of "
+    "doc_unigram_logprob: penalizes scrambled word order that a "
+    "unigram model can't see.  Bigrams are built ROW-LOCALLY (token "
+    "array zipped against its own shift — no window shuffle); "
+    "per-(doc, bigram) counts first so vocabulary-join skew stays "
+    "bounded by document frequency; p = c2/c1 is a ratio of integers "
+    "under the 6-dp ln() contract",
+)
+def q_doc_bigram_logprob(spark, sf_dir):
+    from .operators.text import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d).orderBy("doc_id")
+
+
+@register(
+    "skew_report_events",
+    """
+    WITH pu AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(max(n) * 1.0 / sum(n), 6) AS top1_share,
+           round(quantile_cont(n, 0.99) /
+                 greatest(quantile_cont(n, 0.50), 1.0), 6) AS p99_over_p50
+    FROM pu GROUP BY event_type ORDER BY event_type
+    """,
+    note="partition-skew diagnosis report — the query you run BEFORE "
+    "choosing a salting factor: per grouping key, the hottest "
+    "sub-key's share of rows and the p99/p50 ratio of per-sub-key "
+    "counts.  Two partial-aggregable passes (per-(type,user) counts, "
+    "then per-type stats over the count distribution); at 100 TB this "
+    "is exactly the evidence `salted_agg_events` / `skew_join_segment` "
+    "act on.  Exact percentiles run over one row per (type,user) — "
+    "already reduced volume",
+)
+def q_skew_report_events(spark, sf_dir):
+    pu = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        pu.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.max("n") / F.sum("n"), 6).alias("top1_share"),
+            F.round(
+                F.percentile("n", 0.99)
+                / F.greatest(F.percentile("n", 0.50), F.lit(1.0)),
+                6,
+            ).alias("p99_over_p50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "assoc_rules_event_types",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events),
+    marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS na
+             FROM ut GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_ab,
+           round(p.n_ab * 1.0 / nu.n, 6) AS support,
+           round(p.n_ab * 1.0 / ma.na, 6) AS conf_a_to_b,
+           round(p.n_ab * 1.0 / mb.na, 6) AS conf_b_to_a,
+           round(p.n_ab * 1.0 * nu.n / (ma.na * mb.na), 6) AS lift
+    FROM pairs p
+    JOIN marg ma ON ma.event_type = p.type_a
+    JOIN marg mb ON mb.event_type = p.type_b, nu
+    ORDER BY p.type_a, p.type_b
+    """,
+    note="association-rule mining (market-basket co-occurrence): "
+    "support / confidence / lift for every event-type pair "
+    "co-occurring in a user's history.  The pair self-join runs over "
+    "the DISTINCT (user, type) set — per-user pair fan-out is bounded "
+    "by the type-domain size squared, never by event volume — and both "
+    "marginal joins broadcast (one row per type).  All measures are "
+    "integer ratios at 6 dp",
+)
+def q_assoc_rules_event_types(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    nu = ev.agg(F.count_distinct("user_id").cast("long").alias("n"))
+    marg = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    b = ut.select(
+        F.col("user_id").alias("b_user"), F.col("event_type").alias("type_b")
+    )
+    pairs = (
+        ut.join(
+            b,
+            (b.b_user == ut.user_id) & (ut.event_type < b.type_b),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("na").alias("na_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("na").alias("na_b"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("na_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("n_ab") / F.col("na_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                F.col("n_ab") * F.col("n") / (F.col("na_a") * F.col("na_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
