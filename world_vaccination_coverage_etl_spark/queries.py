@@ -5939,6 +5939,183 @@ def q_assoc_rules_event_types(spark, sf_dir):
     )
 
 
+@register(
+    "multi_touch_attribution",
+    """
+    WITH j AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             p.value AS purchase_value
+      FROM events c JOIN events p
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 6 HOUR)
+    SELECT purchase_id, click_id,
+           CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+             AS n_touches,
+           round(1.0 / count(*) OVER (PARTITION BY purchase_id), 6)
+             AS weight,
+           round(purchase_value / count(*) OVER (PARTITION BY purchase_id),
+                 6) AS credited_value
+    FROM j ORDER BY purchase_id, click_id
+    """,
+    note="linear multi-touch attribution: every click within 6 h before "
+    "a purchase shares the credit equally (weight = 1/n_touches, "
+    "credited value = purchase value / n).  The candidate join is the "
+    "bucketed interval join (operators/rangejoin.py — equi hash join "
+    "on (user, bucket) + residual, never a nested loop); the credit "
+    "normalization is ONE unordered window over the matched pairs, "
+    "partitioned by purchase — no second join back to purchases",
+)
+def q_multi_touch_attribution(spark, sf_dir):
+    from .operators.rangejoin import bucketed_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "ts",
+        F.col("value").alias("purchase_value"),
+    )
+    j = bucketed_interval_join(
+        clicks, purchases, keys=["user_id"],
+        left_ts="ts", right_ts="ts", interval_seconds=6 * 3600,
+    )
+    w = Window.partitionBy("purchase_id")
+    n = F.count(F.lit(1)).over(w)
+    return (
+        j.select(
+            F.col("r_purchase_id").alias("purchase_id"),
+            F.col("l_click_id").alias("click_id"),
+            F.col("r_purchase_value").alias("purchase_value"),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            n.cast("long").alias("n_touches"),
+            F.round(F.lit(1.0) / n, 6).alias("weight"),
+            F.round(F.col("purchase_value") / n, 6).alias("credited_value"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@register(
+    "revenue_share_window",
+    """
+    WITH rev AS (
+      SELECT n.n_name, r.r_name,
+             CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2)
+    SELECT n_name, r_name, round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6)
+             AS region_share,
+           round(revenue / sum(revenue) OVER (), 6) AS global_share
+    FROM rev ORDER BY r_name, n_name
+    """,
+    note="percent-of-total via unordered window aggregates (the "
+    "ratio_to_report shape): per-nation revenue with its share of the "
+    "region and of the world.  The windows run over the ALREADY "
+    "AGGREGATED 25-row result — zero full-volume window cost; the "
+    "denominator sums the same exact-decimal revenue both engines "
+    "computed, so the 6-dp shares agree.  Dimension joins broadcast; "
+    "the empty-frame global window is a 1-row exchange, not a "
+    "single-partition sort of the fact",
+)
+def q_revenue_share_window(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    wr = Window.partitionBy("r_name")
+    wg = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "r_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(wr), 6).alias(
+            "region_share"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(wg), 6).alias(
+            "global_share"
+        ),
+    ).orderBy("r_name", "n_name")
+
+
+@register(
+    "mad_outliers_value",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS d, m.med
+      FROM events e JOIN med m ON m.event_type = e.event_type),
+    mad AS (
+      SELECT event_type, median(d) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           round(max(d.med), 6) AS med,
+           round(max(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    note="robust outlier detection via median absolute deviation — the "
+    "3-sigma rule without the mean's outlier sensitivity.  Two "
+    "broadcast-joined passes (per-type median, then median of absolute "
+    "deviations, then the threshold count); the interpolated medians "
+    "are bit-identical cross-engine ((a+b)/2 on identical doubles) so "
+    "the UNROUNDED 3*mad comparison is exact — no epsilon.  At volume "
+    "the exact medians swap for the percentile sketch "
+    "(approx_quantiles_value) with the same topology",
+)
+def q_mad_outliers_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("d"), "med"
+    )
+    mad = dev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.median("d").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("m_type") == dev.event_type)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
