@@ -251,3 +251,31 @@ def test_simhash_md5_blocking_is_exhaustive(spark):
         )
     }
     assert blocked == exact
+
+
+def test_staged_flavors_match_checkpoint_flavors(spark, tmp_path):
+    """The durable-parquet staging path (the cluster-grade lineage cut:
+    survives executor loss, no partition pinning) must produce exactly
+    the same pair sets as the default localCheckpoint path."""
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        simhash_md5_near_dup_pairs,
+    )
+
+    docs = _docs(spark)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = canon(minhash_near_dup_pairs(docs, threshold=0.5))
+    staged = canon(
+        minhash_near_dup_pairs(
+            docs, threshold=0.5, staging_dir=str(tmp_path / "mh")
+        )
+    )
+    assert staged == base and len(base) > 0
+
+    base_sh = canon(simhash_md5_near_dup_pairs(docs))
+    staged_sh = canon(
+        simhash_md5_near_dup_pairs(docs, staging_dir=str(tmp_path / "sh"))
+    )
+    assert staged_sh == base_sh

@@ -26,6 +26,7 @@ needs.  Pairs → clusters is ``operators/components.py``.
 
 from __future__ import annotations
 
+import os
 import re
 
 import pandas as pd
@@ -33,6 +34,35 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _stage(df: DataFrame, staging_dir: str | None, name: str) -> DataFrame:
+    """Cut a DataFrame's lineage so expensive kernels evaluate ONCE.
+
+    The signature/shingle Arrow UDFs feed both sides of the blocking
+    self-joins; without a lineage cut Catalyst inlines them into every
+    consumer and the kernel runs 2-4×.
+
+    Two flavors:
+
+    - ``staging_dir=None`` (default, the local/bench path):
+      ``localCheckpoint(eager=False)`` — materialize per-executor on
+      first use, no temp-dir management.  Caveat at cluster scale: the
+      checkpointed partitions PIN to the executors that computed them
+      (no HDFS/S3 copy), so executor loss forces recompute and dynamic
+      allocation can't release those hosts.
+    - ``staging_dir=<path>`` (the cluster path): write the intermediate
+      to parquet and re-read it — a durable staging table any executor
+      can scan, the per-stage-materialization pattern every large
+      pipeline uses.  Costs one write+read of the (narrow) staged
+      projection; survives executor loss and lets AQE re-plan the
+      downstream join from REAL staged statistics.
+    """
+    if staging_dir is None:
+        return df.localCheckpoint(eager=False)
+    path = os.path.join(staging_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 # --------------------------------------------------------------------------
 # exact
@@ -230,6 +260,7 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.7,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding.
 
@@ -253,15 +284,15 @@ def minhash_near_dup_pairs(
             "band_idx", "band_hash"
         )
     )
-    # lazy lineage cuts: `banded` feeds both sides of the candidate
-    # self-join and `sh` both id-keyed re-attach joins — without the
-    # checkpoint each Arrow kernel runs twice (see simhash note above)
-    banded = banded.localCheckpoint(eager=False)
+    # lineage cuts (see _stage): `banded` feeds both sides of the
+    # candidate self-join and `sh` both id-keyed re-attach joins —
+    # without the cut each Arrow kernel runs twice
+    banded = _stage(banded, staging_dir, "minhash_banded")
 
     sh = df.select(
         F.col(id_col), shingles_udf(shingle_k)(F.col(text_col)).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    sh = sh.localCheckpoint(eager=False)
+    sh = _stage(sh, staging_dir, "minhash_shingles")
 
     cand_ids = (
         banded.alias("a")
@@ -541,6 +572,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= ``max_hamming``.
 
@@ -553,9 +585,7 @@ def simhash_near_dup_pairs(
     # cut the lineage so the signature kernel runs ONCE: the blocking
     # self-join would otherwise re-evaluate the Arrow UDF on every join
     # side (observed 4 ArrowEvalPython nodes in the executed plan).
-    # Lazy local checkpoint = materialize per-executor on first use —
-    # the per-stage parquet pattern without driver-side temp dirs.
-    signed = signed.localCheckpoint(eager=False)
+    signed = _stage(signed, staging_dir, "simhash_signed")
     chunks = F.array(
         *[
             F.struct(
@@ -719,6 +749,7 @@ def simhash_md5_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs under the engine-portable md5 SimHash.
 
@@ -732,7 +763,7 @@ def simhash_md5_near_dup_pairs(
     signed = simhash_md5_signatures(df, text_col, id_col)
     # one narrow materialization so the signature agg runs once, not
     # once per blocking-join side (same rationale as the FNV flavor)
-    signed = signed.localCheckpoint(eager=False)
+    signed = _stage(signed, staging_dir, "simhash_md5_signed")
     chunks = F.array(
         *[
             F.struct(
