@@ -6116,6 +6116,157 @@ def q_mad_outliers_value(spark, sf_dir):
     )
 
 
+@register(
+    "rolling_7d_unique_users",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS uniq_7d
+    FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+    note="trailing-7-day distinct users per day — the rolling-distinct "
+    "problem, which no windowed aggregate solves scalably (collect_set "
+    "over a RANGE frame buffers every window's members per row).  "
+    "Scale shape: reduce to DISTINCT (day, user) pairs first, then "
+    "each pair REPLICATES to the 7 anchor days it can influence "
+    "(explode of a 7-day sequence) and one distinct-agg per anchor "
+    "finishes it — linear 7× replication of the already-reduced "
+    "day-user volume, fully partial-aggregable, no per-row set state.  "
+    "Anchors restrict to observed event days (semi join with the "
+    "distinct-day list).  The HLL-sketch variant "
+    "(hll_sketch_union_users) is the same topology with mergeable "
+    "state for when day-user pairs themselves are too many",
+)
+def q_rolling_7d_unique_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    anchors = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), 6),
+                F.expr("interval 1 day"),
+            )
+        ).alias("anchor"),
+    )
+    return (
+        anchors.join(
+            days, days.day == anchors.anchor, "left_semi"
+        )
+        .groupBy(F.col("anchor").alias("day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("uniq_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "markov_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    cnt AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+    SELECT cur, nxt, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY cur), 6) AS p
+    FROM cnt ORDER BY cur, nxt
+    """,
+    note="first-order Markov transition matrix over per-user event "
+    "sequences — the sequence-modeling summary behind next-action "
+    "prediction and anomalous-flow detection.  One lead() window pass "
+    "(shuffle on user_id, tie-broken by event_id for cross-engine "
+    "determinism), one partial-aggregable pair count, and the row "
+    "normalization runs over the aggregated ≤|types|² rows.  Integer "
+    "ratio at 6 dp",
+)
+def q_markov_transition_matrix(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wc = Window.partitionBy("cur")
+    return cnt.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wc), 6).alias("p"),
+    ).orderBy("cur", "nxt")
+
+
+@register(
+    "conversion_latency_percentiles",
+    """
+    WITH su AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1),
+    delta AS (
+      SELECT su.user_id,
+             date_diff('second', su.signup_ts, min(e.ts)) * 1.0 AS secs
+      FROM su JOIN events e
+        ON e.user_id = su.user_id
+       AND e.event_type = 'purchase' AND e.ts >= su.signup_ts
+      GROUP BY su.user_id, su.signup_ts)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(secs, 0.5), 4) AS p50_s,
+           round(quantile_cont(secs, 0.9), 4) AS p90_s,
+           round(max(secs), 4) AS max_s
+    FROM delta
+    """,
+    note="signup→purchase conversion latency distribution: first "
+    "signup per user (partial-agged), purchases after it equi-joined "
+    "on user_id (both sides already reduced/filtered — no broadcast "
+    "assumption about user cardinality), first qualifying purchase per "
+    "user, then exact interpolated percentiles over the per-user "
+    "latency (one row per converted user — reporting volume).  "
+    "Integer-second deltas keep the quantile interpolation exact "
+    "cross-engine",
+)
+def q_conversion_latency_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    delta = (
+        su.join(
+            pu,
+            (pu.p_user == su.user_id) & (pu.p_ts >= su.signup_ts),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("first_purchase_ts"))
+        .select(
+            (
+                F.unix_timestamp("first_purchase_ts")
+                - F.unix_timestamp("signup_ts")
+            ).cast("double").alias("secs")
+        )
+    )
+    return delta.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("secs", 0.5), 4).alias("p50_s"),
+        F.round(F.percentile("secs", 0.9), 4).alias("p90_s"),
+        F.round(F.max("secs"), 4).alias("max_s"),
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
