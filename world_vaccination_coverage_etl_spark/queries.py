@@ -6359,13 +6359,20 @@ _CERT_LATE = [
     # doc_concat_shards, sql_api_running_revenue, domain_cap_sample,
     # incremental_dedup_new_docs, stream_attribution_outer,
     # hard_negatives_topk, doc_unigram_logprob, corpus_health_by_source,
-    # embedding_norm_stats — are intentionally NOT listed in either
-    # rotation list: _rotated() places unlisted entries in the middle
-    # block, i.e. immediately after the 50-entry head — the head is
-    # already fully claimed by the ten events.ts re-certifications, the
-    # reworked outputs, the r5a additions, and the 2-round-stale tier-3
-    # backlog, none of which can slip past the driver window without
-    # violating the nothing->2-rounds-stale policy.  Every r5b query is
+    # embedding_norm_stats — and the r5c additions (global IDs, span
+    # dedup, int8 quantize, profiling/constraints, SCD2, EWMA/anomaly,
+    # RANGE window, histogram, median parity, TPC-H q11/q12/q20
+    # completing all 22, full-outer reconcile, rank family, gapfill,
+    # regr trend, HLL sketch union, fuzzy blocking, bigram NLL, skew
+    # report, assoc rules, multi-touch attribution, revenue shares,
+    # MAD outliers, rolling distinct, Markov matrix, conversion
+    # latency) are intentionally NOT listed in either rotation list:
+    # _rotated() places unlisted entries in the middle block, i.e.
+    # immediately after the 50-entry head — the head is already fully
+    # claimed by the ten events.ts re-certifications, the reworked
+    # outputs, the r5a additions, and the 2-round-stale tier-3 backlog,
+    # none of which can slip past the driver window without violating
+    # the nothing->2-rounds-stale policy.  Every r5b/r5c query is
     # oracle-certified by the local sweep at BOTH sf0.001 and sf0.01
     # this round and must LEAD r6's window as never-driver-certified.
     # head-of-tail: the entries sacrificed for the r5 additions (all
