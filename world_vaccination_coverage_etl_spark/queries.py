@@ -6267,6 +6267,39 @@ def q_conversion_latency_percentiles(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_covariance",
+    """
+    WITH x AS (
+      SELECT vec_id, i, embedding[i]::DOUBLE AS xi
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r),
+    n AS (SELECT count(*) AS n FROM embeddings)
+    SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+           round(sum(a.xi * b.xi) / max(n.n)
+                 - (sum(a.xi) / max(n.n)) * (sum(b.xi) / max(n.n)), 6)
+             AS cov
+    FROM x a JOIN x b USING (vec_id), n
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="distributed covariance matrix of the embedding column "
+    "(operators/pca.py embedding_covariance) — the data-parallel half "
+    "of PCA: an Arrow kernel folds each partition into per-batch "
+    "moment sums (n, Σx, ΣxxT — one numpy matmul per batch), emits "
+    "dim² tiny rows per batch, and ONE shuffle on (i,j) finishes the "
+    "reduction; no vector crosses the network, traffic is "
+    "O(partitions·dim²).  The driver-side eigh over the 64×64 result "
+    "(pca_top_components) is model-sized math, pytest-pinned.  Oracle "
+    "rebuilds the same moments from an exploded self-join",
+)
+def q_embedding_covariance(spark, sf_dir):
+    from .operators.pca import embedding_covariance
+
+    return embedding_covariance(
+        _t(spark, sf_dir, "embeddings"), dim=64
+    ).orderBy("i", "j")
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
