@@ -97,3 +97,27 @@ def test_random_graphs_match_union_find(spark):
 
         got = _cc(spark, nodes, edges)
         assert got == want, f"seed={seed}"
+
+
+def test_staged_flavor_matches_checkpoint_flavor(spark, tmp_path):
+    """Durable-parquet staging (the cluster path: per-round staging
+    tables instead of executor-pinned localCheckpoint) must yield the
+    same labeling."""
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (6, 7)], "id_a long, id_b long"
+    )
+    base = sorted(
+        tuple(r) for r in connected_components(nodes, edges).collect()
+    )
+    staged = sorted(
+        tuple(r)
+        for r in connected_components(
+            nodes, edges, staging_dir=str(tmp_path / "cc")
+        ).collect()
+    )
+    assert staged == base
+    comp = dict(base)
+    assert comp[2] == 0 and comp[4] == 3 and comp[5] == 5 and comp[7] == 6

@@ -18,9 +18,11 @@ rounds settle real corpora.
 
 Scale shape per round: one shuffle (edge join on src) + one shuffle
 (groupBy dst) — both on short integer keys, partial-aggregated
-map-side.  Labels are ``localCheckpoint``-ed each round to cut lineage
-(on a cluster: persist to a staging table per round, same pattern as
-the curation pipeline).  Convergence is detected with a single
+map-side.  Labels are lineage-cut each round via the shared
+``staging.stage`` helper — ``localCheckpoint`` locally, durable
+per-round parquet staging tables when ``staging_dir`` is given (the
+cluster path; two alternating paths so a write never overwrites the
+parquet it reads).  Convergence is detected with a single
 aggregated count per round — no driver-side data collection; only the
 scalar changed-count returns to the driver.  Nothing in the loop holds
 state proportional to data size on the driver, so the operator is the
@@ -32,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .staging import stage
+
 
 def connected_components(
     nodes: DataFrame,
@@ -40,6 +44,7 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Label every node with its component id (min node id reachable).
 
@@ -52,14 +57,20 @@ def connected_components(
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     rev = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     und = fwd.unionAll(rev)
-    # edges re-scan every round: materialize once
-    und = und.localCheckpoint(eager=False)
+    # edges re-scan every round: materialize once (stage() = durable
+    # parquet when staging_dir is given — the cluster path)
+    und = stage(und, staging_dir, "cc_edges")
 
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
-    ).localCheckpoint(eager=False)
+    labels = stage(
+        nodes.select(
+            F.col(id_col).alias("node"),
+            F.col(id_col).cast("long").alias("label"),
+        ),
+        staging_dir,
+        "cc_labels_init",
+    )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # min neighbor label per node, one join + one partial-agg shuffle
         neighbor_min = (
             und.join(labels, und.src == labels.node, "inner")
@@ -77,8 +88,10 @@ def connected_components(
                     "__changed"
                 ),
             )
-            .localCheckpoint(eager=False)
         )
+        # per-round lineage cut; staged flavor alternates two paths so
+        # each write never overwrites the parquet it is reading from
+        updated = stage(updated, staging_dir, f"cc_labels_{it % 2}")
         changed = updated.filter(F.col("__changed")).limit(1).count()
         labels = updated.drop("__changed")
         if changed == 0:

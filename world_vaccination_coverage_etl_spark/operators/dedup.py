@@ -26,7 +26,6 @@ needs.  Pairs → clusters is ``operators/components.py``.
 
 from __future__ import annotations
 
-import os
 import re
 
 import pandas as pd
@@ -35,34 +34,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .staging import stage
+
 
 def _stage(df: DataFrame, staging_dir: str | None, name: str) -> DataFrame:
     """Cut a DataFrame's lineage so expensive kernels evaluate ONCE.
 
     The signature/shingle Arrow UDFs feed both sides of the blocking
     self-joins; without a lineage cut Catalyst inlines them into every
-    consumer and the kernel runs 2-4×.
-
-    Two flavors:
-
-    - ``staging_dir=None`` (default, the local/bench path):
-      ``localCheckpoint(eager=False)`` — materialize per-executor on
-      first use, no temp-dir management.  Caveat at cluster scale: the
-      checkpointed partitions PIN to the executors that computed them
-      (no HDFS/S3 copy), so executor loss forces recompute and dynamic
-      allocation can't release those hosts.
-    - ``staging_dir=<path>`` (the cluster path): write the intermediate
-      to parquet and re-read it — a durable staging table any executor
-      can scan, the per-stage-materialization pattern every large
-      pipeline uses.  Costs one write+read of the (narrow) staged
-      projection; survives executor loss and lets AQE re-plan the
-      downstream join from REAL staged statistics.
+    consumer and the kernel runs 2-4×.  Delegates to the shared
+    :func:`..staging.stage` helper (localCheckpoint by default, durable
+    parquet staging when ``staging_dir`` is given — see that module
+    for the cluster-scale rationale).
     """
-    if staging_dir is None:
-        return df.localCheckpoint(eager=False)
-    path = os.path.join(staging_dir, name)
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return stage(df, staging_dir, name)
 
 # --------------------------------------------------------------------------
 # exact
