@@ -6300,6 +6300,47 @@ def q_embedding_covariance(spark, sf_dir):
     ).orderBy("i", "j")
 
 
+@register(
+    "null_safe_join_nation",
+    """
+    WITH c AS (
+      SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer),
+    n AS (
+      SELECT nullif(n_nationkey, 3) AS nk, n_name FROM nation)
+    SELECT c.c_custkey,
+           coalesce(n.n_name, '<unknown>') AS n_name,
+           CAST(c.nk IS NULL AS BOOLEAN) AS key_was_null
+    FROM c JOIN n ON c.nk IS NOT DISTINCT FROM n.nk
+    ORDER BY c.c_custkey, n_name
+    """,
+    note="null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL "
+    "keys MATCH each other instead of silently dropping — the "
+    "unknown-dimension-member pattern (here nation 3 is nulled on both "
+    "sides to model unresolved keys; real feeds arrive with them).  "
+    "Spark plans eqNullSafe as a HASH-JOINABLE key (coalesce+isnull "
+    "rewrite), so this stays a broadcast/shuffled hash join — pinned "
+    "by the plan guard, never a nested loop; a naive "
+    "`(a=b) OR (a IS NULL AND b IS NULL)` predicate would lose the "
+    "equi-join planning entirely",
+)
+def q_null_safe_join_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk")
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(3)).alias("n_nk"), "n_name"
+    )
+    return (
+        c.join(F.broadcast(n), c.nk.eqNullSafe(n.n_nk))
+        .select(
+            "c_custkey",
+            F.coalesce("n_name", F.lit("<unknown>")).alias("n_name"),
+            F.col("nk").isNull().alias("key_was_null"),
+        )
+        .orderBy("c_custkey", "n_name")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
