@@ -6341,6 +6341,73 @@ def q_null_safe_join_nation(spark, sf_dir):
     )
 
 
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             event_id
+      FROM events),
+    r AS (
+      SELECT user_id, event_type, ts,
+             sum(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM o),
+    g AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             min(ts) AS effective_from
+      FROM r GROUP BY user_id, version, event_type),
+    dim AS (
+      SELECT user_id, version, event_type AS dim_state, effective_from,
+             lead(effective_from) OVER (PARTITION BY user_id
+                                        ORDER BY version) AS effective_to
+      FROM g)
+    SELECT e.event_id, e.user_id, d.version, d.dim_state
+    FROM events e JOIN dim d
+      ON d.user_id = e.user_id
+     AND e.ts >= d.effective_from
+     AND (d.effective_to IS NULL OR e.ts < d.effective_to)
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+    note="point-in-time (temporal) join against the SCD2 dimension: "
+    "each purchase picks the dimension version whose "
+    "[effective_from, effective_to) interval contains its timestamp — "
+    "the as-reported-then lookup every audit/ML-feature pipeline needs "
+    "(joining is_current instead leaks the future).  Plan shape: equi "
+    "join on the dimension KEY with the interval check as a residual — "
+    "version fan-out per key is small and interval-partitioned, so "
+    "each probe matches exactly one build row; no range blow-up, no "
+    "nested loop.  The dimension derives in-plan from scd2_collapse",
+)
+def q_scd2_point_in_time_join(spark, sf_dir):
+    from .operators.scd import scd2_collapse
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_collapse(ev, "user_id", "event_type", "ts", "event_id").select(
+        F.col("user_id").alias("d_user"),
+        "version",
+        F.col("event_type").alias("dim_state"),
+        "effective_from",
+        "effective_to",
+    )
+    e = ev.filter(F.col("event_type") == "purchase")
+    return (
+        e.join(
+            dim,
+            (dim.d_user == e.user_id)
+            & (e.ts >= dim.effective_from)
+            & (dim.effective_to.isNull() | (e.ts < dim.effective_to)),
+        )
+        .select("event_id", "user_id", "version", "dim_state")
+        .orderBy("event_id")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
