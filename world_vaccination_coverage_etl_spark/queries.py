@@ -6408,6 +6408,59 @@ def q_scd2_point_in_time_join(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_hof_flags",
+    """
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN len(list_filter(embedding,
+                                              x -> x::DOUBLE > 0.5)) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_any_gt_half,
+           CAST(sum(CASE WHEN len(list_filter(embedding,
+                                              x -> abs(x::DOUBLE) >= 1.0)) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_all_abs_lt1,
+           round(avg(len(list_filter(embedding, x -> x::DOUBLE > 0))), 6)
+             AS avg_n_pos
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    note="higher-order array-function breadth (exists / forall / "
+    "filter+size) as per-label vector hygiene flags: any-coordinate "
+    "spike, all-coordinates-bounded, positive-coordinate count.  "
+    "exists() maps to len(list_filter)>0 and forall() to its negated "
+    "complement in the oracle — identical float→double promotion both "
+    "engines.  Catalyst HOFs are interpreted, so this shape belongs on "
+    "REPORTING volumes; candidate-verify volumes use the Arrow kernels "
+    "(the repo-wide split embedding_norm_stats documents)",
+)
+def q_embedding_hof_flags(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(
+                F.when(
+                    F.exists(x, lambda v: v.cast("double") > 0.5), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_any_gt_half"),
+            F.sum(
+                F.when(
+                    F.forall(x, lambda v: F.abs(v.cast("double")) < 1.0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_all_abs_lt1"),
+            F.round(
+                F.avg(F.size(F.filter(x, lambda v: v.cast("double") > 0))), 6
+            ).alias("avg_n_pos"),
+        )
+        .orderBy("label")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
