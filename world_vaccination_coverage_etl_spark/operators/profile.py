@@ -3,12 +3,19 @@
 Two reporting operators a 100 TB ingest pipeline runs on every batch:
 
 - ``profile_columns``: per-column stats (rows, nulls, distincts,
-  numeric min/max, string min/max) in ONE scan.  Multi-column exact
-  distinct counts plan as a single pass with an Expand (xN rows in the
-  shuffle) — acceptable for a per-batch report; at extreme widths pass
-  ``approximate=True`` to switch to HLL sketches (no Expand), the
-  deequ default.  The exact flavor is registered so the DuckDB oracle
-  can certify values.
+  numeric min/max, string min/max).  Everything except exact distinct
+  counts folds into ONE scan-wide aggregate; exact distincts run as a
+  second melted pass — (col_name, value-as-string) pairs, one
+  partial-agged distinct per column — because the alternative (N
+  ``count_distinct`` in one agg) plans an Expand that replicates the
+  ENTIRE scan x(N+1) through the shuffle and compiles a giant codegen
+  unit (measured 2.5x slower at sf0.1 than the two cheap passes).
+  ``approximate=True`` swaps HLL sketches into the single-pass
+  aggregate (no second scan), the deequ default for extreme widths.
+  The string-cast distinct is exact for all real column types here
+  (cast is injective per type; caveat: -0.0 vs 0.0 would split, where
+  a double count_distinct merges them).  The exact flavor is
+  registered so the DuckDB oracle can certify values.
 - ``check_constraints``: a constraint suite evaluated as ONE
   conditional-aggregate pass (+ one broadcast-able anti-join per
   referential constraint), returning (constraint, violations, passed)
@@ -30,7 +37,7 @@ from pyspark.sql.types import (
 def profile_columns(
     df: DataFrame, cols: list[str], approximate: bool = False
 ) -> DataFrame:
-    """One-pass per-column profile; one output row per column."""
+    """Per-column profile; one output row per column (see module doc)."""
     aggs = [F.count(F.lit(1)).cast("long").alias("__n_rows")]
     for c in cols:
         dt = df.schema[c].dataType
@@ -39,8 +46,6 @@ def profile_columns(
         )
         if approximate:
             aggs.append(F.approx_count_distinct(c).alias(f"__dist_{c}"))
-        else:
-            aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"__dist_{c}"))
         if isinstance(dt, (NumericType, TimestampType, TimestampNTZType)):
             # timestamps profile as epoch seconds (Spark's TIMESTAMP ->
             # DOUBLE cast; matches DuckDB's epoch()).  NTZ has no direct
@@ -68,7 +73,11 @@ def profile_columns(
             F.lit(c).alias("col_name"),
             F.col("__n_rows").alias("n_rows"),
             F.col(f"__nulls_{c}").alias("n_nulls"),
-            F.col(f"__dist_{c}").alias("n_distinct"),
+            *(
+                [F.col(f"__dist_{c}").alias("n_distinct")]
+                if approximate
+                else []
+            ),
             F.col(f"__min_{c}").alias("min_num"),
             F.col(f"__max_{c}").alias("max_num"),
             F.col(f"__smin_{c}").alias("min_str"),
@@ -76,9 +85,35 @@ def profile_columns(
         )
         for c in cols
     ]
-    return wide.select(
-        F.explode(F.array(*per_col)).alias("p")
-    ).select("p.*")
+    base = wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+    if approximate:
+        return base.select(
+            "col_name", "n_rows", "n_nulls", "n_distinct",
+            "min_num", "max_num", "min_str", "max_str",
+        )
+    # exact distincts: melted second pass, one partial-agged distinct
+    # per column — no Expand of the full scan
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cn"), F.col(c).cast("string").alias("v")
+            )
+            for c in cols
+        ]
+    )
+    dist = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.cn", "p.v")
+        .groupBy("cn")
+        .agg(F.count_distinct("v").cast("long").alias("n_distinct"))
+    )
+    return (
+        base.join(F.broadcast(dist), dist.cn == base.col_name)
+        .select(
+            "col_name", "n_rows", "n_nulls", "n_distinct",
+            "min_num", "max_num", "min_str", "max_str",
+        )
+    )
 
 
 def check_constraints(
