@@ -138,3 +138,50 @@ def test_zorder_roundtrip_exact(spark, tmp_path):
     write_zorder_table(df, p, "x", "y", bits=8, n_files=8)
     back = spark.read.parquet(p)
     assert sorted(r.payload for r in back.collect()) == list(range(5_000))
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_small, tmp_path):
+    """Dynamic partition pruning: a filter on the DIMENSION side must
+    prune FACT partitions at runtime — the join-driven directory skip
+    a 100 TB star schema lives on (static pruning can't help because
+    the fact filter only materializes from the dim join).
+    """
+    from pyspark.sql import functions as F
+
+    from world_vaccination_coverage_etl_spark.sources.registry import (
+        load_table,
+    )
+
+    fact_dir = str(tmp_path / "orders_by_status")
+    load_table(spark, sf_small, "orders").write.partitionBy(
+        "o_orderstatus"
+    ).mode("overwrite").parquet(fact_dir)
+
+    # dimension: an INDEPENDENT table whose filter column is opaque to
+    # the fact (no constraint inference possible — only runtime
+    # pruning can skip fact partitions).  Written to parquet so the
+    # optimizer can't constant-fold the filter into a literal IN list.
+    dim_dir = str(tmp_path / "status_dim")
+    spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "open")],
+        "status string, phase string",
+    ).write.parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir)
+    fact = spark.read.parquet(fact_dir)
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true"
+    )
+    try:
+        joined = fact.join(
+            dim.filter("phase = 'closed'"), fact.o_orderstatus == dim.status
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower()
+        n = joined.count()
+        only_f = fact.filter("o_orderstatus = 'F'").count()
+        assert n == only_f > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev
+        )
