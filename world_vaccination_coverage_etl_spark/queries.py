@@ -6468,6 +6468,59 @@ def q_embedding_hof_flags(spark, sf_dir):
     )
 
 
+@register(
+    "feature_hashing_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS w
+      FROM documents WHERE doc_id < 100),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('fh:' || w), 1, 2))::BIGINT AS hv
+      FROM toks)
+    SELECT doc_id, CAST(hv % 64 AS BIGINT) AS dim,
+           CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS val
+    FROM h GROUP BY 1, 2 HAVING sum(CASE WHEN (hv // 64) % 2 = 0
+                                         THEN 1 ELSE -1 END) <> 0
+    ORDER BY doc_id, dim
+    """,
+    note="the hashing trick (Weinberger et al. 2009, public method): "
+    "tokens map to a fixed 64-dim signed sparse feature space with no "
+    "vocabulary table and no fit step — the streaming-friendly text "
+    "featurizer.  dim = 6 low bits and sign = the 7th bit of the "
+    "engine-portable salted-md5 contract (the same uniform the "
+    "sampling operators certify), so the oracle reproduces features "
+    "bit-for-bit; the sign bit keeps collision contributions unbiased "
+    "(E = 0).  One explode + one partial-agged shuffle; zero entries "
+    "dropped as a real sparse encoder would.  Restricted to 100 docs "
+    "for a bounded certified output — the shape is volume-independent "
+    "(at volume the md5 salt swaps for xxhash64, the repo's internal "
+    "join-key hash, without changing the topology)",
+)
+def q_feature_hashing_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    from .operators.text import _tokens as _toks
+
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh:"), F.col("w"))), 1, 2), 16, 10
+    ).cast("long")
+    return (
+        d.select("doc_id", F.explode(_toks(F.col("text"))).alias("w"))
+        .select(
+            "doc_id",
+            F.pmod(hv, F.lit(64)).cast("long").alias("dim"),
+            F.when(
+                F.pmod(F.floor(hv / 64), F.lit(2)) == 0, F.lit(1)
+            ).otherwise(F.lit(-1)).alias("sgn"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+        .orderBy("doc_id", "dim")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
