@@ -77,3 +77,59 @@ def test_nulls_round_trip(spark, tmp_path):
     _write(spark, df, p)
     back = _read(spark, p, "id long, maybe long")
     assert back.filter(F.col("maybe").isNull()).count() == 3
+
+
+def test_time_travel_reads_old_snapshots(spark, tmp_path):
+    p = str(tmp_path / "t5")
+    _write(spark, spark.range(0, 4).select(F.col("id")), p)               # v1
+    _write(spark, spark.range(10, 13).select(F.col("id")), p, "overwrite")  # v2
+    _write(spark, spark.range(20, 22).select(F.col("id")), p, "append")     # v3
+    register_jsonl_manifest(spark)
+
+    def at(v):
+        return {
+            r.id
+            for r in spark.read.format("jsonl_manifest")
+            .schema("id long")
+            .option("version", v)
+            .load(p)
+            .collect()
+        }
+
+    assert at(1) == {0, 1, 2, 3}
+    assert at(2) == {10, 11, 12}
+    assert at(3) == {10, 11, 12, 20, 21}
+    assert {r.id for r in _read(spark, p, "id long").collect()} == at(3)
+
+
+def test_vacuum_prunes_past_retention(spark, tmp_path):
+    from world_vaccination_coverage_etl_spark.sources.jsonl_sink_source import (
+        vacuum_jsonl_manifest,
+    )
+
+    p = str(tmp_path / "t6")
+    _write(spark, spark.range(0, 4).select(F.col("id")), p)               # v1
+    _write(spark, spark.range(10, 13).select(F.col("id")), p, "overwrite")  # v2
+    _write(spark, spark.range(20, 22).select(F.col("id")), p, "append")     # v3
+    report = vacuum_jsonl_manifest(p, retain=2)
+    # v1's files are referenced by no retained snapshot -> deleted
+    assert report["deleted_versions"] == [1]
+    assert len(report["deleted_files"]) > 0
+    register_jsonl_manifest(spark)
+    # retained snapshots still read fine
+    v2 = {
+        r.id
+        for r in spark.read.format("jsonl_manifest")
+        .schema("id long")
+        .option("version", 2)
+        .load(p)
+        .collect()
+    }
+    assert v2 == {10, 11, 12}
+    # expired snapshot fails FAST (manifest gone), never a partial read
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.format("jsonl_manifest").schema("id long").option(
+            "version", 1
+        ).load(p).collect()

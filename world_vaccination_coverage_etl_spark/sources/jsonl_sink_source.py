@@ -25,10 +25,23 @@ reader-side snapshot isolation — the commit design every table format
 (Delta/Iceberg/Hive FileOutputCommitter v2) builds on, here in its
 minimal auditable form.
 
+Commits are VERSIONED: every commit also writes an immutable snapshot
+``_versions/v<N>.json``, and the reader accepts ``option("version",
+N)`` for time travel — reading the table exactly as it was after
+commit N (overwritten files stay on disk until vacuumed, so old
+snapshots remain readable).  :func:`vacuum_jsonl_manifest` deletes
+data files referenced by NO retained snapshot (keep the last
+``retain`` versions) and prunes the expired snapshot files — the
+Delta VACUUM contract in miniature: time travel works back exactly as
+far as retention, never further.
+
 Usage::
 
     df.write.format("jsonl_manifest").mode("overwrite").save(path)
     spark.read.format("jsonl_manifest").schema(ddl).load(path)
+    spark.read.format("jsonl_manifest").schema(ddl)
+         .option("version", 1).load(path)          # time travel
+    vacuum_jsonl_manifest(path, retain=2)
 
 JSON values: str/int/float/bool pass through; date/timestamp
 serialize ISO-8601 and are re-parsed on read via the declared read
@@ -105,12 +118,17 @@ class JsonlManifestWriter(DataSourceWriter):
                 os.path.join(self.path, final),
             )
             committed.append({"file": final, "n_rows": m.n_rows})
-        manifest = {"files": committed, "job_id": self.job_id}
-        if not self.overwrite and os.path.exists(
-            os.path.join(self.path, MANIFEST)
-        ):
-            with open(os.path.join(self.path, MANIFEST)) as fh:
-                manifest["files"] = json.load(fh)["files"] + committed
+        prev = _read_manifest(self.path)
+        version = (prev["version"] + 1) if prev else 1
+        files = committed if self.overwrite or prev is None else (
+            prev["files"] + committed
+        )
+        manifest = {"files": files, "job_id": self.job_id, "version": version}
+        # immutable snapshot first, then the atomic HEAD pointer swap
+        vdir = os.path.join(self.path, "_versions")
+        os.makedirs(vdir, exist_ok=True)
+        with open(os.path.join(vdir, f"v{version}.json"), "w") as fh:
+            json.dump(manifest, fh)
         tmp = os.path.join(self.path, f"{MANIFEST}.{self.job_id}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -126,6 +144,58 @@ class JsonlManifestWriter(DataSourceWriter):
         )
 
 
+def _read_manifest(path: str, version: int | None = None) -> dict | None:
+    """HEAD manifest, or the immutable snapshot for ``version``."""
+    if version is not None:
+        with open(
+            os.path.join(path, "_versions", f"v{version}.json")
+        ) as fh:
+            return json.load(fh)
+    head = os.path.join(path, MANIFEST)
+    if not os.path.exists(head):
+        return None
+    with open(head) as fh:
+        m = json.load(fh)
+    m.setdefault("version", 1)  # pre-versioning manifests
+    return m
+
+
+def vacuum_jsonl_manifest(path: str, retain: int = 2) -> dict:
+    """Delete data files unreferenced by the last ``retain`` snapshots.
+
+    Expired snapshot files are pruned too, so time travel fails FAST
+    past retention instead of returning a partially-deleted table.
+    Returns ``{"deleted_files": [...], "deleted_versions": [...]}``.
+    """
+    head = _read_manifest(path)
+    if head is None:
+        return {"deleted_files": [], "deleted_versions": []}
+    vdir = os.path.join(path, "_versions")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(vdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    keep_versions = set(versions[-retain:])
+    live: set[str] = set()
+    for v in keep_versions:
+        m = _read_manifest(path, v)
+        live.update(e["file"] for e in m["files"])
+    live.update(e["file"] for e in head["files"])  # HEAD always survives
+    deleted_files, deleted_versions = [], []
+    for f in os.listdir(path):
+        if f.endswith(".jsonl") and f not in live:
+            os.remove(os.path.join(path, f))
+            deleted_files.append(f)
+    for v in versions:
+        if v not in keep_versions:
+            os.remove(os.path.join(vdir, f"v{v}.json"))
+            deleted_versions.append(v)
+    return {
+        "deleted_files": sorted(deleted_files),
+        "deleted_versions": deleted_versions,
+    }
+
+
 class _FilePartition(InputPartition):
     def __init__(self, idx: int, fname: str):
         super().__init__(idx)
@@ -138,10 +208,16 @@ class JsonlManifestReader(DataSourceReader):
         if not self.path:
             raise ValueError("jsonl_manifest: .load(path) is required")
         self.schema = schema
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
 
     def partitions(self):
-        with open(os.path.join(self.path, MANIFEST)) as fh:
-            files = [e["file"] for e in json.load(fh)["files"]]
+        m = _read_manifest(self.path, self.version)
+        if m is None:
+            raise FileNotFoundError(
+                f"jsonl_manifest: no manifest at {self.path}"
+            )
+        files = [e["file"] for e in m["files"]]
         return [_FilePartition(i, f) for i, f in enumerate(files)]
 
     def read(self, partition: _FilePartition):
