@@ -1,0 +1,191 @@
+"""Empirical scaling probe: headline operators at 1x vs synthesized 10x.
+
+The bench (sf0.1) certifies absolute speed; this tool certifies the
+SHAPE of the cost curve — the thing that decides survival at 100 TB.
+Each probed operator runs on the sf0.1 tables and on a deterministic
+10x amplification (explode x10 with perturbed keys/content so dedup
+groups, join keys, and hash distributions stay realistic rather than
+10 exact copies), and the wall-time ratio is reported.  A linear
+operator lands well under ~12x (fixed plan/JIT overheads amortize);
+anything quadratic-in-a-block explodes past it — exactly the failure
+the blocked/bucketed designs exist to prevent.
+
+Usage: python tools/scale_probe.py [sf_dir]  →  prints one JSON line
+and writes SCALING.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from world_vaccination_coverage_etl_spark.session import get_spark  # noqa: E402
+
+
+def amplify(df, times: int, id_cols: list[str], text_col: str | None = None):
+    """x`times` deterministic amplification: each copy shifts ids into
+    a disjoint range and (optionally) perturbs text so content-hash
+    operators see realistic near-group structure, not pure clones."""
+    copies = F.explode(F.sequence(F.lit(0), F.lit(times - 1))).alias("__c")
+    out = df.select("*", copies)
+    for c in id_cols:
+        out = out.withColumn(c, F.col(c) + F.col("__c") * 10_000_000)
+    if text_col is not None:
+        # copy 0 keeps the original text (real duplicates survive);
+        # other copies append a copy marker (near-dup-ish variants)
+        out = out.withColumn(
+            text_col,
+            F.when(F.col("__c") == 0, F.col(text_col)).otherwise(
+                F.concat(F.col(text_col), F.lit(" c"), F.col("__c"))
+            ),
+        )
+    return out.drop("__c")
+
+
+def timed(df) -> tuple[float, int]:
+    t = time.time()
+    n = df.count()
+    return time.time() - t, n
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale_probe")
+    spark.range(10).count()  # JIT warm
+
+    li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        exact_dedup,
+        minhash_near_dup_pairs,
+    )
+    from world_vaccination_coverage_etl_spark.operators.sampling import (
+        salted_agg_count,
+    )
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        knn_within_blocks,
+        lsh_bucket_batched,
+    )
+
+    def q1_agg(d):
+        return (
+            d.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.avg("l_extendedprice"),
+                F.count(F.lit(1)),
+            )
+        )
+
+    def rolling_distinct(d):
+        du = d.select(
+            F.col("ts").cast("date").alias("day"), "user_id"
+        ).distinct()
+        days = du.select("day").distinct()
+        anchors = du.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), 6),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("anchor"),
+        )
+        return anchors.join(days, days.day == anchors.anchor, "left_semi") \
+            .groupBy("anchor").agg(F.count_distinct("user_id"))
+
+    probes = {
+        "q1_hash_agg": (
+            lambda: q1_agg(li),
+            lambda: q1_agg(amplify(li, 10, ["l_orderkey"])),
+        ),
+        "exact_dedup": (
+            lambda: exact_dedup(docs),
+            lambda: exact_dedup(amplify(docs, 10, ["doc_id"], "text")),
+        ),
+        "minhash_near_dup": (
+            lambda: minhash_near_dup_pairs(docs),
+            lambda: minhash_near_dup_pairs(
+                amplify(docs, 4, ["doc_id"], "text")
+            ),
+        ),
+        "rolling_7d_distinct": (
+            lambda: rolling_distinct(ev),
+            lambda: rolling_distinct(amplify(ev, 10, ["event_id"])),
+        ),
+        "salted_agg": (
+            lambda: salted_agg_count(
+                ev, ["event_type"], salt_parts=8, value_col="value"
+            ),
+            lambda: salted_agg_count(
+                amplify(ev, 10, ["event_id"]),
+                ["event_type"],
+                salt_parts=8,
+                value_col="value",
+            ),
+        ),
+        "knn_blocked_lsh": (
+            lambda: knn_within_blocks(
+                emb.withColumn(
+                    "block", lsh_bucket_batched(F.col("embedding"), 64, 6)
+                ),
+                k=5,
+            ),
+            lambda: knn_within_blocks(
+                amplify(emb, 10, ["vec_id"]).withColumn(
+                    "block", lsh_bucket_batched(F.col("embedding"), 64, 6)
+                ),
+                k=5,
+            ),
+        ),
+    }
+
+    results = {}
+    for name, (small, big) in probes.items():
+        t1, n1 = timed(small())
+        tN, nN = timed(big())
+        results[name] = {
+            "t_1x_s": round(t1, 2),
+            "t_big_s": round(tN, 2),
+            "rows_1x": n1,
+            "rows_big": nN,
+            "time_ratio": round(tN / max(t1, 1e-9), 1),
+        }
+        print(f"[probe] {name}: {t1:.2f}s -> {tN:.2f}s "
+              f"(ratio {results[name]['time_ratio']})", file=sys.stderr)
+
+    print(json.dumps({"sf": sf, "probes": results}))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "SCALING.md"), "w") as fh:
+        fh.write(
+            "# SCALING — empirical 1x vs 10x cost-curve probe\n\n"
+            "Generated by `tools/scale_probe.py` on the sf0.1 tables vs a "
+            "deterministic\n10x amplification (disjoint id ranges, "
+            "perturbed text; minhash uses 4x to keep\nthe probe under a "
+            "minute).  `time_ratio` well under ~12x on a 10x input ⇒ the\n"
+            "operator's cost curve is linear-ish (fixed overheads "
+            "amortize); a blocked\ndesign gone quadratic would blow far "
+            "past it.\n\n"
+            "| operator | 1x time (s) | big time (s) | input factor | "
+            "time ratio |\n|---|---|---|---|---|\n"
+        )
+        factors = {"minhash_near_dup": 4}
+        for name, r in results.items():
+            fh.write(
+                f"| {name} | {r['t_1x_s']} | {r['t_big_s']} | "
+                f"{factors.get(name, 10)}x | {r['time_ratio']}x |\n"
+            )
+
+
+if __name__ == "__main__":
+    main()
