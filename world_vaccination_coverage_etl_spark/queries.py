@@ -6521,6 +6521,47 @@ def q_feature_hashing_docs(spark, sf_dir):
     )
 
 
+@register(
+    "variant_props_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="the Spark 4 VARIANT type for semi-structured data: "
+    "parse_json() ingests props into the binary variant encoding ONCE "
+    "and variant_get extracts typed paths from it — unlike "
+    "get_json_object (props_json_extract, which re-parses the JSON "
+    "text per path), variant parses once and serves any number of "
+    "typed extractions, the open-format answer to string-JSON scans "
+    "at 100 TB.  try_variant_get's null-on-missing contract matches "
+    "the oracle's json_extract_string NULL semantics",
+)
+def q_variant_props_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("k").isNull().cast("long"))
+            .cast("long")
+            .alias("n_missing_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
