@@ -31,6 +31,7 @@ _EXECUTES = tuple(
         "kmeans_clusters",            # iterative driver loop
         "dup_connected_components",   # iterative driver loop
         "dup_cluster_sizes",          # iterative driver loop
+        "fuzzy_entity_clusters",      # iterative driver loop
         "curation_pipeline",          # stage materialization writes
     }
 )

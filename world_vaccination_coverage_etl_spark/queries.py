@@ -6562,6 +6562,54 @@ def q_variant_props_extract(spark, sf_dir):
     )
 
 
+@register(
+    "fuzzy_entity_clusters",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, n_chars // 16 AS lb, substr(text, 1, 40) AS h
+      FROM documents),
+    e AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND abs(b.lb - a.lb) <= 1
+       AND a.doc_id <> b.doc_id
+      WHERE levenshtein(a.h, b.h) <= 8),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    reach(node, lab) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node)
+    SELECT node AS doc_id, min(lab) AS entity_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+    note="entity resolution end-to-end: the fuzzy blocked matcher's "
+    "pair graph closed into entity clusters by the distributed "
+    "connected-components operator — match → cluster is the step that "
+    "turns pairwise linkage into dedup/merge decisions.  Output "
+    "restricted to docs that matched anything (singletons carry no "
+    "decision).  The oracle recomputes the blocked fuzzy edge set and "
+    "closes it with a recursive CTE, certifying candidate generation, "
+    "residual scoring AND transitive clustering in one hash",
+)
+def q_fuzzy_entity_clusters(spark, sf_dir):
+    from .operators.components import connected_components
+
+    pairs = q_fuzzy_blocked_match_docs(spark, sf_dir).select(
+        "doc_lo", "doc_hi"
+    )
+    nodes = (
+        pairs.select(F.col("doc_lo").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_hi").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components(
+        nodes, pairs, id_col="doc_id", src_col="doc_lo", dst_col="doc_hi"
+    )
+    return comp.select(
+        "doc_id", F.col("component_id").alias("entity_id")
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
