@@ -52,3 +52,20 @@ def test_collation_case_insensitive_compare_and_group(spark):
     # the default binary collation keeps them distinct
     assert df.filter(F.col("s") == "alpha").count() == 1
     assert df.select("s").distinct().count() == 4
+
+
+def test_parameterized_sql_named_args(spark):
+    # parameterized spark.sql — typed substitution, no string splicing
+    row = spark.sql(
+        "SELECT :base * 2 AS v, upper(:name) AS s",
+        args={"base": 21, "name": "spark"},
+    ).collect()[0]
+    assert row.v == 42 and row.s == "SPARK"
+    # parameters reach filters over real tables too
+    df = spark.range(0, 100)
+    df.createOrReplaceTempView("param_t")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM param_t WHERE id < :cut",
+        args={"cut": 10},
+    ).collect()[0].n
+    assert n == 10
