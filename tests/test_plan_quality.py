@@ -54,6 +54,10 @@ NESTED_LOOP_OK = {
     "q11_important_parts",
     # total-user-count scalar for support/lift normalization
     "assoc_rules_event_types",
+    # Naive Bayes: the tf rows intentionally replicate per class — a
+    # |classes|-row (5) broadcast cross join, the scoring fan-out the
+    # algorithm requires — plus 1-row vocab/ndoc scalars
+    "naive_bayes_lang_confusion",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]

@@ -6610,6 +6610,130 @@ def q_fuzzy_entity_clusters(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@register(
+    "naive_bayes_lang_confusion",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS w FROM documents),
+    tf AS (SELECT doc_id, lang, w, count(*) AS tf
+           FROM toks GROUP BY 1, 2, 3),
+    cc AS (SELECT lang AS c, w, sum(tf) AS cwc FROM tf GROUP BY 1, 2),
+    tc AS (SELECT c, sum(cwc) AS t FROM cc GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM cc),
+    prior AS (
+      SELECT lang AS c, count(*) AS nd FROM documents GROUP BY 1),
+    ndoc AS (SELECT count(*) AS n FROM documents),
+    grid AS (
+      SELECT tf.doc_id, tf.lang AS actual, p.c, tf.w, tf.tf
+      FROM tf CROSS JOIN (SELECT DISTINCT c FROM prior) p),
+    lik AS (
+      SELECT g.doc_id, g.actual, g.c,
+             sum(g.tf * ln((coalesce(cc.cwc, 0) + 1.0)
+                           / (tc.t + vocab.v))) AS ll
+      FROM grid g
+      LEFT JOIN cc ON cc.c = g.c AND cc.w = g.w
+      JOIN tc ON tc.c = g.c, vocab
+      GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT l.doc_id, l.actual, l.c,
+             round(l.ll + ln(prior.nd * 1.0 / ndoc.n), 6) AS score
+      FROM lik l JOIN prior ON prior.c = l.c, ndoc),
+    mx AS (SELECT doc_id, max(score) AS ms FROM scored GROUP BY 1),
+    pred AS (
+      SELECT s.doc_id, s.actual, min(s.c) AS predicted
+      FROM scored s JOIN mx ON mx.doc_id = s.doc_id AND s.score = mx.ms
+      GROUP BY 1, 2)
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="trainable multinomial Naive Bayes, certified END-TO-END: "
+    "train = ONE partial-aggregable pass (per-(class, token) counts + "
+    "class totals + vocab + priors — all integer), score = the "
+    "per-(doc, token) tf rows crossed with the tiny class list and "
+    "LEFT-joined to the likelihood table (absent pairs take the "
+    "add-one smoothing default), argmax per doc on the 6-dp-rounded "
+    "log posterior with a class-name tiebreak so both engines pick "
+    "identical labels.  Output is the language confusion matrix — "
+    "train AND inference verified in one hash.  Join skew is bounded "
+    "by document frequency (the unigram_logprob shape); the class "
+    "grid multiplies rows by |classes| (5), not by vocabulary",
+)
+def q_naive_bayes_lang_confusion(spark, sf_dir):
+    from .operators.text import _tokens as _toks
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(_toks(F.col("text"))).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cc = tf.groupBy(F.col("lang").alias("c"), "w").agg(
+        F.sum("tf").alias("cwc")
+    )
+    tc = cc.groupBy("c").agg(F.sum("cwc").alias("t"))
+    vocab = cc.agg(F.count_distinct("w").alias("v"))
+    prior = d.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    ndoc = d.agg(F.count(F.lit(1)).alias("n"))
+    classes = prior.select("c")
+    grid = tf.select(
+        "doc_id", F.col("lang").alias("actual"), "w", "tf"
+    ).crossJoin(F.broadcast(classes))
+    lik = (
+        grid.join(
+            cc.withColumnRenamed("c", "cc_c"),
+            (F.col("cc_c") == grid.c) & (cc.w == grid.w),
+            "left",
+        )
+        .join(F.broadcast(tc.withColumnRenamed("c", "tc_c")),
+              F.col("tc_c") == grid.c)
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "actual", "c")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.log(
+                    (F.coalesce(F.col("cwc"), F.lit(0)) + 1.0)
+                    / (F.col("t") + F.col("v"))
+                )
+            ).alias("ll")
+        )
+    )
+    scored = (
+        lik.join(
+            F.broadcast(prior.withColumnRenamed("c", "p_c")),
+            F.col("p_c") == lik.c,
+        )
+        .crossJoin(F.broadcast(ndoc))
+        .select(
+            "doc_id",
+            "actual",
+            "c",
+            F.round(
+                F.col("ll") + F.log(F.col("nd") / F.col("n")), 6
+            ).alias("score"),
+        )
+    )
+    mx = scored.groupBy(F.col("doc_id").alias("m_doc")).agg(
+        F.max("score").alias("ms")
+    )
+    pred = (
+        scored.join(
+            mx,
+            (mx.m_doc == scored.doc_id) & (scored.score == mx.ms),
+        )
+        .groupBy("doc_id", "actual")
+        .agg(F.min("c").alias("predicted"))
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
