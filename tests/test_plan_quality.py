@@ -54,6 +54,8 @@ NESTED_LOOP_OK = {
     "q11_important_parts",
     # total-user-count scalar for support/lift normalization
     "assoc_rules_event_types",
+    # Benford audit: 1-row total-count scalar over the 9-digit rows
+    "benford_first_digit",
     # Naive Bayes: the tf rows intentionally replicate per class — a
     # |classes|-row (5) broadcast cross join, the scoring fan-out the
     # algorithm requires — plus 1-row vocab/ndoc scalars

@@ -6734,6 +6734,116 @@ def q_naive_bayes_lang_confusion(spark, sf_dir):
     )
 
 
+@register(
+    "winsorize_values",
+    """
+    WITH th AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p1,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY 1)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < th.p1 OR e.value > th.p99
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(avg(e.value), 6) AS mean_raw,
+           round(avg(greatest(th.p1, least(th.p99, e.value))), 6)
+             AS mean_winsorized
+    FROM events e JOIN th ON th.event_type = e.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    note="percentile winsorization — the outlier-robust cleaning "
+    "transform: per-group p1/p99 thresholds (exact interpolated "
+    "quantiles over the reporting-volume groups) broadcast back and "
+    "applied as clamp(greatest/least); reports raw vs winsorized "
+    "means and the clip count.  Two passes, threshold side tiny; at "
+    "volume the threshold pass swaps for the percentile sketch with "
+    "the same topology.  Clamped values are EXACT copies of inputs "
+    "or thresholds, so 6-dp rounding is engine-stable",
+)
+def q_winsorize_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    th = ev.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.percentile("value", 0.01).alias("p1"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+    j = ev.join(F.broadcast(th), F.col("t_type") == ev.event_type)
+    clamped = F.greatest("p1", F.least("p99", F.col("value")))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("p1"))
+                    | (F.col("value") > F.col("p99"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(clamped), 6).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM obs)
+    SELECT obs.digit,
+           CAST(obs.n AS BIGINT) AS n,
+           round(obs.n * 1.0 / tot.t, 6) AS observed_p,
+           round(ln(1.0 + 1.0 / obs.digit) / ln(10.0), 6) AS benford_p,
+           round((obs.n * 1.0 / tot.t
+                  - ln(1.0 + 1.0 / obs.digit) / ln(10.0))
+                 * (obs.n * 1.0 / tot.t
+                    - ln(1.0 + 1.0 / obs.digit) / ln(10.0))
+                 / (ln(1.0 + 1.0 / obs.digit) / ln(10.0)), 6)
+             AS chi2_term
+    FROM obs, tot ORDER BY obs.digit
+    """,
+    note="Benford's-law first-digit audit — the forensic-accounting "
+    "anomaly test: observed leading-digit frequencies of order totals "
+    "vs the log10(1+1/d) expectation, with per-digit chi-square "
+    "contributions (synthetic uniform-ish prices will and should "
+    "deviate — the query certifies the audit computation, the "
+    "deviation IS the signal).  One digit-extraction pass + a 9-row "
+    "reduction; digit via integer/string math so both engines agree "
+    "exactly, expectation under the 6-dp ln() contract",
+)
+def q_benford_first_digit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = obs.agg(F.sum("n").alias("t"))
+    p_obs = F.col("n") / F.col("t")
+    p_ben = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(p_obs, 6).alias("observed_p"),
+            F.round(p_ben, 6).alias("benford_p"),
+            F.round((p_obs - p_ben) * (p_obs - p_ben) / p_ben, 6).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
