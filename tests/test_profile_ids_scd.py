@@ -255,3 +255,24 @@ def test_scd2_tiebreak_deterministic(spark):
     )
     # equal timestamps order by event_id: A (id 1) then B (id 2)
     assert [r["event_type"] for r in rows] == ["A", "B"]
+
+
+def test_quantize_arrow_flavor_matches_hof(spark):
+    """The Arrow volume path and the HOF documentation form must agree
+    bit-for-bit (same half-away-from-zero rounding contract)."""
+    import numpy as np
+
+    from world_vaccination_coverage_etl_spark.operators.quantize import (
+        quantize_int8,
+        quantize_int8_arrow,
+    )
+
+    rng = np.random.default_rng(13)
+    m = rng.normal(size=(300, 16)).astype(np.float32)
+    rows = [(i, i % 3, [float(x) for x in m[i]]) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    a = sorted(tuple(r) for r in quantize_int8(df).collect())
+    b = sorted(tuple(r) for r in quantize_int8_arrow(df).collect())
+    assert a == b

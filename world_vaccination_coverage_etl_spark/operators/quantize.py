@@ -48,3 +48,54 @@ def quantize_int8(
         ).alias("q_l1"),
         F.size(F.filter(q, lambda x: F.abs(x) >= 127)).cast("long").alias("n_sat"),
     )
+
+
+def quantize_int8_arrow(
+    df: DataFrame, vec_col: str = "embedding", keep_cols: tuple = ("vec_id", "label")
+) -> DataFrame:
+    """Arrow fast path for :func:`quantize_int8` — identical outputs.
+
+    The HOF flavor above is the oracle-parity/documentation form;
+    its ``aggregate()`` folds are INTERPRETED (~100 µs each), which is
+    ~0.5 ms/row at dim 64 — hours at 10⁹ vectors.  This kernel does
+    the same math as one numpy pass per Arrow batch (the repo-wide
+    candidate-volume split: HOFs for reporting, Arrow for volume).
+
+    Rounding contract: codes use sign(x)·floor(|x|/scale + 0.5) —
+    HALF-AWAY-FROM-ZERO, exactly Spark's round() and DuckDB's
+    round(), so all three paths agree bit-for-bit on the integer
+    certificates.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fields = [df.schema[c] for c in keep_cols]
+    out_schema = T.StructType(
+        list(fields)
+        + [
+            T.StructField("scale6", T.DoubleType()),
+            T.StructField("q_sum", T.LongType()),
+            T.StructField("q_l1", T.LongType()),
+            T.StructField("n_sat", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            scale = np.maximum(np.abs(m).max(axis=1) / 127.0, 1e-12)
+            q = np.sign(m) * np.floor(
+                np.abs(m) / scale[:, None] + 0.5
+            )
+            out = pd.DataFrame({c: pdf[c].to_numpy() for c in keep_cols})
+            out["scale6"] = np.round(scale, 6)
+            out["q_sum"] = q.sum(axis=1).astype("int64")
+            out["q_l1"] = np.abs(q).sum(axis=1).astype("int64")
+            out["n_sat"] = (np.abs(q) >= 127).sum(axis=1).astype("int64")
+            yield out
+
+    return df.select(*keep_cols, vec_col).mapInPandas(kernel, out_schema)

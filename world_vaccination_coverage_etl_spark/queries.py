@@ -4870,9 +4870,12 @@ def q_doc_segment_dedup(spark, sf_dir):
     "bit-identical",
 )
 def q_embedding_int8_quantize(spark, sf_dir):
-    from .operators.quantize import quantize_int8
+    from .operators.quantize import quantize_int8_arrow
 
-    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+    # Arrow kernel flavor — bit-identical to the HOF documentation
+    # form (pytest-pinned), and the volume path per the repo-wide
+    # HOF-for-reporting / Arrow-for-volume split
+    return quantize_int8_arrow(_t(spark, sf_dir, "embeddings"))
 
 
 @register(
