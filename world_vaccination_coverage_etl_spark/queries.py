@@ -6600,6 +6600,10 @@ def q_fuzzy_entity_clusters(spark, sf_dir):
     pairs = q_fuzzy_blocked_match_docs(spark, sf_dir).select(
         "doc_lo", "doc_hi"
     )
+    # the blocked match feeds the node derivation AND every propagation
+    # round — materialize the (tiny) pair set once instead of
+    # re-running the candidate join per consumer
+    pairs = pairs.localCheckpoint(eager=False)
     nodes = (
         pairs.select(F.col("doc_lo").alias("doc_id"))
         .unionAll(pairs.select(F.col("doc_hi").alias("doc_id")))
