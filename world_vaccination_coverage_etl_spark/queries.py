@@ -6851,6 +6851,126 @@ def q_benford_first_digit(spark, sf_dir):
     )
 
 
+@register(
+    "events_cusum_drift",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT event_type, avg(v) AS mu,
+             greatest(stddev_samp(v), 1e-9) AS sd
+      FROM daily GROUP BY 1),
+    z AS (
+      SELECT d.event_type, d.day, (d.v - st.mu) / st.sd AS z
+      FROM daily d JOIN st ON st.event_type = d.event_type),
+    c AS (
+      SELECT event_type, day,
+             sum(z) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM z)
+    SELECT event_type,
+           round(max(abs(cusum)), 6) AS max_abs_cusum,
+           min(day) FILTER (WHERE round(abs(cusum), 6) = m) AS drift_day,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM (SELECT *, max(round(abs(cusum), 6)) OVER (PARTITION BY event_type)
+                    AS m FROM c)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    note="CUSUM change-point detection (Page 1954, public method) on "
+    "the daily metric series: standardized deviations accumulated per "
+    "type, reporting the maximum |CUSUM| excursion and the first day "
+    "it is attained — the classic drift detector that catches slow "
+    "mean shifts EWMA smoothing hides.  Daily pre-aggregation first "
+    "(the full pass is partial-aggregable), so the windows run over "
+    "~30 rows per type; the argmax day is tie-broken by min(day) on "
+    "the 6-dp-rounded excursion so both engines agree",
+)
+def q_events_cusum_drift(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    st = daily.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.avg("v").alias("mu"),
+        F.greatest(F.stddev_samp("v"), F.lit(1e-9)).alias("sd"),
+    )
+    z = daily.join(F.broadcast(st), F.col("s_type") == daily.event_type).select(
+        "event_type",
+        "day",
+        ((F.col("v") - F.col("mu")) / F.col("sd")).alias("z"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = z.select(
+        "event_type", "day", F.sum("z").over(wc).alias("cusum")
+    )
+    wm = Window.partitionBy("event_type")
+    c = c.withColumn("a", F.round(F.abs("cusum"), 6)).withColumn(
+        "m", F.max("a").over(wm)
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.round(F.max(F.abs("cusum")), 6).alias("max_abs_cusum"),
+            F.min(F.when(F.col("a") == F.col("m"), F.col("day"))).alias(
+                "drift_day"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "dup_graph_triangles",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES_U}
+    , ed AS (SELECT src AS a, dst AS b FROM e WHERE src < dst)
+    SELECT t.a, t.b, t.c
+    FROM (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+      JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b) t
+    ORDER BY t.a, t.b, t.c
+    """,
+    note="triangle enumeration over the near-dup pair graph — the "
+    "graph-analytics step past connected components (triangle density "
+    "separates true duplicate CLIQUES from chains of borderline "
+    "matches that components alone conflate).  Standard distributed "
+    "shape: orient every edge low-id→high-id (each triangle counted "
+    "exactly once as a<b<c), one wedge join + one closing edge join — "
+    "at scale the orientation is by DEGREE (each wedge enumerated at "
+    "its lowest-degree vertex, the classic skew bound); id-orientation "
+    "is the deterministic small-graph form the oracle mirrors.  The "
+    "oracle reuses the certified Jaccard edge set",
+)
+def q_dup_graph_triangles(spark, sf_dir):
+    u = _docs_self_union(spark, sf_dir)
+    pairs = (
+        minhash_near_dup_pairs(u, threshold=0.7)
+        .select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    return (
+        e1.join(e2, F.col("b2a") == e1.b)
+        .join(e3, (F.col("a3") == e1.a) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+        .orderBy("a", "b", "c")
+    )
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
