@@ -124,6 +124,13 @@ class JsonlManifestWriter(DataSourceWriter):
             prev["files"] + committed
         )
         manifest = {"files": files, "job_id": self.job_id, "version": version}
+        if prev is not None and not self.overwrite:
+            # append commits carry auxiliary manifest state forward
+            # (e.g. the streaming layer's (stream_id, batch_id)
+            # provenance log); overwrite starts a fresh table state
+            for k, v in prev.items():
+                if k not in manifest:
+                    manifest[k] = v
         # immutable snapshot first, then the atomic HEAD pointer swap
         vdir = os.path.join(self.path, "_versions")
         os.makedirs(vdir, exist_ok=True)
