@@ -6971,6 +6971,64 @@ def q_dup_graph_triangles(spark, sf_dir):
     )
 
 
+# unrolled power-iteration CTEs for the PageRank oracle: fixed
+# iteration count => plain (non-recursive) SQL, bit-reproducible
+_PR_ITERS = "".join(
+    f"""
+    m{k} AS (
+      SELECT c.dst AS doc_id, sum(r.rank * c.w) AS mass
+      FROM c JOIN r{k - 1} r ON r.doc_id = c.src GROUP BY c.dst),
+    r{k} AS (
+      SELECT v.doc_id,
+             (1 - 0.85) / nn.n + 0.85 * coalesce(m{k}.mass, 0) AS rank
+      FROM v CROSS JOIN nn LEFT JOIN m{k} USING (doc_id)),"""
+    for k in range(1, 6)
+)
+
+
+@register(
+    "pagerank_dup_graph",
+    f"""
+    WITH {_DUCK_SHINGLES.replace("FROM documents", "FROM documents WHERE doc_id < 500")},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+    c AS (SELECT e.src, e.dst, 1.0 / d.outdeg AS w
+          FROM e JOIN deg d ON d.src = e.src),
+    v AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+    r0 AS (SELECT doc_id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),{_PR_ITERS}
+    final AS (SELECT doc_id, rank FROM r5)
+    SELECT doc_id, round(rank, 6) AS rank FROM final ORDER BY doc_id
+    """,
+    note="PageRank over the exact n-gram-Jaccard duplicate graph "
+    "(operators/pagerank.py — power iteration, Brin & Page 1998): 5 "
+    "fixed iterations at d=0.85 over the lang-blocked pair graph on the "
+    "bounded 500-doc slice (the same certified edge set as "
+    "ngram_jaccard_block_lang).  Per iteration: one join of the staged "
+    "1/outdeg contribution edges with the rank vector + one "
+    "partial-agged groupBy on dst; rank vector lineage-cut per round; "
+    "driver sees one scalar (N) before the loop and nothing inside it. "
+    "Fixed iterations make the result bit-reproducible, so the oracle "
+    "unrolls the same 5 steps as plain CTEs and certifies every rank "
+    "at 6 dp — iterative graph analytics under a full value-hash gate",
+)
+def q_pagerank_dup_graph(spark, sf_dir):
+    from .operators.pagerank import pagerank
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(d, block_col="lang", n=3, threshold=0.5)
+    pr = pagerank(d.select("doc_id"), pairs, damping=0.85, n_iter=5)
+    return pr.select(
+        "doc_id", F.round("rank", 6).alias("rank")
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------- #
 # Registry certification-priority rotation.
 #
