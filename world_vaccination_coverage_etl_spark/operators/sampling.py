@@ -220,6 +220,37 @@ def weighted_sample_topk(
     )
 
 
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ksample",
+) -> DataFrame:
+    """Exactly-``k`` uniform sample: the k smallest salted-md5 digests.
+
+    The fixed-budget companion to :func:`deterministic_sample` (whose
+    output size is binomial around the fraction): hash order is a
+    uniform random permutation of the rows, so its k-prefix is an
+    exact-size uniform sample — deterministic across runs,
+    partitionings, and engines, and stable under corpus growth in the
+    sense that a surviving row only leaves when a new row hashes below
+    the current k-th digest.
+
+    Scale: ``ORDER BY hash LIMIT k`` plans as TakeOrderedAndProject —
+    per-partition k-row heaps, then one merge of k × partitions rows;
+    no full sort, no shuffle of the data.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    u = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__u", u)
+        .orderBy("__u", F.col(id_col))
+        .limit(k)
+        .drop("__u")
+    )
+
+
 def stratified_exact_sample(
     df: DataFrame,
     strata_col: str,

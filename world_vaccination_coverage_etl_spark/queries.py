@@ -3660,6 +3660,34 @@ def q_det_sample_ids(spark, sf_dir):
 
 
 @register(
+    "exact_k_sample_docs",
+    """
+    WITH s AS (
+      SELECT doc_id, lang, source
+      FROM documents
+      ORDER BY md5('ksample:' || CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT 100)
+    SELECT doc_id, lang, source FROM s ORDER BY doc_id
+    """,
+    note="exactly-k uniform sample (operators/sampling.py exact_k_sample): the "
+    "100 smallest salted-md5 digests — the fixed-budget companion to the "
+    "hash-threshold sample (whose size is binomial).  ORDER BY hash LIMIT k "
+    "plans as TakeOrderedAndProject: per-partition k-row heaps + one merge of "
+    "k x partitions rows, never a full sort — the eval-slice / human-review "
+    "draw a curation pipeline makes at fixed budget",
+)
+def q_exact_k_sample_docs(spark, sf_dir):
+    from .operators.sampling import exact_k_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        exact_k_sample(d, k=100)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "stratified_sample_docs",
     """
     WITH h AS (
