@@ -2566,6 +2566,66 @@ def q_streaming_tumbling_append(spark, sf_dir):
 
 
 @register(
+    "streaming_two_level_window",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n_hour
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT max(ts) AS mx FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
+             CAST(sum(n_hour) AS BIGINT) AS n_events,
+             max(n_hour) AS max_hourly,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY 1, 2)
+    SELECT day, event_type, n_events, max_hourly, n_hours
+    FROM daily, m
+    WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= mx - INTERVAL 1 HOUR
+    ORDER BY day, event_type
+    """,
+    note="CHAINED streaming aggregations — two stateful operators in one "
+    "query (streaming/event_windows.py two_level_window_rollup): hourly "
+    "tumbling partials re-windowed BY THE WINDOW COLUMN into daily "
+    "rollups, append mode, one shared watermark.  The production "
+    "pre-aggregation cascade: level 2's input is windows x keys, not raw "
+    "events, so daily state is tiny at any event rate.  Oracle = the "
+    "equivalent batch cascade restricted to watermark-closed days "
+    "(day_end <= max(ts) - 1 hour) — the eviction rule empirically "
+    "pinned at both scales; the max-per-hour column certifies the "
+    "two-level structure (not derivable from a flat daily agg)",
+)
+def q_streaming_two_level_window(spark, sf_dir):
+    import uuid
+
+    from .streaming.event_windows import two_level_window_rollup
+
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    rolled = two_level_window_rollup(s, hourly="1 hour", daily="1 day")
+    qname = f"stream_two_level_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            rolled.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            F.col("window_start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "max_hourly",
+            "n_hours",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
     "streaming_dedup_events",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -111,6 +111,54 @@ def streaming_tumbling_to_files(
     )
 
 
+def two_level_window_rollup(
+    events_stream: DataFrame,
+    hourly: str = "1 hour",
+    daily: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CHAINED streaming aggregations — two stateful operators in one
+    query (Spark ≥ 3.4 multiple-stateful-operator support; append mode).
+
+    Level 1 tumbles raw events into hourly partials; level 2 windows
+    **over the level-1 window column** (``F.window`` accepts the window
+    struct as event time) and rolls the closed hourly partials into
+    daily stats.  This is the production pre-aggregation cascade: the
+    second operator's input volume is already windows × keys, not raw
+    events, so the daily state is tiny regardless of event rate — the
+    streaming analogue of partial → final aggregation.
+
+    Eviction: both levels share the global watermark; a daily window
+    emits exactly once, when ``watermark = max(ts) − delay`` passes its
+    end (by then every hourly window inside it is closed, since they
+    end no later than the day does).  Caller sets the watermark on the
+    input stream — the delay chosen there is the single lateness
+    contract for the whole cascade.
+    """
+    lvl1 = events_stream.groupBy(
+        F.window(F.col(ts_col), hourly).alias("w1"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_hour"),
+        F.sum("value").alias("v_hour"),
+    )
+    return (
+        lvl1.groupBy(F.window("w1", daily).alias("w2"), "event_type")
+        .agg(
+            F.sum("n_hour").alias("n_events"),
+            F.max("n_hour").alias("max_hourly"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .select(
+            F.col("w2.start").alias("window_start"),
+            F.col("w2.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "max_hourly",
+            "n_hours",
+        )
+    )
+
+
 def streaming_sessionize_state(
     events_stream: DataFrame,
     gap_minutes: int = 30,
