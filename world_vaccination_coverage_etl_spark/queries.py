@@ -7059,6 +7059,90 @@ def q_dup_graph_triangles(spark, sf_dir):
     )
 
 
+@register(
+    "clustering_coeff_dup_graph",
+    f"""
+    WITH {_DUCK_SHINGLES.replace("FROM documents", "FROM documents WHERE doc_id < 500")},
+    pairs AS (
+      SELECT a.doc_id AS s, b.doc_id AS t
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT s AS node FROM pairs UNION ALL SELECT t AS node FROM pairs)
+      GROUP BY node),
+    tri AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM pairs e1 JOIN pairs e2 ON e2.s = e1.t
+      JOIN pairs e3 ON e3.s = e1.s AND e3.t = e2.t),
+    tn AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+            UNION ALL SELECT c AS node FROM tri)
+      GROUP BY node)
+    SELECT d.node AS doc_id, d.degree,
+           coalesce(tn.n_triangles, 0) AS n_triangles,
+           round(CASE WHEN d.degree >= 2
+                      THEN 2.0 * coalesce(tn.n_triangles, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0 END, 6) AS clustering_coeff
+    FROM deg d LEFT JOIN tn ON tn.node = d.node
+    ORDER BY doc_id
+    """,
+    note="local clustering coefficient over the certified duplicate graph — "
+    "completes the graph-analytics family (components -> triangles -> "
+    "per-node coefficients): 2T(v) / (deg(v)(deg(v)-1)) flags how "
+    "clique-like each node's duplicate neighborhood is (1.0 = true "
+    "duplicate cluster, ->0 = hub of borderline matches).  Same low-id "
+    "edge orientation + wedge/closing joins as dup_graph_triangles, one "
+    "partial-agged groupBy each for degrees and per-node triangle "
+    "counts; ANSI-safe guarded division",
+)
+def q_clustering_coeff_dup_graph(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = (
+        ngram_jaccard_pairs(d, block_col="lang", n=3, threshold=0.5)
+        .select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        pairs.select(F.col("s").alias("node"))
+        .unionAll(pairs.select(F.col("t").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e2 = pairs.select(F.col("s").alias("b2"), F.col("t").alias("c"))
+    e3 = pairs.select(F.col("s").alias("a3"), F.col("t").alias("c3"))
+    tri = (
+        pairs.join(e2, F.col("b2") == pairs.t)
+        .join(e3, (F.col("a3") == pairs.s) & (F.col("c3") == F.col("c")))
+        .select(F.col("s").alias("a"), F.col("t").alias("b"), "c")
+    )
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    out = deg.join(tn, on="node", how="left").select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0)
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coeff"),
+    )
+    return out.orderBy("doc_id")
+
+
 # unrolled power-iteration CTEs for the PageRank oracle: fixed
 # iteration count => plain (non-recursive) SQL, bit-reproducible
 _PR_ITERS = "".join(
