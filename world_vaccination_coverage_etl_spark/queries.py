@@ -7060,6 +7060,204 @@ def q_dup_graph_triangles(spark, sf_dir):
 
 
 @register(
+    "user_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+                 PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM days),
+    s AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+             min(day) AS streak_start
+      FROM g GROUP BY user_id, grp)
+    SELECT user_id, max(len) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           min(streak_start) AS first_day
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    note="gaps-and-islands: per-user consecutive-active-day streaks via the "
+    "classic day - row_number() group key (consecutive days share a "
+    "constant difference).  One distinct shuffle on (user, day) — the "
+    "window then runs over ~30 rows per user — plus two partial-agged "
+    "groupBys; the engagement-streak shape every activity dashboard "
+    "computes, and the same pattern that finds contiguous id ranges or "
+    "sensor gaps at 100 TB",
+)
+def q_user_activity_streaks(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = days.withColumn("grp", F.date_sub("day", F.row_number().over(w)))
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.min("streak_start").alias("first_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "twap_value_by_type",
+    """
+    WITH o AS (
+      SELECT event_type, value,
+             epoch_us(lead(ts) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+      FROM events)
+    SELECT event_type,
+           round(sum(value * dur_us) / sum(dur_us), 6) AS twap,
+           round(avg(value), 6) AS plain_avg,
+           CAST(count(dur_us) AS BIGINT) AS n_intervals
+    FROM o WHERE dur_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    note="time-weighted average (the TWAP/time_weight shape from "
+    "time-series engines, public semantics): each observation weighted "
+    "by its holding interval to the next same-type event (lead() with "
+    "event_id tie-break; the open last interval is excluded), so "
+    "irregular sampling doesn't bias the mean the way plain avg() does "
+    "— both are emitted so the bias is visible.  Durations stay integer "
+    "microseconds end-to-end (unit cancels in the ratio; no float time "
+    "conversion to drift cross-engine).  One window shuffle on "
+    "event_type + one partial-agged groupBy",
+)
+def q_twap_value_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        "value",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        o.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twap"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+            F.count("dur_us").cast("long").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BM25_TERMS = ("join", "hash", "scan", "filter", "merge")
+
+
+@register(
+    "bm25_topk_docs",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+      WHERE tok IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, tok),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf
+      JOIN df ON df.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+    """,
+    note="BM25 ranked retrieval (Robertson-Sparck Jones; the Lucene "
+    "log(1 + (N-df+0.5)/(df+0.5)) idf flavor, k1=1.2 b=0.75) for a fixed "
+    "query term set — the lexical side of a RAG retrieval stack next to "
+    "the LSH vector path (examples/rag_pipeline.py).  Term filter is "
+    "pushed BEFORE the tf groupBy so only query-term postings shuffle; "
+    "df and the (N, avgdl) scalars are broadcast-sized; final ranking is "
+    "TakeOrdered on the 6-dp-rounded score with doc_id tiebreak (exact "
+    "cross-engine order).  ln() under the repo's 6-dp libm-portability "
+    "contract",
+)
+def q_bm25_topk_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(
+                F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
+                r"[^a-z0-9]+",
+            ),
+            lambda x: x != "",
+        ).alias("toks"),
+    )
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").cast("double").alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), on="term")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1
+                )
+                * F.col("tf")
+                * F.lit(1.2 + 1)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
     "clustering_coeff_dup_graph",
     f"""
     WITH {_DUCK_SHINGLES.replace("FROM documents", "FROM documents WHERE doc_id < 500")},
