@@ -4710,6 +4710,112 @@ def q_embedding_dup_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "semantic_dedup_clusters",
+    f"""
+    WITH RECURSIVE u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {VEC_SHIFT}, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE {_DUCK_COSINE} >= 0.95),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(node, lab) AS (
+      SELECT vec_id, vec_id FROM u
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
+    comp AS (SELECT node AS vec_id, min(lab) AS component_id
+             FROM reach GROUP BY node)
+    SELECT component_id, CAST(count(*) AS BIGINT) AS n_members,
+           min(vec_id) AS keeper_id
+    FROM comp GROUP BY component_id
+    HAVING count(*) > 1 ORDER BY component_id
+    """,
+    note="SemDeDup-style semantic deduplication (Abbas et al. 2023, "
+    "public method): cosine>=0.95 neighbor pairs from the certified "
+    "multi-table sign-LSH generator (operators/dedup.py "
+    "embedding_cosine_dup_pairs) closed into clusters by min-label "
+    "propagation (operators/components.py) — one keeper per semantic "
+    "cluster is the curation decision.  Same scale shape as the text "
+    "CC query: LSH-blocked candidate generation, per-round edge join + "
+    "partial-agg shuffle, scalar-only driver traffic; oracle recomputes "
+    "exact cosine pairs and closes them with a recursive CTE, "
+    "certifying neighbor detection AND transitive clustering",
+)
+def q_semantic_dedup_clusters(spark, sf_dir):
+    from .operators.components import component_summary, connected_components
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    u = e.unionAll(
+        e.select((F.col("vec_id") + VEC_SHIFT).alias("vec_id"), "embedding")
+    )
+    pairs = embedding_cosine_dup_pairs(u, threshold=0.95, dim=64)
+    comp = connected_components(
+        u.select("vec_id"), pairs, id_col="vec_id"
+    )
+    return (
+        component_summary(comp, id_col="vec_id")
+        .filter(F.col("n_members") > 1)
+        .select("component_id", "n_members", "keeper_id")
+        .orderBy("component_id")
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="incremental-aggregation contract: the events feed is split "
+    "into a base slice and a new increment (ts < / >= 2024-01-15), each "
+    "aggregated to mergeable partials (count/sum/min/max — avg is "
+    "DERIVED from sum/count, never merged directly), then the partials "
+    "are merged and certified equal to the full recompute.  This is the "
+    "maintenance loop of every 100 TB warehouse: each day aggregates "
+    "only its increment and folds it into the running table instead of "
+    "rescanning history — the query proves the merge algebra is exact",
+)
+def q_incremental_agg_merge(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    merged = (
+        partial(ev.filter(F.col("ts") < cutoff))
+        .unionByName(partial(ev.filter(F.col("ts") >= cutoff)))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+    ).orderBy("event_type")
+
+
 # --------------------------------------------------------------------- #
 # multimodal plumbing over `documents` (operators/multimodal.py)
 #
