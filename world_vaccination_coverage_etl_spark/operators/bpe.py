@@ -104,6 +104,70 @@ def learn_bpe_merges(
     return merges
 
 
+def bpe_encode_docs(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize documents with a learned merge list (the apply half).
+
+    Scale shape: the corpus is never encoded row-by-row.  The DISTINCT
+    word vocabulary is encoded once (chained ``_apply_merge`` folds in
+    learned order — vocab-sized rows, so the interpreted-HOF cost rule
+    is respected), then broadcast-joined back onto the positional token
+    stream and re-assembled per document in order (array_sort on the
+    (pos, syms) structs — struct ordering compares the leading field).
+    One explode + one broadcast join + one groupBy shuffle on the id.
+
+    Returns ``(id_col, subtokens array<string>, n_subtokens)``.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    enc = words.select("word").distinct()
+    syms = F.split(F.col("word"), "")
+    for rule in merges:
+        syms = _apply_merge(syms, rule[0], rule[1])
+    enc = enc.select("word", syms.alias("syms"))
+    joined = words.join(F.broadcast(enc), on="word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("subtokens")
+        )
+        .select(
+            id_col,
+            "subtokens",
+            F.size("subtokens").cast("long").alias("n_subtokens"),
+        )
+    )
+
+
+def bpe_encode_reference(text_tokens: list[str], merges) -> list[str]:
+    """Plain-Python reference encode (for tests): identical semantics."""
+    out: list[str] = []
+    for word in text_tokens:
+        syms = list(word)
+        for rule in merges:
+            a, b = rule[0], rule[1]
+            folded: list[str] = []
+            for x in syms:
+                if folded and folded[-1] == a and x == b:
+                    folded[-1] = a + b
+                else:
+                    folded.append(x)
+            syms = folded
+        out.extend(syms)
+    return out
+
+
 def bpe_reference(word_counts: dict[str, int], n_merges: int):
     """Plain-Python reference BPE (for tests): identical semantics."""
     vocab = {tuple(w): c for w, c in word_counts.items()}
