@@ -60,6 +60,8 @@ NESTED_LOOP_OK = {
     # |classes|-row (5) broadcast cross join, the scoring fan-out the
     # algorithm requires — plus 1-row vocab/ndoc scalars
     "naive_bayes_lang_confusion",
+    # BM25's (N, avgdl) corpus scalars: same 1-row broadcast pattern
+    "bm25_topk_docs",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]

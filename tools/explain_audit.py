@@ -106,6 +106,8 @@ HEADLINE = [
     "user_activity_streaks",
     "twap_value_by_type",
     "bm25_topk_docs",
+    "semantic_dedup_clusters",
+    "incremental_agg_merge",
 ]
 
 

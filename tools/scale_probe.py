@@ -104,6 +104,14 @@ def main() -> None:
         return anchors.join(days, days.day == anchors.anchor, "left_semi") \
             .groupBy("anchor").agg(F.count_distinct("user_id"))
 
+    def _pagerank_probe(d):
+        from world_vaccination_coverage_etl_spark.operators.pagerank import (
+            pagerank,
+        )
+
+        pairs = minhash_near_dup_pairs(d, threshold=0.7)
+        return pagerank(d.select("doc_id"), pairs, n_iter=5)
+
     probes = {
         "q1_hash_agg": (
             lambda: q1_agg(li),
@@ -148,6 +156,10 @@ def main() -> None:
                 k=5,
             ),
         ),
+        "pagerank_minhash_graph": (
+            lambda: _pagerank_probe(docs),
+            lambda: _pagerank_probe(amplify(docs, 4, ["doc_id"], "text")),
+        ),
     }
 
     results = {}
@@ -179,7 +191,7 @@ def main() -> None:
             "| operator | 1x time (s) | big time (s) | input factor | "
             "time ratio |\n|---|---|---|---|---|\n"
         )
-        factors = {"minhash_near_dup": 4}
+        factors = {"minhash_near_dup": 4, "pagerank_minhash_graph": 4}
         for name, r in results.items():
             fh.write(
                 f"| {name} | {r['t_1x_s']} | {r['t_big_s']} | "
