@@ -48,9 +48,13 @@ def amplify(df, times: int, id_cols: list[str], text_col: str | None = None):
     return out.drop("__c")
 
 
-def timed(df) -> tuple[float, int]:
+def timed(make) -> tuple[float, int]:
+    """Time construction AND execution: iterative operators (pagerank,
+    connected components) run jobs while the plan is being BUILT
+    (checkpoint materialization, scalar counts), so timing only the
+    final count would under-report them."""
     t = time.time()
-    n = df.count()
+    n = make().count()
     return time.time() - t, n
 
 
@@ -164,8 +168,8 @@ def main() -> None:
 
     results = {}
     for name, (small, big) in probes.items():
-        t1, n1 = timed(small())
-        tN, nN = timed(big())
+        t1, n1 = timed(small)
+        tN, nN = timed(big)
         results[name] = {
             "t_1x_s": round(t1, 2),
             "t_big_s": round(tN, 2),
