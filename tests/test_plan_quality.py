@@ -62,6 +62,8 @@ NESTED_LOOP_OK = {
     "naive_bayes_lang_confusion",
     # BM25's (N, avgdl) corpus scalars: same 1-row broadcast pattern
     "bm25_topk_docs",
+    # chi-square: 1-row (N) x 1-row (sum q) x 1-row (dof) scalar combine
+    "chi2_independence_lang_source",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]

@@ -4765,6 +4765,69 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "chi2_independence_lang_source",
+    """
+    WITH c AS (
+      SELECT lang, source, count(*)::DOUBLE AS o
+      FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY lang),
+    s AS (SELECT source, sum(o) AS ct FROM c GROUP BY source),
+    n AS (SELECT sum(o) AS n FROM c),
+    t AS (
+      SELECT sum(c.o * c.o / (r.rt * s.ct)) AS q
+      FROM c JOIN r USING (lang) JOIN s USING (source))
+    SELECT round(n.n * t.q - n.n, 6) AS chi2,
+           CAST((SELECT count(*) - 1 FROM r)
+                * (SELECT count(*) - 1 FROM s) AS BIGINT) AS dof,
+           round(sqrt((n.n * t.q - n.n) / (n.n *
+                 least((SELECT count(*) - 1 FROM r),
+                       (SELECT count(*) - 1 FROM s)))), 6) AS cramers_v,
+           CAST(n.n AS BIGINT) AS n_docs
+    FROM n CROSS JOIN t
+    """,
+    note="chi-square test of independence (lang x source contingency) + "
+    "Cramer's V effect size — the categorical-association companion to "
+    "the Welch mean test.  Uses the zero-cell-safe identity "
+    "chi2 = N * sum(o^2/(rowT*colT)) - N, so only OBSERVED cells are "
+    "touched (empty cells contribute nothing and need no cross join of "
+    "the margins): one groupBy over cells, two margin rollups of the "
+    "aggregated ~|langs x sources| rows, broadcast joins back, 1-row "
+    "scalar combine.  At 100 TB the full pass is the single cell "
+    "aggregation; everything after runs on cardinality-sized data",
+)
+def q_chi2_independence_lang_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    r = c.groupBy("lang").agg(F.sum("o").alias("rt"))
+    s = c.groupBy("source").agg(F.sum("o").alias("ct"))
+    joined = c.join(F.broadcast(r), on="lang").join(
+        F.broadcast(s), on="source"
+    )
+    t = joined.agg(
+        F.sum(F.col("o") * F.col("o") / (F.col("rt") * F.col("ct"))).alias(
+            "q"
+        )
+    )
+    n = c.agg(F.sum("o").alias("n"))
+    dims = c.agg(
+        (F.count_distinct("lang") - 1).alias("rdof"),
+        (F.count_distinct("source") - 1).alias("cdof"),
+    )
+    out = n.crossJoin(t).crossJoin(dims)
+    chi2 = F.col("n") * F.col("q") - F.col("n")
+    return out.select(
+        F.round(chi2, 6).alias("chi2"),
+        (F.col("rdof") * F.col("cdof")).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n") * F.least("rdof", "cdof"))), 6
+        ).alias("cramers_v"),
+        F.col("n").cast("long").alias("n_docs"),
+    )
+
+
+@register(
     "heavy_hitters_users",
     """
     SELECT CAST(user_id AS VARCHAR) AS user_id,
