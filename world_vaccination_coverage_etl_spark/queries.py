@@ -4765,6 +4765,49 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "cdc_apply_user_state",
+    """
+    WITH log AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type AS last_type,
+           round(value, 6) AS last_value, ts AS last_ts
+    FROM log WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    note="CDC changelog application (the Debezium-log -> table "
+    "materialization semantic): the events feed is read as a keyed "
+    "change log — every event upserts its user's state, 'error' acts "
+    "as the DELETE tombstone — and compacted to current state: "
+    "last-writer-wins per key by (ts, event_id), key absent when the "
+    "final op is a tombstone.  One window shuffle on the key (at "
+    "100 TB: max_by partial aggregation when only the final row is "
+    "needed, or incremental foreachBatch merge — both registered "
+    "elsewhere; the window form is the one whose tie-break the oracle "
+    "pins exactly).  The batch twin of streaming_upsert_latest, plus "
+    "delete semantics",
+)
+def q_cdc_apply_user_state(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    log = ev.withColumn("rn", F.row_number().over(w))
+    return (
+        log.filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "chi2_independence_lang_source",
     """
     WITH c AS (
