@@ -108,6 +108,10 @@ HEADLINE = [
     "bm25_topk_docs",
     "semantic_dedup_clusters",
     "incremental_agg_merge",
+    "cdc_apply_user_state",
+    "chi2_independence_lang_source",
+    "heavy_hitters_users",
+    "user_activity_streaks",
 ]
 
 
