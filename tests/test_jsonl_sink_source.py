@@ -133,3 +133,109 @@ def test_vacuum_prunes_past_retention(spark, tmp_path):
         spark.read.format("jsonl_manifest").schema("id long").option(
             "version", 1
         ).load(p).collect()
+
+
+# ---------------------------------------------------------------------- #
+# streaming writer (DataSourceStreamWriter)
+
+
+def _start_stream(spark, src_dir, table, ck):
+    register_jsonl_manifest(spark)
+    stream = spark.readStream.schema("id long, v double").parquet(src_dir)
+    q = (
+        stream.writeStream.format("jsonl_manifest")
+        .option("checkpointLocation", ck)
+        .option("stream_id", "s1")
+        .trigger(availableNow=True)
+        .start(table)
+    )
+    q.awaitTermination()
+
+
+def test_stream_writer_commits_batches_incrementally(spark, tmp_path):
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    spark.range(0, 50).selectExpr("id", "CAST(id AS DOUBLE) AS v").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    _start_stream(spark, src, table, ck)
+    back = _read(spark, table, "id long, v double")
+    assert back.count() == 50
+
+    # append a second source file: ONLY the new rows land, as version 2+
+    spark.range(50, 80).selectExpr("id", "CAST(id AS DOUBLE) AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _start_stream(spark, src, table, ck)
+    back = _read(spark, table, "id long, v double")
+    assert back.count() == 80
+    assert back.select("id").distinct().count() == 80
+    man = json.load(open(os.path.join(table, MANIFEST)))
+    assert man["stream_batches"]["s1"] >= 1
+    assert man["version"] >= 2
+
+    # a no-new-data restart commits nothing
+    v_before = man["version"]
+    _start_stream(spark, src, table, ck)
+    man2 = json.load(open(os.path.join(table, MANIFEST)))
+    assert man2["version"] == v_before
+
+
+def test_stream_writer_replayed_batch_is_dropped(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from world_vaccination_coverage_etl_spark.sources.jsonl_sink_source import (
+        JsonlStreamWriter,
+    )
+
+    table = str(tmp_path / "tbl2")
+    os.makedirs(table)
+    schema = StructType.fromDDL("id long")
+    w = JsonlStreamWriter({"path": table, "stream_id": "s1"}, schema)
+    msg = w.write(iter([(1,), (2,)]))
+    w.commit([msg], batchId=0)
+    man1 = json.load(open(os.path.join(table, MANIFEST)))
+    assert sum(f["n_rows"] for f in man1["files"]) == 2
+
+    # replay of batch 0 (crash between sink commit and checkpoint
+    # advance): staged again, but commit drops it wholesale
+    w2 = JsonlStreamWriter({"path": table, "stream_id": "s1"}, schema)
+    msg2 = w2.write(iter([(1,), (2,)]))
+    w2.commit([msg2], batchId=0)
+    man2 = json.load(open(os.path.join(table, MANIFEST)))
+    assert man2 == man1  # unchanged: no new files, no new version
+    assert not os.path.exists(
+        os.path.join(table, "_staging", "stream-s1")
+    )
+
+    # a DIFFERENT stream_id is its own ledger: its batch 0 commits
+    w3 = JsonlStreamWriter({"path": table, "stream_id": "other"}, schema)
+    msg3 = w3.write(iter([(9,)]))
+    w3.commit([msg3], batchId=0)
+    man3 = json.load(open(os.path.join(table, MANIFEST)))
+    assert sum(f["n_rows"] for f in man3["files"]) == 3
+    assert man3["stream_batches"] == {"s1": 0, "other": 0}
+
+
+def test_stream_writer_abort_cleans_staging_only(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from world_vaccination_coverage_etl_spark.sources.jsonl_sink_source import (
+        JsonlStreamWriter,
+    )
+
+    table = str(tmp_path / "tbl3")
+    os.makedirs(table)
+    schema = StructType.fromDDL("id long")
+    w = JsonlStreamWriter({"path": table}, schema)
+    msg = w.write(iter([(1,)]))
+    w.commit([msg], batchId=0)
+    w2 = JsonlStreamWriter({"path": table}, schema)
+    w2.write(iter([(2,)]))
+    w2.abort([], batchId=1)
+    assert not os.path.exists(
+        os.path.join(table, "_staging", "stream-default")
+    )
+    back = _read(spark, table, "id long")
+    assert [r.id for r in back.collect()] == [1]

@@ -59,6 +59,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -255,6 +256,107 @@ class JsonlManifestReader(DataSourceReader):
                 )
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor of the manifest commit protocol — exactly-once
+    across micro-batch REPLAYS.
+
+    Structured Streaming's contract is at-least-once delivery of each
+    micro-batch to the sink: after a crash between sink commit and
+    checkpoint advance, the SAME batchId is replayed.  The batch
+    writer's job-level atomicity doesn't cover that (each replay is a
+    new job).  Here the manifest itself carries a per-stream high-water
+    mark (``stream_batches[stream_id] = last committed batchId``, the
+    same provenance log ``streaming/manifest_stream.py`` established),
+    and ``commit(messages, batchId)`` is IDEMPOTENT: a replayed batch
+    is detected BEFORE any file moves and dropped wholesale — the
+    Delta/Iceberg txn-log trick (sink-side transactional dedup by
+    (streamId, batchId)) on the DataSource streaming-write API.
+
+    Tasks stage exactly like the batch writer (task-unique files under
+    ``_staging/``; a retried task stages a different file); commit
+    appends the successful attempts to the manifest as version N+1.
+    ``option("stream_id", ...)`` namespaces multiple streams writing to
+    one table (default ``"default"``).
+    """
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_manifest: .start(path) is required")
+        self.fields = [f.name for f in schema.fields]
+        self.stream_id = options.get("stream_id", "default")
+
+    def _staging(self) -> str:
+        # DETERMINISTIC from (path, stream_id): unlike the batch writer,
+        # the streaming runtime re-creates the data source independently
+        # for executor write() and driver commit(), so instance-random
+        # state (a uuid picked in __init__) would diverge between the
+        # two and commit would look in the wrong directory.  Per-stream
+        # micro-batches are sequential, so the shared directory never
+        # holds two in-flight batches of one stream; concurrent STREAMS
+        # are namespaced by stream_id.
+        return os.path.join(self.path, "_staging", f"stream-{self.stream_id}")
+
+    # -- executor side, once per task per micro-batch --------------------
+    def write(self, iterator: Iterator) -> JsonlCommitMessage:
+        staging = self._staging()
+        os.makedirs(staging, exist_ok=True)
+        name = f"task-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staging, name), "w") as fh:
+            for row in iterator:
+                d = {f: _to_jsonable(v) for f, v in zip(self.fields, row)}
+                fh.write(json.dumps(d, sort_keys=True) + "\n")
+                n += 1
+        return JsonlCommitMessage(name, n)
+
+    # -- driver side, once per micro-batch -------------------------------
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        staging = self._staging()
+        prev = _read_manifest(self.path)
+        seen = (prev or {}).get("stream_batches", {})
+        last = seen.get(self.stream_id)
+        if last is not None and batchId <= last:
+            # replayed micro-batch (crash between sink commit and
+            # checkpoint advance): drop it BEFORE any file is published
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+        commit_id = uuid.uuid4().hex
+        committed = []
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = f"part-b{batchId:06d}-{i:05d}-{self.stream_id}.jsonl"
+            os.replace(
+                os.path.join(staging, m.staged_name),
+                os.path.join(self.path, final),
+            )
+            committed.append({"file": final, "n_rows": m.n_rows})
+        version = (prev["version"] + 1) if prev else 1
+        manifest = dict(prev or {})
+        manifest["files"] = (prev["files"] if prev else []) + committed
+        manifest["job_id"] = commit_id
+        manifest["version"] = version
+        manifest["stream_batches"] = {**seen, self.stream_id: batchId}
+        vdir = os.path.join(self.path, "_versions")
+        os.makedirs(vdir, exist_ok=True)
+        with open(os.path.join(vdir, f"v{version}.json"), "w") as fh:
+            json.dump(manifest, fh)
+        tmp = os.path.join(self.path, f"{MANIFEST}.{commit_id}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, MANIFEST))
+        # also clears any orphan files a FAILED task attempt staged
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging(), ignore_errors=True)
+
+
 class JsonlManifestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -265,6 +367,9 @@ class JsonlManifestDataSource(DataSource):
 
     def reader(self, schema) -> JsonlManifestReader:
         return JsonlManifestReader(self.options, schema)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options, schema)
 
 
 def register_jsonl_manifest(spark) -> None:
