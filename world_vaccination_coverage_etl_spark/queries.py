@@ -2626,6 +2626,58 @@ def q_streaming_two_level_window(spark, sf_dir):
 
 
 @register(
+    "streaming_sink_jsonl_events",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="the Python DataSource STREAMING-WRITE path end to end "
+    "(sources/jsonl_sink_source.py JsonlStreamWriter): the events "
+    "stream passes through the manifest-committed JSONL sink "
+    "(task-staged files -> idempotent per-(stream,batch) driver commit "
+    "-> atomic manifest swap) and is read back through the bundled "
+    "manifest reader; the oracle is the batch aggregate over the "
+    "source table, so the hash fails if the sink drops, duplicates, or "
+    "corrupts one row (doubles round-trip exactly via repr JSON).  "
+    "Exactly-once under replay is pytest-pinned "
+    "(tests/test_jsonl_sink_source.py)",
+)
+def q_streaming_sink_jsonl_events(spark, sf_dir):
+    from .scratch import scratch_dir
+    from .sources.jsonl_sink_source import register_jsonl_manifest
+
+    register_jsonl_manifest(spark)
+    out = scratch_dir("jsonl_sink_out_")
+    ck = scratch_dir("jsonl_sink_ck_")
+    s = _events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            s.writeStream.format("jsonl_manifest")
+            .option("checkpointLocation", ck)
+            .option("stream_id", "events")
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination()
+    back = (
+        spark.read.format("jsonl_manifest")
+        .schema("event_id long, event_type string, value double")
+        .load(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "streaming_dedup_events",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
