@@ -186,3 +186,44 @@ def test_capped_per_group_small_groups_untouched(spark):
     rows = [(i, "only") for i in range(10)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
     assert capped_per_group(df, "source", cap=50).count() == 10
+
+
+def test_exact_k_sample_size_and_portability(spark):
+    from world_vaccination_coverage_etl_spark.operators.sampling import (
+        exact_k_sample,
+    )
+
+    rows = [(i,) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long").repartition(7)
+    got = sorted(r.doc_id for r in exact_k_sample(df, 25).collect())
+    assert len(got) == 25
+    # engine-portability: the winners are exactly the 25 smallest
+    # md5('ksample:'||id) digests computed independently in Python
+    want = sorted(
+        sorted(range(200), key=lambda i: (hashlib.md5(
+            f"ksample:{i}".encode()).hexdigest(), i))[:25]
+    )
+    assert got == want
+    # k >= n returns everything; k=0 returns nothing; k<0 raises
+    assert exact_k_sample(df, 500).count() == 200
+    assert exact_k_sample(df, 0).count() == 0
+    with pytest.raises(ValueError):
+        exact_k_sample(df, -1)
+
+
+def test_exact_k_sample_growth_stability(spark):
+    from world_vaccination_coverage_etl_spark.operators.sampling import (
+        exact_k_sample,
+    )
+
+    small = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    grown = spark.createDataFrame([(i,) for i in range(150)], "doc_id long")
+    s1 = {r.doc_id for r in exact_k_sample(small, 20).collect()}
+    s2 = {r.doc_id for r in exact_k_sample(grown, 20).collect()}
+    # a surviving row only leaves when a NEW row hashes below the
+    # old k-th digest: the grown sample differs from the old one only
+    # by new-row replacements, never by reshuffling old members
+    dropped = s1 - s2
+    added = s2 - s1
+    assert len(dropped) == len(added)
+    assert all(i >= 100 for i in added)
