@@ -78,3 +78,34 @@ def test_orc_roundtrip_with_predicate_pushdown(spark, sf_small, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "l_returnflag" in plan
     assert filtered.count() == li.filter("l_returnflag = 'R'").count()
+
+
+def test_xml_roundtrip_builtin_source(spark, sf_small, tmp_path):
+    """Spark 4 ships XML as a built-in source: write the dimension
+    table out as XML, read it back with BOTH an explicit schema and
+    inference, and keep values exact — the legacy-feed ingest path
+    (the reference's WHO-style extracts ship as CSV today; XML is the
+    other common institutional format)."""
+    from world_vaccination_coverage_etl_spark.sources.registry import load_table
+
+    nation = load_table(spark, sf_small, "nation")
+    path = str(tmp_path / "nation_xml")
+    nation.write.format("xml").option("rowTag", "nation").mode(
+        "overwrite"
+    ).save(path)
+
+    explicit = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(nation.schema)
+        .load(path)
+    )
+    assert sorted(map(tuple, explicit.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+
+    inferred = (
+        spark.read.format("xml").option("rowTag", "nation").load(path)
+    )
+    assert inferred.count() == nation.count()
+    assert set(inferred.columns) == set(nation.columns)
