@@ -4816,6 +4816,71 @@ def q_semantic_dedup_clusters(spark, sf_dir):
     )
 
 
+_BLOCKLIST_TERMS = ("leak", "spill", "crash")
+
+
+@register(
+    "doc_blocklist_filter",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents),
+    flagged AS (
+      SELECT doc_id, source,
+             len(list_intersect(toks,
+                 {list(_BLOCKLIST_TERMS)})) > 0 AS blocked
+      FROM toks)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE blocked) AS BIGINT) AS n_blocked,
+           CAST(count(*) FILTER (WHERE NOT blocked) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    note="blocklist curation gate — the standard term-filter step beside "
+    "the language/quality/PII gates: token-set intersection against a "
+    "blocklist (word-boundary-true by construction — 'crash' matches "
+    "the token 'crash', never a substring of 'crashes'), with "
+    "per-source audit counts of blocked vs kept.  Row-local "
+    "array_intersect on the tokenized column + one partial-agged "
+    "shuffle on source; at 100 TB a large blocklist broadcasts as a "
+    "lookup semi-join instead of an in-expression literal — same shape",
+)
+def q_doc_blocklist_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
+            r"[^a-z0-9]+",
+        ),
+        lambda x: x != "",
+    )
+    blocked = (
+        F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(t) for t in _BLOCKLIST_TERMS])
+            )
+        )
+        > 0
+    )
+    return (
+        d.select("source", blocked.alias("blocked"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_blocked"),
+            F.sum(F.when(~F.col("blocked"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "cdc_apply_user_state",
     """
