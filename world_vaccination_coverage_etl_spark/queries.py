@@ -4816,6 +4816,56 @@ def q_semantic_dedup_clusters(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_byte_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id,
+             ord(substring(text, CAST(i AS INT), 1)) AS b
+      FROM documents,
+           unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS t(i)),
+    freq AS (
+      SELECT doc_id, b, count(*)::DOUBLE AS c FROM chars GROUP BY doc_id, b),
+    tot AS (
+      SELECT doc_id, sum(c) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct_bytes
+      FROM freq GROUP BY doc_id)
+    SELECT f.doc_id AS asset_id,
+           CAST(t.n AS BIGINT) AS n_bytes,
+           t.n_distinct_bytes,
+           round(-sum((f.c / t.n) * log2(f.c / t.n)), 6) AS byte_entropy
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id, t.n, t.n_distinct_bytes
+    ORDER BY asset_id
+    """,
+    note="per-asset byte histogram entropy through mapInArrow "
+    "(operators/multimodal.py byte_entropy_arrow) — the LOWEST-overhead "
+    "Python path: raw pyarrow RecordBatches in and out, no Arrow→pandas "
+    "conversion (which buys nothing for opaque binary payloads and "
+    "costs a copy); per-payload numpy bincount reduction, row-local, "
+    "zero shuffle.  Entropy is the compressed/encrypted-vs-text triage "
+    "signal a media ingest runs first.  The oracle recomputes the byte "
+    "histogram with ord() over characters (ASCII fixture, the "
+    "multimodal_decode_fake contract) — hash-certifies the third and "
+    "last Python-kernel API flavor (pandas_udf / mapInPandas / "
+    "mapInArrow all now carry full value-hash oracles)",
+)
+def q_multimodal_byte_entropy(spark, sf_dir):
+    from .operators.multimodal import byte_entropy_arrow
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = byte_entropy_arrow(d)
+    return out.select(
+        "asset_id",
+        "n_bytes",
+        "n_distinct_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+    ).orderBy("asset_id")
+
+
 _BLOCKLIST_TERMS = ("leak", "spill", "crash")
 
 
