@@ -4817,6 +4817,81 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "auc_rank_embedding",
+    """
+    WITH s AS (
+      SELECT round(sqrt(list_dot_product(
+                 list_transform(embedding, x -> x::DOUBLE),
+                 list_transform(embedding, x -> x::DOUBLE))), 6) AS score,
+             CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings),
+    g AS (
+      SELECT score, CAST(count(*) AS DOUBLE) AS n_g,
+             CAST(sum(pos) AS DOUBLE) AS pos_g
+      FROM s GROUP BY score),
+    r AS (
+      SELECT pos_g, n_g,
+             sum(n_g) OVER (ORDER BY score
+                            ROWS UNBOUNDED PRECEDING) - n_g AS cum_before
+      FROM g),
+    tot AS (
+      SELECT sum(pos_g) AS np, sum(n_g) - sum(pos_g) AS nn,
+             sum(pos_g * (cum_before + (n_g + 1) / 2)) AS usum
+      FROM r)
+    SELECT round((usum - np * (np + 1) / 2) / (np * nn), 6) AS auc,
+           CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+    FROM tot
+    """,
+    note="distributed AUC (Mann-Whitney U with tie correction): ranks "
+    "the even-label class by embedding L2 norm — the model-eval metric "
+    "computed WITHOUT sorting the data: scores aggregate to "
+    "(score, n, n_pos) groups first (partial-agged; 6-dp rounding "
+    "defines tie groups identically in both engines), the rank window "
+    "then runs over the aggregated distinct-score rows only, and "
+    "avg-rank-per-group feeds the closed-form U.  At 100 TB the full "
+    "pass is one hash aggregation; the single-partition window touches "
+    "distinct-score cardinality, bounded by the 6-dp score grid — the "
+    "same aggregate-first shape as the histogram/ntile queries",
+)
+def q_auc_rank_embedding(spark, sf_dir):
+    from .operators.similarity import _norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    s = e.select(
+        F.round(_norm(F.col("embedding")), 6).alias("score"),
+        F.when(F.col("label") % 2 == 0, 1).otherwise(0).alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).cast("double").alias("n_g"),
+        F.sum("pos").cast("double").alias("pos_g"),
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.select(
+        "pos_g",
+        "n_g",
+        (F.sum("n_g").over(w) - F.col("n_g")).alias("cum_before"),
+    )
+    tot = r.agg(
+        F.sum("pos_g").alias("np"),
+        (F.sum("n_g") - F.sum("pos_g")).alias("nn"),
+        F.sum(
+            F.col("pos_g") * (F.col("cum_before") + (F.col("n_g") + 1) / 2)
+        ).alias("usum"),
+    )
+    return tot.select(
+        F.round(
+            (F.col("usum") - F.col("np") * (F.col("np") + 1) / 2)
+            / (F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+    )
+
+
+@register(
     "multimodal_byte_entropy",
     """
     WITH chars AS (
