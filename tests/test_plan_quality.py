@@ -64,6 +64,9 @@ NESTED_LOOP_OK = {
     "bm25_topk_docs",
     # chi-square: 1-row (N) x 1-row (sum q) x 1-row (dof) scalar combine
     "chi2_independence_lang_source",
+    # recursive-calendar: types x generated-days cross join, bounded by
+    # two dimension cardinalities (|event types| x |calendar days|)
+    "sql_recursive_calendar",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]

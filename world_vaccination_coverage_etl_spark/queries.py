@@ -4817,6 +4817,67 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "sql_recursive_calendar",
+    """
+    WITH RECURSIVE days(d) AS (
+      SELECT CAST(min(ts) AS DATE) FROM events
+      UNION ALL
+      SELECT d + 1 FROM days
+      WHERE d < (SELECT CAST(max(ts) AS DATE) FROM events)
+    ),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(daily.n) AS BIGINT) AS n_active_days,
+           CAST(count(*) - count(daily.n) AS BIGINT) AS n_zero_days
+    FROM types t CROSS JOIN days
+    LEFT JOIN daily ON daily.event_type = t.event_type
+                   AND daily.d = days.d
+    GROUP BY t.event_type ORDER BY t.event_type
+    """,
+    note="Spark 4 RECURSIVE CTE executed end-to-end (spark.sql literal "
+    "text, the iterative-in-SQL entry path): the calendar dimension is "
+    "GENERATED by acyclic date recursion (anchor = min day, step = +1 "
+    "day bounded by max day — UNION ALL recursion; Spark does not yet "
+    "support dedup-UNION recursion, so cyclic closures stay with "
+    "operators/components.py) and outer-joined against daily activity "
+    "for the zero-activity audit — the recursive complement of the "
+    "sequence()-based gapfill.  DuckDB recomputes the identical "
+    "recursion; the types x days cross join is bounded by two "
+    "dimension cardinalities",
+)
+def q_sql_recursive_calendar(spark, sf_dir):
+    from .sources.registry import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+          SELECT CAST(min(ts) AS DATE) FROM events
+          UNION ALL
+          SELECT date_add(d, 1) FROM days
+          WHERE d < (SELECT CAST(max(ts) AS DATE) FROM events)
+        ),
+        daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+          FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        types AS (SELECT DISTINCT event_type FROM events)
+        SELECT t.event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(count(daily.n) AS BIGINT) AS n_active_days,
+               CAST(count(*) - count(daily.n) AS BIGINT) AS n_zero_days
+        FROM types t CROSS JOIN days
+        LEFT JOIN daily ON daily.event_type = t.event_type
+                       AND daily.d = days.d
+        GROUP BY t.event_type ORDER BY t.event_type
+        """
+    )
+
+
+@register(
     "auc_rank_embedding",
     """
     WITH s AS (
