@@ -112,6 +112,10 @@ HEADLINE = [
     "chi2_independence_lang_source",
     "heavy_hitters_users",
     "user_activity_streaks",
+    "auc_rank_embedding",
+    "doc_blocklist_filter",
+    "multimodal_byte_entropy",
+    "sql_recursive_calendar",
 ]
 
 
