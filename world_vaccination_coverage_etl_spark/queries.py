@@ -4819,11 +4819,10 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 @register(
     "sql_recursive_calendar",
     """
-    WITH RECURSIVE days(d) AS (
-      SELECT CAST(min(ts) AS DATE) FROM events
+    WITH RECURSIVE days(d, dmax) AS (
+      SELECT CAST(min(ts) AS DATE), CAST(max(ts) AS DATE) FROM events
       UNION ALL
-      SELECT d + 1 FROM days
-      WHERE d < (SELECT CAST(max(ts) AS DATE) FROM events)
+      SELECT d + 1, dmax FROM days WHERE d < dmax
     ),
     daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
@@ -4840,14 +4839,16 @@ def q_semantic_dedup_clusters(spark, sf_dir):
     """,
     note="Spark 4 RECURSIVE CTE executed end-to-end (spark.sql literal "
     "text, the iterative-in-SQL entry path): the calendar dimension is "
-    "GENERATED by acyclic date recursion (anchor = min day, step = +1 "
-    "day bounded by max day — UNION ALL recursion; Spark does not yet "
-    "support dedup-UNION recursion, so cyclic closures stay with "
-    "operators/components.py) and outer-joined against daily activity "
-    "for the zero-activity audit — the recursive complement of the "
-    "sequence()-based gapfill.  DuckDB recomputes the identical "
-    "recursion; the types x days cross join is bounded by two "
-    "dimension cardinalities",
+    "GENERATED by acyclic date recursion (anchor = (min day, max day), "
+    "step = +1 day — the termination bound is CARRIED through the "
+    "recursion as a column: a scalar subquery in the step re-scans the "
+    "table once per iteration, measured 6.5 s -> 1.25 s at sf0.1; "
+    "UNION ALL recursion only — Spark does not yet support dedup-UNION "
+    "recursion, so cyclic closures stay with operators/components.py) "
+    "and outer-joined against daily activity for the zero-activity "
+    "audit — the recursive complement of the sequence()-based gapfill. "
+    "DuckDB recomputes the identical recursion; the types x days cross "
+    "join is bounded by two dimension cardinalities",
 )
 def q_sql_recursive_calendar(spark, sf_dir):
     from .sources.registry import load_table
@@ -4855,11 +4856,10 @@ def q_sql_recursive_calendar(spark, sf_dir):
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
         """
-        WITH RECURSIVE days(d) AS (
-          SELECT CAST(min(ts) AS DATE) FROM events
+        WITH RECURSIVE days(d, dmax) AS (
+          SELECT CAST(min(ts) AS DATE), CAST(max(ts) AS DATE) FROM events
           UNION ALL
-          SELECT date_add(d, 1) FROM days
-          WHERE d < (SELECT CAST(max(ts) AS DATE) FROM events)
+          SELECT date_add(d, 1), dmax FROM days WHERE d < dmax
         ),
         daily AS (
           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
