@@ -67,6 +67,8 @@ NESTED_LOOP_OK = {
     # recursive-calendar: types x generated-days cross join, bounded by
     # two dimension cardinalities (|event types| x |calendar days|)
     "sql_recursive_calendar",
+    # RFM: 1-row reference-day scalar broadcast
+    "rfm_user_segments",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]

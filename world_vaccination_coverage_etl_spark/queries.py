@@ -4817,6 +4817,80 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "rfm_user_segments",
+    """
+    WITH ref AS (SELECT CAST(max(ts) AS DATE) AS ref_day FROM events),
+    p AS (
+      SELECT user_id,
+             CAST(max(ts) AS DATE) AS last_day,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(value), 6) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    m AS (
+      SELECT user_id,
+             CAST(ref.ref_day - p.last_day AS BIGINT) AS recency_days,
+             frequency, monetary
+      FROM p CROSS JOIN ref),
+    s AS (
+      SELECT user_id, recency_days, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      FROM m)
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS rfm
+    FROM s ORDER BY user_id
+    """,
+    note="RFM user segmentation (recency/frequency/monetary, the "
+    "classic CRM scoring): per-user purchase rollup (one partial-agged "
+    "shuffle over the type-pruned scan), scalar reference day "
+    "broadcast, three ntile(5) quintile scores with user_id tie-breaks "
+    "so both engines bucket identically, concatenated to the segment "
+    "code.  The quintile windows run over one row per PURCHASING user "
+    "— cardinality-bounded, same aggregate-first shape as the AUC and "
+    "histogram queries",
+)
+def q_rfm_user_segments(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.col("ts").cast("date")).alias("ref_day"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum("value"), 6).alias("monetary"),
+        )
+    )
+    m = p.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.datediff("ref_day", "last_day").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.desc("frequency"), "user_id")
+    wm = Window.orderBy(F.desc("monetary"), "user_id")
+    s = m.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return s.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.concat_ws("", "r_score", "f_score", "m_score").alias("rfm"),
+    ).orderBy("user_id")
+
+
+@register(
     "sql_recursive_calendar",
     """
     WITH RECURSIVE days(d, dmax) AS (
