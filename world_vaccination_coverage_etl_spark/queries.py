@@ -4817,6 +4817,79 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "rolling_slope_7d",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(CAST(date_trunc('day', ts) AS DATE)
+                  - DATE '2024-01-01' AS DOUBLE) AS x,
+             round(avg(value), 6) AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    w AS (
+      SELECT event_type, day,
+             count(*) OVER win AS n,
+             sum(x) OVER win AS sx,
+             sum(y) OVER win AS sy,
+             sum(x * y) OVER win AS sxy,
+             sum(x * x) OVER win AS sxx
+      FROM daily
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+    SELECT event_type, day,
+           CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+    FROM w WHERE n >= 2
+    ORDER BY event_type, day
+    """,
+    note="rolling 7-day OLS slope per metric series — the trend-change "
+    "detector between the global regr_trend fit and the EWMA smoother: "
+    "daily partial-agg first, then ONE window pass accumulating the "
+    "closed-form co-moments (n, Σx, Σy, Σxy, Σx²) over ROWS 6 "
+    "PRECEDING, slope from the normal equation.  x is day-since-epoch "
+    "(exact integer-valued doubles, so both engines' sums are "
+    "bit-comparable before the final rounding); windows run over ~30 "
+    "rows per type.  The same co-moment trick spark.ml's regr_* family "
+    "uses, here made trailing",
+)
+def q_rolling_slope_7d(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("y"))
+    daily = daily.withColumn(
+        "x", F.datediff("day", F.lit("2024-01-01")).cast("double")
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+    )
+    return (
+        w.filter(F.col("n") >= 2)
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n_days"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            ).alias("slope"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
     "rfm_user_segments",
     """
     WITH ref AS (SELECT CAST(max(ts) AS DATE) AS ref_day FROM events),
