@@ -4817,6 +4817,97 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "weekday_seasonality",
+    """
+    WITH d AS (
+      SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events),
+    per AS (
+      SELECT event_type, dow,
+             CAST(count(*) AS BIGINT) AS n_events,
+             avg(value) AS dow_avg
+      FROM d GROUP BY event_type, dow),
+    tot AS (SELECT event_type, avg(value) AS overall_avg FROM d
+            GROUP BY event_type)
+    SELECT p.event_type, CAST(p.dow AS INT) AS dow, p.n_events,
+           round(p.dow_avg, 6) AS dow_avg,
+           round(p.dow_avg / t.overall_avg, 6) AS seasonality_idx
+    FROM per p JOIN tot t ON t.event_type = p.event_type
+    ORDER BY p.event_type, dow
+    """,
+    note="weekly seasonality indices — the classical-decomposition "
+    "seasonal component (dow mean / overall mean per series): two "
+    "partial-agged aggregations + a broadcast join of the |types|-row "
+    "totals; index > 1 marks the hot weekdays the capacity planner "
+    "cares about.  Numbering pinned explicitly: Spark dayofweek is "
+    "1-based (1 = Sunday), DuckDB 0-based — the oracle carries the +1",
+)
+def q_weekday_seasonality(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("event_type", F.dayofweek("ts").alias("dow"), "value")
+    per = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.avg("value").alias("dow_avg"),
+    )
+    tot = d.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.avg("value").alias("overall_avg")
+    )
+    return (
+        per.join(F.broadcast(tot), per.event_type == F.col("t_type"))
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "n_events",
+            F.round("dow_avg", 6).alias("dow_avg"),
+            F.round(F.col("dow_avg") / F.col("overall_avg"), 6).alias(
+                "seasonality_idx"
+            ),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+@register(
+    "kfold_assignment_docs",
+    """
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT % 5 AS BIGINT) AS fold
+      FROM documents)
+    SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM f GROUP BY fold, lang ORDER BY fold, lang
+    """,
+    note="k-fold cross-validation assignment (k=5) under the "
+    "engine-portable salted-md5 contract: fold = first-8-hex-digits "
+    "mod k — deterministic across runs/engines/partitionings, stable "
+    "under corpus growth (a doc's fold never changes), uniform in "
+    "expectation.  Output is the fold x lang audit the CV harness "
+    "checks before training; row-local expression + one partial-agged "
+    "shuffle.  Generalizes hash_split's train/val to k ways",
+)
+def q_kfold_assignment_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fold = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(5),
+    ).cast("long")
+    return (
+        d.select(fold.alias("fold"), "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("fold", "lang")
+    )
+
+
+@register(
     "rolling_slope_7d",
     """
     WITH daily AS (
