@@ -4817,6 +4817,86 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "label_separation_stats",
+    """
+    WITH x AS (
+      SELECT vec_id, label, i, embedding[i]::DOUBLE AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r),
+    lc AS (SELECT label, i, avg(v) AS c FROM x GROUP BY label, i),
+    gc AS (SELECT i, avg(v) AS g FROM x GROUP BY i),
+    intra AS (
+      SELECT x.vec_id, x.label,
+             sqrt(sum((x.v - lc.c) * (x.v - lc.c))) AS d
+      FROM x JOIN lc ON lc.label = x.label AND lc.i = x.i
+      GROUP BY x.vec_id, x.label),
+    ia AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                  avg(d) AS intra_mean FROM intra GROUP BY label),
+    cd AS (
+      SELECT lc.label, sqrt(sum((lc.c - gc.g) * (lc.c - gc.g))) AS cdist
+      FROM lc JOIN gc ON gc.i = lc.i GROUP BY lc.label)
+    SELECT ia.label, ia.n_vecs,
+           round(ia.intra_mean, 6) AS intra_mean_dist,
+           round(cd.cdist, 6) AS centroid_dist,
+           round(cd.cdist / ia.intra_mean, 6) AS separation_ratio
+    FROM ia JOIN cd ON cd.label = ia.label
+    ORDER BY ia.label
+    """,
+    note="embedding label-separation diagnostic (Fisher-style): per "
+    "label the mean intra-class distance to the label centroid, the "
+    "label-to-global centroid distance, and their ratio — the "
+    "cluster-separability check run before training a classifier on "
+    "an embedding space (ratio -> 0 means labels are not separable). "
+    "Scale shape: centroids are per-(label, dim) partial-agged "
+    "averages (|labels| x dim rows, broadcast back); the per-vector "
+    "distance pass is row-local after the broadcast; nothing "
+    "quadratic.  Sum-of-64-squares per row is order-stable at 6 dp",
+)
+def q_label_separation_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "v"
+        ),
+    )
+    lc = x.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    gc = x.groupBy(F.col("i").alias("g_i")).agg(F.avg("v").alias("g"))
+    intra = (
+        x.join(F.broadcast(lc), on=["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(F.sum((F.col("v") - F.col("c")) ** 2)).alias("d")
+        )
+    )
+    ia = intra.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.avg("d").alias("intra_mean"),
+    )
+    cd = (
+        lc.join(F.broadcast(gc), lc.i == F.col("g_i"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(
+            F.sqrt(F.sum((F.col("c") - F.col("g")) ** 2)).alias("cdist")
+        )
+    )
+    return (
+        ia.join(cd, ia.label == F.col("c_label"))
+        .select(
+            "label",
+            "n_vecs",
+            F.round("intra_mean", 6).alias("intra_mean_dist"),
+            F.round("cdist", 6).alias("centroid_dist"),
+            F.round(F.col("cdist") / F.col("intra_mean"), 6).alias(
+                "separation_ratio"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
     "weekday_seasonality",
     """
     WITH d AS (
