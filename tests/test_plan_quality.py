@@ -69,6 +69,8 @@ NESTED_LOOP_OK = {
     "sql_recursive_calendar",
     # RFM: 1-row reference-day scalar broadcast
     "rfm_user_segments",
+    # gains table: 1-row (total pos, total n) scalar broadcast
+    "gains_table_embedding",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]

@@ -4817,6 +4817,151 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "gains_table_embedding",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             round(sqrt(list_dot_product(
+                 list_transform(embedding, x -> x::DOUBLE),
+                 list_transform(embedding, x -> x::DOUBLE))), 6) AS score,
+             CASE WHEN label % 2 = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings),
+    d AS (
+      SELECT pos,
+             ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile
+      FROM s),
+    g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM d GROUP BY decile),
+    t AS (SELECT sum(n_pos)::DOUBLE AS tp, sum(n)::DOUBLE AS tn FROM g)
+    SELECT decile, n, n_pos,
+           round(sum(n_pos) OVER (ORDER BY decile
+                 ROWS UNBOUNDED PRECEDING) / t.tp, 6) AS cum_pos_share,
+           round((n_pos / CAST(n AS DOUBLE)) / (t.tp / t.tn), 6) AS lift
+    FROM g CROSS JOIN t ORDER BY decile
+    """,
+    note="gains/lift table — AUC's operational companion: score deciles "
+    "(ntile with vec_id tie-break so both engines cut identically), "
+    "per-decile positive counts, cumulative capture share, and lift vs "
+    "the base rate — the 'top decile captures X% of positives' readout "
+    "targeting/triage uses.  Aggregate-first: the decile window runs "
+    "over scored rows once, everything after is 10 rows",
+)
+def q_gains_table_embedding(spark, sf_dir):
+    from .operators.similarity import _norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        F.round(_norm(F.col("embedding")), 6).alias("score"),
+        F.when(F.col("label") % 2 == 0, 1).otherwise(0).alias("pos"),
+    )
+    wd = Window.orderBy(F.desc("score"), "vec_id")
+    d = s.select("pos", F.ntile(10).over(wd).alias("decile"))
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    t = g.agg(
+        F.sum("n_pos").cast("double").alias("tp"),
+        F.sum("n").cast("double").alias("tn"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(
+                F.sum("n_pos").over(wc) / F.col("tp"), 6
+            ).alias("cum_pos_share"),
+            F.round(
+                (F.col("n_pos") / F.col("n").cast("double"))
+                / (F.col("tp") / F.col("tn")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "jackknife_mean_se",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             avg(value) AS m
+      FROM events GROUP BY event_type, date_trunc('day', ts)),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             sum(m) AS s, avg(m) AS theta
+      FROM daily GROUP BY event_type),
+    loo AS (
+      SELECT d.event_type,
+             (a.s - d.m) / (a.n_days - 1) AS theta_i,
+             a.theta AS theta, a.n_days AS n
+      FROM daily d JOIN agg a ON a.event_type = d.event_type)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+           round(max(theta), 6) AS mean_of_daily,
+           round(sqrt((max(n) - 1.0) / max(n)
+                 * sum((theta_i - theta) * (theta_i - theta))), 6)
+             AS jackknife_se
+    FROM loo GROUP BY event_type ORDER BY event_type
+    """,
+    note="jackknife standard error of the per-series daily-mean "
+    "statistic — deterministic resampling uncertainty at scale: "
+    "leave-one-out replicates computed in CLOSED FORM from the sums "
+    "(theta_i = (S - x_i)/(n-1) — no N re-aggregations, no RNG), one "
+    "partial-agged daily pass + one broadcast join over ~30 rows per "
+    "series.  The pattern generalizes to any plug-in statistic whose "
+    "LOO form is algebraic; for non-algebraic ones the salted-hash "
+    "Poisson bootstrap is the scale path (documented, not registered — "
+    "its SQL oracle would need an inverse Poisson CDF)",
+)
+def q_jackknife_mean_se(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("m"))
+    agg = daily.groupBy(F.col("event_type").alias("a_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("m").alias("s"),
+        F.avg("m").alias("theta"),
+    )
+    loo = daily.join(
+        F.broadcast(agg), daily.event_type == F.col("a_type")
+    ).select(
+        "event_type",
+        ((F.col("s") - F.col("m")) / (F.col("n_days") - 1)).alias("theta_i"),
+        "theta",
+        F.col("n_days").alias("n"),
+    )
+    return (
+        loo.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.round(F.max("theta"), 6).alias("mean_of_daily"),
+            F.round(
+                F.sqrt(
+                    (F.max("n") - 1.0)
+                    / F.max("n")
+                    * F.sum(
+                        (F.col("theta_i") - F.col("theta"))
+                        * (F.col("theta_i") - F.col("theta"))
+                    )
+                ),
+                6,
+            ).alias("jackknife_se"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "label_separation_stats",
     """
     WITH x AS (
