@@ -116,6 +116,13 @@ HEADLINE = [
     "doc_blocklist_filter",
     "multimodal_byte_entropy",
     "sql_recursive_calendar",
+    "rfm_user_segments",
+    "rolling_slope_7d",
+    "weekday_seasonality",
+    "kfold_assignment_docs",
+    "label_separation_stats",
+    "gains_table_embedding",
+    "jackknife_mean_se",
 ]
 
 
