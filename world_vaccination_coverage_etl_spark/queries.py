@@ -4817,6 +4817,76 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "zipf_slope_words",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(
+          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+          '[^a-z0-9]+'), x -> x <> '')) AS w
+      FROM documents),
+    freq AS (SELECT w, CAST(count(*) AS DOUBLE) AS f FROM toks GROUP BY w),
+    ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, w) AS DOUBLE)) AS x,
+             ln(f) AS y
+      FROM freq),
+    fit AS (
+      SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope
+    FROM fit
+    """,
+    note="Zipf's-law fit over the corpus word-frequency distribution: "
+    "log-log OLS slope of frequency vs rank (rank ties broken by word "
+    "so both engines order identically).  Natural text sits near "
+    "slope -1; strong deviation flags synthetic/spam/boilerplate "
+    "corpora — a corpus-level curation diagnostic beside the per-doc "
+    "quality gates.  The frequency table is vocabulary-sized, so the "
+    "rank window and the closed-form fit run on post-aggregation "
+    "volume; one shuffle over tokens.  ln() under the repo's 6-dp "
+    "libm-portability contract",
+)
+def q_zipf_slope_words(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
+                    r"[^a-z0-9]+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    freq = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("f")
+    )
+    wr = Window.orderBy(F.desc("f"), "w")
+    ranked = freq.select(
+        F.log(F.row_number().over(wr).cast("double")).alias("x"),
+        F.log("f").alias("y"),
+    )
+    fit = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
     "gains_table_embedding",
     """
     WITH s AS (
