@@ -123,6 +123,7 @@ HEADLINE = [
     "label_separation_stats",
     "gains_table_embedding",
     "jackknife_mean_se",
+    "zipf_slope_words",
 ]
 
 
