@@ -111,7 +111,6 @@ HEADLINE = [
     "cdc_apply_user_state",
     "chi2_independence_lang_source",
     "heavy_hitters_users",
-    "user_activity_streaks",
     "auc_rank_embedding",
     "doc_blocklist_filter",
     "multimodal_byte_entropy",
