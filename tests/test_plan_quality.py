@@ -71,6 +71,8 @@ NESTED_LOOP_OK = {
     "rfm_user_segments",
     # gains table: 1-row (total pos, total n) scalar broadcast
     "gains_table_embedding",
+    # FK audit: 1-row (child count) x 1-row (orphan count) combines
+    "fk_orphan_audit",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]

@@ -4817,6 +4817,102 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "peak_load_1h",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts))
+    SELECT event_type,
+           max(n) AS peak_hourly,
+           min(h) FILTER (WHERE n = m) AS peak_hour,
+           round(avg(n), 6) AS mean_hourly,
+           round(max(n) / avg(n), 6) AS burst_ratio
+    FROM (SELECT *, max(n) OVER (PARTITION BY event_type) AS m
+          FROM hourly)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    note="peak-load detection per series: the busiest hour (earliest on "
+    "ties so both engines agree), its count, and the burst ratio vs "
+    "the hourly mean — the capacity-planning number behind shuffle "
+    "partition and state-store sizing.  Hourly partial-agg first; the "
+    "argmax window runs over ~720 rows per type",
+)
+def q_peak_load_1h(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wm = Window.partitionBy("event_type")
+    h2 = hourly.withColumn("m", F.max("n").over(wm))
+    return (
+        h2.groupBy("event_type")
+        .agg(
+            F.max("n").alias("peak_hourly"),
+            F.min(F.when(F.col("n") == F.col("m"), F.col("h"))).alias(
+                "peak_hour"
+            ),
+            F.round(F.avg("n"), 6).alias("mean_hourly"),
+            F.round(F.max("n") / F.avg("n"), 6).alias("burst_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fk_orphan_audit",
+    """
+    SELECT 'lineitem->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    ORDER BY fk
+    """,
+    note="cross-table referential-integrity audit — the data-quality "
+    "check the single-table constraint suite can't express: orphan "
+    "counts per foreign-key edge via LEFT ANTI joins (child minus "
+    "parents), the standard pre-publication warehouse gate.  Each edge "
+    "is one anti join with the parent side reduced to its DISTINCT "
+    "key column (broadcast-sized here; bucketed co-location at volume)",
+)
+def q_fk_orphan_audit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def edge(name, child, key_child, parent, key_parent):
+        orphans = child.join(
+            parent.select(key_parent).distinct(),
+            child[key_child] == F.col(key_parent),
+            "left_anti",
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans")
+                )
+            )
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .orderBy("fk")
+    )
+
+
+@register(
     "zipf_slope_words",
     r"""
     WITH toks AS (
