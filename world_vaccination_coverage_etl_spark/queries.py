@@ -4817,6 +4817,49 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "dedup_rate_by_source",
+    r"""
+    WITH n AS (
+      SELECT source,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT norm) AS BIGINT) AS n_distinct,
+           round(1.0 - count(DISTINCT norm) / CAST(count(*) AS DOUBLE), 6)
+             AS dup_rate
+    FROM n GROUP BY source ORDER BY source
+    """,
+    note="per-source exact-duplicate rate under the canonical "
+    "normalization (operators/dedup.py normalized_text) — the "
+    "source-quality signal that drives crawl prioritization and the "
+    "domain-cap policy: a source shipping 40% duplicates gets capped "
+    "harder.  One count-distinct aggregation per source (at volume: "
+    "the HLL flavor, registered separately, replaces the exact "
+    "distinct)",
+)
+def q_dedup_rate_by_source(spark, sf_dir):
+    from .operators.dedup import normalized_text
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.select("source", normalized_text(F.col("text")).alias("norm"))
+    return (
+        n.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("norm").cast("long").alias("n_distinct"),
+            F.round(
+                1.0
+                - F.countDistinct("norm")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "peak_load_1h",
     """
     WITH hourly AS (
