@@ -4817,6 +4817,91 @@ def q_semantic_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "quantization_error_by_label",
+    """
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             greatest(list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE))))
+                        / 127.0, 1e-12) AS scale
+      FROM embeddings),
+    e AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)
+                      - round(CAST(x AS DOUBLE) / scale) * scale) AS errs,
+             len(embedding) AS dim,
+             len(list_filter(list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)),
+                 q -> abs(q) >= 127)) AS n_sat
+      FROM s),
+    v AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(errs, x -> x * x)) / dim) AS rmse,
+             list_max(list_transform(errs, x -> abs(x))) AS maxerr,
+             n_sat
+      FROM e)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(rmse), 6) AS mean_rmse,
+           round(max(maxerr), 6) AS max_abs_err,
+           CAST(sum(n_sat) AS BIGINT) AS n_saturated
+    FROM v GROUP BY label ORDER BY label
+    """,
+    note="int8 quantization-error audit per label — the quality gate on "
+    "the 4x ANN-index compression (operators/quantize.py contract: "
+    "scale = max|x|/127, q = round(x/scale)): per-vector reconstruction "
+    "RMSE, worst elementwise error, and saturation counts, rolled up "
+    "per label.  Row-local HOFs on reporting volume (the established "
+    "split), one partial-agged shuffle; round-half parity between "
+    "engines is the same contract the quantize query already "
+    "hash-certifies",
+)
+def q_quantization_error_by_label(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(xd, F.abs)) / 127.0, F.lit(1e-12)
+    )
+    s = emb.select("vec_id", "label", xd.alias("x"), scale.alias("scale"))
+    errs = F.transform(
+        F.col("x"),
+        lambda x: x - F.round(x / F.col("scale")) * F.col("scale"),
+    )
+    qv = F.transform(
+        F.col("x"), lambda x: F.round(x / F.col("scale")).cast("long")
+    )
+    e = s.select(
+        "label",
+        errs.alias("errs"),
+        F.size("x").alias("dim"),
+        F.size(F.filter(qv, lambda q: F.abs(q) >= 127)).alias("n_sat"),
+    )
+    v = e.select(
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.col("errs"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+            / F.col("dim")
+        ).alias("rmse"),
+        F.array_max(F.transform(F.col("errs"), F.abs)).alias("maxerr"),
+        "n_sat",
+    )
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("rmse"), 6).alias("mean_rmse"),
+            F.round(F.max("maxerr"), 6).alias("max_abs_err"),
+            F.sum("n_sat").cast("long").alias("n_saturated"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
     "dedup_rate_by_source",
     r"""
     WITH n AS (
