@@ -1,9 +1,16 @@
 """Benchmark harness: run every registry query at a scale-factor dir and
-print ONE JSON line with per-query wall times.
+print ONE JSON line with wall times.
 
 Contract (driver): ``{"metric": ..., "value": N, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}`` — value is the total wall
 time of one full pass over the registry.
+
+The driver captures only the LAST ~2000 characters of stdout
+(observed: BENCH_r05 "parsed": null because the 187-query line was
+truncated mid-JSON).  So the printed line keeps the contract keys but
+bounds "queries" to the slowest entries that fit the capture window;
+the FULL per-query table is written to ``BENCH_LOCAL.json`` next to
+this script (committed per round as the complete record).
 
 Env:
 - ``SPARK_GRAFT_SF_DIR``  (default /root/testdata/sf0.1)
@@ -67,18 +74,39 @@ def main() -> int:
     wall = round(time.time() - t_total, 3)
     total = round(sum(per_query.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_best_of_2",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf_num,
-                "wall_both_passes": wall,
-            }
-        )
+    full = {
+        "metric": "registry_total_best_of_2",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_num,
+        "wall_both_passes": wall,
+        "n_queries": len(per_query),
+    }
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    # compact stdout line: contract keys, but "queries" holds only the
+    # slowest entries that keep the line under the driver's ~2000-char
+    # tail-capture window (these are also the ones worth plan-auditing)
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])
+    )
+    compact = dict(full, queries={})
+    compact["queries_detail"] = "BENCH_LOCAL.json"
+    budget = 1800 - len(json.dumps(compact))
+    for name, sec in slowest.items():
+        cost = len(name) + len(f"{sec}") + 6
+        if budget - cost < 0:
+            break
+        compact["queries"][name] = sec
+        budget -= cost
+
+    print(json.dumps(compact))
     return 0
 
 

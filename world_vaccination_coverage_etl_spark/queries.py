@@ -8715,57 +8715,128 @@ def q_pagerank_dup_graph(spark, sf_dir):
 #   5. the tail is everything green in the PREVIOUS round's driver run
 #      — freshest evidence, safest to defer.
 #
-# Round-5 ordering: the ten events.ts casualties lead (fixed this
-# round, per the r4 verdict), then the reworked outputs, then the five
-# r5 additions, then all 29 queries r4's window missed, then four
-# once-green r4 entries.  Everything r4 certified green takes the tail.
+# Round-6 ordering (per the r5 verdict item 2: drain the driver-
+# certification backlog).  The driver's CORRECTNESS gate records only
+# the first 50 registry entries per round; after r1-r5, 88 of the 187
+# registered queries have never had a driver-written correctness row
+# (registry minus the union of CORRECTNESS_r1..r5 names).  This round:
+#
+#   head  (_CERT_EARLY): exactly the 50 OLDEST never-driver-certified
+#          entries, in original registration order (r5b additions
+#          first, then r5c, then r5d) — all are oracle-certified by the
+#          local sweep; this gives them their first driver row.
+#   middle (unlisted):   the remaining 38 never-certified entries, in
+#          registration order — they lead r7's window automatically.
+#   tail  (_CERT_LATE):  all 99 entries with at least one driver row,
+#          least-recently-certified first after the cutoff so any
+#          window wider than 50 re-certifies the stalest evidence.
+#
+# Lists are derived mechanically (tools/rotation_audit.py regenerates
+# and checks them); do not hand-edit without re-running the audit.
 
 _CERT_EARLY = [
-    # tier 1: broken in r4 by the events.ts fixture drift — fixed via
-    # the schema-adaptive load; re-certify first
-    "salted_agg_events",
-    "approx_distinct_users",
-    "approx_quantiles_value",
-    "session_window_agg",
-    "asof_join_last_purchase",
-    "skew_join_segment",
-    "streaming_tumbling_daily",
-    "streaming_tumbling_append",
-    "streaming_sessionize_state",
-    "stream_click_attribution",
-    # tier 1b: output/oracle reworked this round (features: to_json
-    # serialization; simhash: md5 flavor with full hash oracle)
-    "multimodal_features_fake",
-    "simhash_near_dup",
-    # tier 2: new in r5
-    "dup_connected_components",
-    "dup_cluster_sizes",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "range_join_attribution",
-    "tfidf_top_terms",
-    "weighted_sample_docs",
-    "decontaminate_overlap",
-    "doc_length_stats",
-    "q15_top_supplier",
-    "funnel_conversion",
-    "props_json_extract",
-    "doc_length_ntile_bins",
-    "streaming_upsert_latest",
-    "decontaminated_corpus",
-    "event_path_topk",
-    "cohort_retention",
-    "agg_grouping_sets",
-    "streaming_funnel_state",
-    # tier 3: rotated out of r4's 50-row window (green r2+r3; their
-    # newest driver row is 2 rounds old after r5).  Six extension
-    # queries whose operators are covered by in-window siblings
-    # (set_ops, window_moving_avg, event_sliding_2d, sessionize_counts,
-    # doc_fingerprint, doc_token_counts) moved to the head of the tail
-    # to make room for the r5 additions.
-    "window_topn_per_group",
-    "doc_quality_score",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q16_supplier_diversity",
+    "doc_concat_shards",
+    "sql_api_running_revenue",
+    "domain_cap_sample",
+    "incremental_dedup_new_docs",
+    "streaming_two_level_window",
+    "streaming_sink_jsonl_events",
+    "stream_attribution_outer",
+    "doc_unigram_logprob",
+    "corpus_health_by_source",
+    "exact_k_sample_docs",
+    "hard_negatives_topk",
+    "embedding_norm_stats",
+    "semantic_dedup_clusters",
+    "quantization_error_by_label",
+    "dedup_rate_by_source",
+    "peak_load_1h",
+    "fk_orphan_audit",
+    "zipf_slope_words",
+    "gains_table_embedding",
+    "jackknife_mean_se",
+    "label_separation_stats",
+    "weekday_seasonality",
+    "kfold_assignment_docs",
+    "rolling_slope_7d",
+    "rfm_user_segments",
+    "sql_recursive_calendar",
+    "auc_rank_embedding",
+    "multimodal_byte_entropy",
+    "doc_blocklist_filter",
+    "cdc_apply_user_state",
+    "chi2_independence_lang_source",
+    "heavy_hitters_users",
+    "incremental_agg_merge",
+    "assign_global_ids_docs",
+    "doc_segment_dedup",
+    "embedding_int8_quantize",
+    "profile_orders_columns",
+    "check_constraints_orders",
+    "scd2_user_event_type",
+    "events_daily_ewma",
+    "events_daily_anomaly",
+]
+
+_CERT_LATE = [
+    "limit_head",
+    "set_ops",
+    "window_lag_delta",
+    "window_moving_avg",
+    "event_tumbling_daily",
+    "event_sliding_2d",
+    "sessionize_counts",
+    "doc_fingerprint",
+    "doc_token_counts",
+    "doc_language_id",
+    "word_frequencies",
+    "agg_mean_ci_t",
+    "agg_welch_pvalue",
+    "agg_rollup",
+    "agg_cube",
+    "pivot_wide",
+    "join_broadcast_dim",
+    "join_semi",
+    "join_anti",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "udf_country_flag",
+    "streaming_dedup_events",
+    "streaming_enrich_nation",
+    "doc_repetition_stats",
+    "doc_pii_scrub",
+    "doc_chunk_windows",
+    "split_counts",
+    "det_sample_ids",
+    "stratified_sample_docs",
+    "mixture_sample_docs",
+    "pack_token_bins_docs",
+    "kmeans_clusters",
+    "exact_dedup_keep",
+    "exact_dedup_groups",
+    "minhash_near_dup",
+    "ngram_jaccard_block_lang",
+    "curation_pipeline",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "knn_allpairs_small",
+    "knn_blocked_lsh",
+    "embedding_dup_pairs",
+    "multimodal_metadata",
+    "multimodal_decode_fake",
     "filter_eq2",
     "dim_index",
     "agg_unique_vals",
@@ -8782,82 +8853,40 @@ _CERT_EARLY = [
     "agg_sem_ci",
     "agg_window_compare",
     "agg_welch_t",
-]
-
-_CERT_LATE = [
-    # NOTE: the r5b additions — TPC-H q2/q7/q8/q9/q13/q16/q17/q21/q22,
-    # doc_concat_shards, sql_api_running_revenue, domain_cap_sample,
-    # incremental_dedup_new_docs, stream_attribution_outer,
-    # hard_negatives_topk, doc_unigram_logprob, corpus_health_by_source,
-    # embedding_norm_stats — and the r5c additions (global IDs, span
-    # dedup, int8 quantize, profiling/constraints, SCD2, EWMA/anomaly,
-    # RANGE window, histogram, median parity, TPC-H q11/q12/q20
-    # completing all 22, full-outer reconcile, rank family, gapfill,
-    # regr trend, HLL sketch union, fuzzy blocking, bigram NLL, skew
-    # report, assoc rules, multi-touch attribution, revenue shares,
-    # MAD outliers, rolling distinct, Markov matrix, conversion
-    # latency) are intentionally NOT listed in either rotation list:
-    # _rotated() places unlisted entries in the middle block, i.e.
-    # immediately after the 50-entry head — the head is already fully
-    # claimed by the ten events.ts re-certifications, the reworked
-    # outputs, the r5a additions, and the 2-round-stale tier-3 backlog,
-    # none of which can slip past the driver window without violating
-    # the nothing->2-rounds-stale policy.  Every r5b/r5c query is
-    # oracle-certified by the local sweep at BOTH sf0.001 and sf0.01
-    # this round and must LEAD r6's window as never-driver-certified.
-    # head-of-tail: the entries sacrificed for the r5 additions (all
-    # green r2+r3 or r4) sit FIRST after the cutoff so any driver
-    # window wider than 50 certifies them immediately; promote in r6
-    "set_ops",
-    "window_moving_avg",
-    "event_sliding_2d",
-    "sessionize_counts",
-    "doc_fingerprint",
-    "doc_token_counts",
-    "window_lag_delta",
-    "event_tumbling_daily",
-    "doc_language_id",
-    "word_frequencies",
-    "limit_head",
-    "curation_pipeline",
-    # green in r4's driver run (freshest evidence): safe tail
-    "kmeans_clusters",
-    "knn_blocked_lsh",
-    "q18_large_orders",
-    "det_sample_ids",
-    "stratified_sample_docs",
-    "multimodal_decode_fake",
-    "cosine_topk_lsh",
-    "exact_dedup_keep",
-    "exact_dedup_groups",
-    "minhash_near_dup",
-    "ngram_jaccard_block_lang",
-    "cosine_topk",
-    "knn_allpairs_small",
-    "embedding_dup_pairs",
-    "multimodal_metadata",
-    "agg_mean_ci_t",
-    "agg_welch_pvalue",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "udf_country_flag",
-    "streaming_dedup_events",
-    "split_counts",
-    "doc_chunk_windows",
-    "doc_pii_scrub",
-    "mixture_sample_docs",
-    "pack_token_bins_docs",
-    "streaming_enrich_nation",
-    "doc_repetition_stats",
-    "agg_cube",
-    "agg_rollup",
-    "pivot_wide",
-    "join_broadcast_dim",
-    "join_semi",
-    "join_anti",
-    "q1_pricing_summary",
-    "q3_top_revenue",
-    "q5_region_revenue",
+    "agg_grouping_sets",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "event_path_topk",
+    "cohort_retention",
+    "q15_top_supplier",
+    "funnel_conversion",
+    "props_json_extract",
+    "doc_length_ntile_bins",
+    "window_topn_per_group",
+    "streaming_tumbling_daily",
+    "streaming_tumbling_append",
+    "stream_click_attribution",
+    "range_join_attribution",
+    "streaming_upsert_latest",
+    "approx_distinct_users",
+    "approx_quantiles_value",
+    "session_window_agg",
+    "asof_join_last_purchase",
+    "streaming_sessionize_state",
+    "streaming_funnel_state",
+    "doc_quality_score",
+    "tfidf_top_terms",
+    "weighted_sample_docs",
+    "salted_agg_events",
+    "skew_join_segment",
+    "dup_connected_components",
+    "dup_cluster_sizes",
+    "doc_length_stats",
+    "decontaminate_overlap",
+    "decontaminated_corpus",
+    "simhash_near_dup",
+    "multimodal_features_fake",
 ]
 
 
