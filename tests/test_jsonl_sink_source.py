@@ -239,3 +239,101 @@ def test_stream_writer_abort_cleans_staging_only(spark, tmp_path):
     )
     back = _read(spark, table, "id long")
     assert [r.id for r in back.collect()] == [1]
+
+
+def test_concurrent_stream_commits_lose_nothing(tmp_path):
+    """Two writers racing on one table serialize under the commit lock.
+
+    Pre-fix, both could read manifest version N and both publish N+1 —
+    the second HEAD swap silently dropped the first stream's files and
+    its stream_batches high-water mark (data loss after its checkpoint
+    advanced).  Run two threads × 10 micro-batches each and require
+    every committed file, both high-water marks, and a collision-free
+    version chain to survive.
+    """
+    import threading
+
+    from pyspark.sql.types import StructType
+
+    from world_vaccination_coverage_etl_spark.sources.jsonl_sink_source import (
+        JsonlStreamWriter,
+    )
+
+    table = str(tmp_path / "race")
+    os.makedirs(table)
+    schema = StructType.fromDDL("id long")
+    errors = []
+
+    def run(stream_id: str, base: int):
+        try:
+            w = JsonlStreamWriter(
+                {"path": table, "stream_id": stream_id}, schema
+            )
+            for b in range(10):
+                msg = w.write(iter([(base + b,)]))
+                w.commit([msg], batchId=b)
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    t1 = threading.Thread(target=run, args=("sA", 0))
+    t2 = threading.Thread(target=run, args=("sB", 100))
+    t1.start(), t2.start()
+    t1.join(), t2.join()
+    assert not errors, errors
+    man = json.load(open(os.path.join(table, MANIFEST)))
+    assert len(man["files"]) == 20  # nothing silently dropped
+    assert man["stream_batches"] == {"sA": 9, "sB": 9}
+    assert man["version"] == 20  # one version per commit, no collisions
+    for e in man["files"]:
+        assert os.path.exists(os.path.join(table, e["file"]))
+
+
+def test_vacuum_pre_versioning_table(tmp_path):
+    """A manifest without a _versions dir (pre-versioning layout) must
+    vacuum cleanly: HEAD is the only snapshot, no snapshot pruning."""
+    from world_vaccination_coverage_etl_spark.sources.jsonl_sink_source import (
+        vacuum_jsonl_manifest,
+    )
+
+    table = str(tmp_path / "old")
+    os.makedirs(table)
+    with open(os.path.join(table, "part-live.jsonl"), "w") as fh:
+        fh.write('{"id": 1}\n')
+    with open(os.path.join(table, "part-orphan.jsonl"), "w") as fh:
+        fh.write('{"id": 2}\n')
+    with open(os.path.join(table, MANIFEST), "w") as fh:
+        json.dump(
+            {"files": [{"file": "part-live.jsonl", "n_rows": 1}]}, fh
+        )  # no "version" key, no _versions dir
+    out = vacuum_jsonl_manifest(table, retain=2)
+    assert out["deleted_versions"] == []
+    assert out["deleted_files"] == ["part-orphan.jsonl"]
+    assert os.path.exists(os.path.join(table, "part-live.jsonl"))
+
+
+def test_writer_rejects_remote_scheme(tmp_path):
+    from pyspark.sql.types import StructType
+
+    from world_vaccination_coverage_etl_spark.sources.jsonl_sink_source import (
+        JsonlManifestWriter,
+        JsonlStreamWriter,
+    )
+
+    schema = StructType.fromDDL("id long")
+    for cls, kw in (
+        (JsonlManifestWriter, {"overwrite": True}),
+        (JsonlStreamWriter, {}),
+    ):
+        try:
+            if cls is JsonlManifestWriter:
+                cls({"path": "s3://bucket/tbl"}, schema, True)
+            else:
+                cls({"path": "s3://bucket/tbl"}, schema)
+            raise AssertionError("expected ValueError for s3:// path")
+        except ValueError as e:
+            assert "shared" in str(e) or "os file ops" in str(e)
+    # file:// is the local scheme and must be accepted (and stripped)
+    w = JsonlManifestWriter(
+        {"path": f"file://{tmp_path}/ok"}, schema, True
+    )
+    assert w.path == f"{tmp_path}/ok"

@@ -47,13 +47,34 @@ JSON values: str/int/float/bool pass through; date/timestamp
 serialize ISO-8601 and are re-parsed on read via the declared read
 schema (the reader requires an explicit schema — same contract as the
 http_csv source).
+
+Filesystem assumption: staging, commit, and the manifest all use
+plain ``os`` file operations on ``path``, so executor ``write()`` and
+driver ``commit()`` compose only when driver and executors see ONE
+shared POSIX filesystem — local mode (this repo's test environment)
+or a cluster-mounted NFS/FUSE path.  On a real cluster with executor-
+local disks the commit would find no staged files; production table
+formats solve this with an object-store/DFS client (Delta/Iceberg on
+S3A/ABFS), which is out of scope for this minimal auditable form.
+The writer fails fast on non-local URI schemes rather than silently
+committing an empty table.
+
+Concurrent writers on one table (e.g. two streams with different
+``stream_id``) are safe: every commit holds an ``flock`` on
+``<path>/_commit.lock`` across the whole read-merge-publish sequence,
+and the immutable ``_versions/v<N>.json`` snapshot is created with
+``O_EXCL`` as a tripwire — a lost race is therefore impossible to
+mistake for success (previously two committers could both read
+version N and both publish N+1, silently dropping one side's files).
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import uuid
+from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark.sql.datasource import (
@@ -66,6 +87,54 @@ from pyspark.sql.datasource import (
 )
 
 MANIFEST = "_MANIFEST.json"
+
+
+def _require_local_path(path: str) -> str:
+    """Fail fast on URI schemes this os-level committer cannot serve."""
+    scheme, sep, _ = path.partition("://")
+    if sep and scheme not in ("file",):
+        raise ValueError(
+            f"jsonl_manifest: path {path!r} uses scheme {scheme!r}; this "
+            "sink stages and commits via os file ops and requires a "
+            "filesystem shared by driver and executors (local path or "
+            "file://)"
+        )
+    return path.removeprefix("file://")
+
+
+@contextmanager
+def _commit_lock(path: str):
+    """Exclusive per-table commit lock (flock on ``<path>/_commit.lock``).
+
+    Held across the whole read-merge-publish sequence so concurrent
+    writers (two streams, or a stream plus a batch job) serialize
+    their manifest versions instead of both publishing v<N+1> and
+    silently losing one side's committed files.
+    """
+    os.makedirs(path, exist_ok=True)
+    fd = os.open(os.path.join(path, "_commit.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _publish_manifest(path: str, manifest: dict, commit_id: str) -> None:
+    """Immutable snapshot first (O_EXCL — a collision here means the
+    commit lock was bypassed and MUST surface, not silently overwrite),
+    then the atomic HEAD pointer swap."""
+    vdir = os.path.join(path, "_versions")
+    os.makedirs(vdir, exist_ok=True)
+    with open(
+        os.path.join(vdir, f"v{manifest['version']}.json"), "x"
+    ) as fh:
+        json.dump(manifest, fh)
+    tmp = os.path.join(path, f"{MANIFEST}.{commit_id}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, MANIFEST))  # atomic publish
 
 
 class JsonlCommitMessage(WriterCommitMessage):
@@ -85,6 +154,7 @@ class JsonlManifestWriter(DataSourceWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_manifest: .save(path) is required")
+        self.path = _require_local_path(self.path)
         self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
         # chosen on the DRIVER, shipped inside the pickled writer: every
@@ -119,28 +189,25 @@ class JsonlManifestWriter(DataSourceWriter):
                 os.path.join(self.path, final),
             )
             committed.append({"file": final, "n_rows": m.n_rows})
-        prev = _read_manifest(self.path)
-        version = (prev["version"] + 1) if prev else 1
-        files = committed if self.overwrite or prev is None else (
-            prev["files"] + committed
-        )
-        manifest = {"files": files, "job_id": self.job_id, "version": version}
-        if prev is not None and not self.overwrite:
-            # append commits carry auxiliary manifest state forward
-            # (e.g. the streaming layer's (stream_id, batch_id)
-            # provenance log); overwrite starts a fresh table state
-            for k, v in prev.items():
-                if k not in manifest:
-                    manifest[k] = v
-        # immutable snapshot first, then the atomic HEAD pointer swap
-        vdir = os.path.join(self.path, "_versions")
-        os.makedirs(vdir, exist_ok=True)
-        with open(os.path.join(vdir, f"v{version}.json"), "w") as fh:
-            json.dump(manifest, fh)
-        tmp = os.path.join(self.path, f"{MANIFEST}.{self.job_id}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self.path, MANIFEST))  # atomic publish
+        with _commit_lock(self.path):
+            prev = _read_manifest(self.path)
+            version = (prev["version"] + 1) if prev else 1
+            files = committed if self.overwrite or prev is None else (
+                prev["files"] + committed
+            )
+            manifest = {
+                "files": files,
+                "job_id": self.job_id,
+                "version": version,
+            }
+            if prev is not None and not self.overwrite:
+                # append commits carry auxiliary manifest state forward
+                # (e.g. the streaming layer's (stream_id, batch_id)
+                # provenance log); overwrite starts a fresh table state
+                for k, v in prev.items():
+                    if k not in manifest:
+                        manifest[k] = v
+            _publish_manifest(self.path, manifest, self.job_id)
         shutil.rmtree(staging, ignore_errors=True)
 
     def abort(self, messages) -> None:
@@ -179,10 +246,12 @@ def vacuum_jsonl_manifest(path: str, retain: int = 2) -> dict:
     if head is None:
         return {"deleted_files": [], "deleted_versions": []}
     vdir = os.path.join(path, "_versions")
+    # pre-versioning table (manifest present, no _versions dir): HEAD is
+    # the only snapshot — nothing to prune, only unreferenced data files
     versions = sorted(
         int(f[1:-5]) for f in os.listdir(vdir)
         if f.startswith("v") and f.endswith(".json")
-    )
+    ) if os.path.isdir(vdir) else []
     keep_versions = set(versions[-retain:])
     live: set[str] = set()
     for v in keep_versions:
@@ -283,6 +352,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_manifest: .start(path) is required")
+        self.path = _require_local_path(self.path)
         self.fields = [f.name for f in schema.fields]
         self.stream_id = options.get("stream_id", "default")
 
@@ -315,39 +385,36 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         import shutil
 
         staging = self._staging()
-        prev = _read_manifest(self.path)
-        seen = (prev or {}).get("stream_batches", {})
-        last = seen.get(self.stream_id)
-        if last is not None and batchId <= last:
-            # replayed micro-batch (crash between sink commit and
-            # checkpoint advance): drop it BEFORE any file is published
-            shutil.rmtree(staging, ignore_errors=True)
-            return
-        commit_id = uuid.uuid4().hex
-        committed = []
-        for i, m in enumerate(messages):
-            if m is None:
-                continue
-            final = f"part-b{batchId:06d}-{i:05d}-{self.stream_id}.jsonl"
-            os.replace(
-                os.path.join(staging, m.staged_name),
-                os.path.join(self.path, final),
-            )
-            committed.append({"file": final, "n_rows": m.n_rows})
-        version = (prev["version"] + 1) if prev else 1
-        manifest = dict(prev or {})
-        manifest["files"] = (prev["files"] if prev else []) + committed
-        manifest["job_id"] = commit_id
-        manifest["version"] = version
-        manifest["stream_batches"] = {**seen, self.stream_id: batchId}
-        vdir = os.path.join(self.path, "_versions")
-        os.makedirs(vdir, exist_ok=True)
-        with open(os.path.join(vdir, f"v{version}.json"), "w") as fh:
-            json.dump(manifest, fh)
-        tmp = os.path.join(self.path, f"{MANIFEST}.{commit_id}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self.path, MANIFEST))
+        with _commit_lock(self.path):
+            prev = _read_manifest(self.path)
+            seen = (prev or {}).get("stream_batches", {})
+            last = seen.get(self.stream_id)
+            if last is not None and batchId <= last:
+                # replayed micro-batch (crash between sink commit and
+                # checkpoint advance): drop it BEFORE any file is
+                # published
+                shutil.rmtree(staging, ignore_errors=True)
+                return
+            commit_id = uuid.uuid4().hex
+            committed = []
+            for i, m in enumerate(messages):
+                if m is None:
+                    continue
+                final = (
+                    f"part-b{batchId:06d}-{i:05d}-{self.stream_id}.jsonl"
+                )
+                os.replace(
+                    os.path.join(staging, m.staged_name),
+                    os.path.join(self.path, final),
+                )
+                committed.append({"file": final, "n_rows": m.n_rows})
+            version = (prev["version"] + 1) if prev else 1
+            manifest = dict(prev or {})
+            manifest["files"] = (prev["files"] if prev else []) + committed
+            manifest["job_id"] = commit_id
+            manifest["version"] = version
+            manifest["stream_batches"] = {**seen, self.stream_id: batchId}
+            _publish_manifest(self.path, manifest, commit_id)
         # also clears any orphan files a FAILED task attempt staged
         shutil.rmtree(staging, ignore_errors=True)
 
