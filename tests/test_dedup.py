@@ -279,3 +279,37 @@ def test_staged_flavors_match_checkpoint_flavors(spark, tmp_path):
         simhash_md5_near_dup_pairs(docs, staging_dir=str(tmp_path / "sh"))
     )
     assert staged_sh == base_sh
+
+
+def test_simhash_md5_kernel_matches_expression(spark):
+    """The Arrow md5 kernel must be bit-identical to the 65-aggregate
+    JVM expression flavor (the oracle-certified reference) — including
+    zero-token-doc drop semantics — on edge-heavy inputs."""
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        simhash_md5_signatures,
+        simhash_md5_signatures_kernel,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "THE  quick---brown_fox 123 jumps!! over 456the lazy dog",
+        "",
+        None,
+        "!!! --- ???",                # tokenizes to nothing -> drops
+        "word " * 500,                # one token repeated
+        "a 0 z 9",                    # single-char tokens
+        "mixed CASE tokens AND numb3rs 42",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expr = {
+        r["doc_id"]: (r["sig_hi"], r["sig_lo"])
+        for r in simhash_md5_signatures(df).collect()
+    }
+    kern = {
+        r["doc_id"]: (r["sig_hi"], r["sig_lo"])
+        for r in simhash_md5_signatures_kernel(df).collect()
+    }
+    assert kern == expr
+    assert set(kern) == {0, 1, 5, 6, 7}  # 2/3/4 have no tokens
