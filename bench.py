@@ -83,7 +83,7 @@ def main() -> int:
         "wall_both_passes": wall,
         "n_queries": len(per_query),
     }
-    local_path = os.path.join(
+    local_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
     with open(local_path, "w") as fh:

@@ -10,6 +10,8 @@ defaults) fails CI rather than a 100 TB run.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -133,6 +135,168 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_oracle):
         # i.e. on the application (fact) side, not the creation side
         fact_region = plan[: plan.index("bloom_filter_agg")]
         assert "might_contain" in fact_region
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Zipf-1.2 hot-key stress (r5 verdict item 7): the driver's events table is
+# near-uniform, so nothing above actually exercises a hot key heavier than
+# AQE's comfort zone.  These synthesize a true Zipf(s=1.2) key distribution
+# (exact inverse-CDF over 1000 keys: P(1)≈31%, P(2)≈13%, ...) and pin BOTH
+# halves of the skew story:
+#   1. the mechanism — reducer-partition row placement: salting provably
+#      bounds the max partition while plain hash partitioning concentrates
+#      the hot key's full mass on one reducer (deterministic, no timing);
+#   2. the wall-clock — on a join whose output feeds a same-key aggregate,
+#      AQE may not split the skewed partition (the split breaks the hash
+#      partitioning the downstream agg needs), so one task drags; the
+#      salted join spreads it and must win by >2x.
+
+
+def _zipf_keyed(spark, n: int, n_keys: int = 1000, s: float = 1.2):
+    """n rows with key ~ Zipf(s) over 1..n_keys, exact via inverse CDF."""
+    from pyspark.sql import types as T
+
+    w = np.arange(1, n_keys + 1, dtype=np.float64) ** (-s)
+    cdf = np.cumsum(w / w.sum())
+
+    @F.pandas_udf(T.LongType())
+    def zipf_key(u: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.searchsorted(cdf, u.to_numpy(), side="right") + 1
+        )
+
+    return spark.range(n).select(
+        F.col("id").alias("row_id"),
+        zipf_key(F.rand(seed=7)).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def test_salting_bounds_hot_key_partition_mass(spark):
+    """Deterministic mechanism check: with Zipf-1.2 keys, plain hash
+    placement puts the hot key's entire ~31% mass on one reducer
+    partition; a 16-way salt bounds the max partition to a small
+    multiple of uniform.  (Reducer completion time is proportional to
+    partition mass — this is the quantity behind any wall-clock win.)
+    """
+    from pyspark.sql import functions as F
+
+    n, parts = 200_000, 32
+    df = _zipf_keyed(spark, n).cache()
+    try:
+        plain = (
+            df.repartition(parts, "k")
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+        )
+        salted = (
+            df.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64("row_id"), F.lit(16)).cast("int"),
+            )
+            .repartition(parts, "k", "__salt")
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+        )
+        max_plain = plain.agg(F.max("count")).first()[0]
+        max_salted = salted.agg(F.max("count")).first()[0]
+        # hot key alone is ~31% of rows; it must dominate some plain
+        # partition, and salting must cut the max partition by >=4x
+        assert max_plain >= 0.25 * n
+        assert max_plain >= 4 * max_salted, (max_plain, max_salted)
+    finally:
+        df.unpersist()
+
+
+def test_salted_join_beats_unsplittable_aqe_skew(spark):
+    """Zipf-1.2 fact joined to an unbroadcastable dim, output feeding a
+    same-key aggregate: AQE cannot split the skewed join partition
+    (the split would break the hash partitioning the downstream agg
+    requires), so the hot key's sort-merge runs in ONE task.  The
+    salted join + two-phase agg spreads it and must win by >2x wall.
+
+    Results are also asserted identical (counts and DECIMAL-cast sums,
+    which are associative under regrouping).
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from world_vaccination_coverage_etl_spark.operators.skewjoin import (
+        salted_skew_join,
+    )
+
+    n = 3_000_000
+    fact = _zipf_keyed(spark, n)
+    dim = spark.range(1, 1001).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("attr")
+    )
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+
+    def agg_after_join(joined):
+        return (
+            joined.groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("v").cast("decimal(18,2)")).alias("sum_v"),
+            )
+        )
+
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # same aggressive thresholds under which the plan-tail test
+        # above DOES split: proves the non-split here is structural
+        # (preserved partitioning), not threshold luck
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"
+        )
+
+        plain_q = agg_after_join(fact.join(dim, "k"))
+        t0 = time.time()
+        plain_rows = {r["k"]: (r["n_rows"], r["sum_v"]) for r in plain_q.collect()}
+        t_plain = time.time() - t0
+        plan = plain_q._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in plan, (
+            "AQE split the join under a same-key aggregate; the premise "
+            "of this stress changed — re-examine:\n" + plan[:2000]
+        )
+
+        salted_q = agg_after_join(
+            salted_skew_join(fact, dim, on=["k"], salt_parts=16)
+        )
+        t0 = time.time()
+        salted_rows = {
+            r["k"]: (r["n_rows"], r["sum_v"]) for r in salted_q.collect()
+        }
+        t_salted = time.time() - t0
+
+        assert salted_rows == plain_rows
+        print(
+            f"\n[zipf-skew] plain={t_plain:.2f}s salted={t_salted:.2f}s "
+            f"ratio={t_plain / t_salted:.2f}x"
+        )
+        assert t_plain > 2.0 * t_salted, (
+            f"salted join did not win >2x: plain={t_plain:.2f}s "
+            f"salted={t_salted:.2f}s"
+        )
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)

@@ -47,9 +47,43 @@ def test_fake_decode_contract(spark):
     assert rows[0] == again[0]
 
 
-def test_decode_without_fake_raises(spark):
-    with pytest.raises(Exception, match="NotImplementedError|image library"):
+def test_decode_without_fake_raises_only_without_pil(spark):
+    """fake=False must raise exactly when PIL is absent; where PIL
+    exists the NotImplementedError path is unreachable (r5 verdict
+    item 5)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: real-decode path covered below")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
         decode_image_batch(_assets(spark), fake=False).collect()
+
+
+def test_decode_real_png_with_pil(spark):
+    """Real decode through the same mapInPandas kernel, auto-skipped
+    where PIL is unavailable: a generated 2x2 grayscale PNG must come
+    back with exact dimensions and mean intensity, and a corrupt
+    payload must degrade to the (0, 0, 0.0) sentinel, not fail the
+    batch."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    im = Image.new("L", (2, 2))
+    im.putdata([0, 100, 200, 100])  # mean 100.0
+    im.save(buf, format="PNG")
+    png = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(0, bytearray(png), "image/png"), (1, bytearray(b"not a png"), "image/png")],
+        "asset_id long, payload binary, mime string",
+    )
+    rows = {r.asset_id: r for r in decode_image_batch(df, fake=False).collect()}
+    assert (rows[0].width, rows[0].height) == (2, 2)
+    assert abs(rows[0].mean_intensity - 100.0) < 1e-9
+    assert (rows[1].width, rows[1].height, rows[1].mean_intensity) == (0, 0, 0.0)
 
 
 def test_fake_features_normalized(spark):

@@ -58,6 +58,25 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_intensity
 
 
+def _pil_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real decoder (PIL): (width, height, mean grayscale intensity
+    0-255).  Undecodable payloads degrade to (0, 0, 0.0) — the same
+    sentinel as a NULL payload — rather than failing the batch."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            gray = im.convert("L")
+            w, h = gray.size
+            data = gray.getdata()
+            mean = (sum(data) / (w * h)) if w * h else 0.0
+            return w, h, mean
+    except Exception:
+        return 0, 0, 0.0
+
+
 def decode_image_batch(
     df: DataFrame,
     payload_col: str = "payload",
@@ -65,23 +84,35 @@ def decode_image_batch(
     mime_col: str = "mime",
     fake: bool = False,
 ) -> DataFrame:
-    """Decode (stub) binary images → (width, height, mean_intensity).
+    """Decode binary images → (width, height, mean_intensity).
 
-    Real decode would use PIL/libvips inside the same ``mapInPandas``
-    kernel (one Arrow batch in, one out, columnar both ways).  The
-    partitioning contract: payloads stay with their partition; no
-    shuffle is introduced by decode.
+    Optional-dependency pattern (mirrors ``functions/chart.py``'s
+    matplotlib handling): with ``fake=False`` the kernel uses PIL when
+    importable ON THE EXECUTOR — real pixel decode inside the same
+    ``mapInPandas`` Arrow contract — and raises ``NotImplementedError``
+    only where PIL is genuinely absent (this sandbox).  ``fake=True``
+    always runs the deterministic byte-stat stub, which is what the
+    oracle-certified registry query pins.  The partitioning contract
+    either way: payloads stay with their partition; no shuffle is
+    introduced by decode.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not fake:
+        if fake:
+            decode = _fake_decode
+        else:
+            try:
+                import PIL  # noqa: F401
+
+                decode = _pil_decode
+            except ImportError:
                 raise NotImplementedError(
-                    "media decode requires an image library not present in "
-                    "this environment; pass fake=True for the deterministic stub"
-                )
+                    "media decode requires PIL, not present in this "
+                    "environment; pass fake=True for the deterministic stub"
+                ) from None
+        for pdf in batches:
             decoded = [
-                _fake_decode(bytes(p)) if p is not None else (0, 0, 0.0)
+                decode(bytes(p)) if p is not None else (0, 0, 0.0)
                 for p in pdf[payload_col]
             ]
             yield pd.DataFrame(
