@@ -43,10 +43,15 @@ def certified_rounds() -> dict[str, int]:
 
 
 def definition_order() -> list[str]:
-    src = open(
-        os.path.join(REPO, "world_vaccination_coverage_etl_spark", "queries.py")
-    ).read()
-    names = re.findall(r'@register\(\s*"([A-Za-z0-9_]+)"', src)
+    """@register order across the queries/ package, in the registration
+    order fixed by __init__'s topic-module import sequence."""
+    pkg = os.path.join(REPO, "world_vaccination_coverage_etl_spark", "queries")
+    init = open(os.path.join(pkg, "__init__.py")).read()
+    modules = re.findall(r"from \. import (m\d+\w+)", init)
+    names: list[str] = []
+    for mod in modules:
+        src = open(os.path.join(pkg, f"{mod}.py")).read()
+        names += re.findall(r'@register\(\s*"([A-Za-z0-9_]+)"', src)
     assert len(names) == len(set(names)), "duplicate @register names"
     return names
 

@@ -1,0 +1,148 @@
+"""Query registry: every SURVEY.md §2 operator as a (Spark plan, DuckDB
+oracle SQL) pair over the driver's star schema, plus the large-scale
+extension operators (dedup / similarity / text / JSON / event-time).
+
+Contract (driver, __spark_entry__.py): each entry's Spark callable takes
+``(spark, sf_dir)`` and returns a DataFrame; the oracle SQL must produce
+identical column names, types, and values in DuckDB.  Determinism rules
+applied throughout:
+
+- every float-valued output is ``round()``-ed identically on both sides;
+- money aggregates go through DECIMAL(18,2) casts so distributed vs
+  single-node summation order cannot produce differing bits;
+- every ordered/limited query carries a full tie-breaker key;
+- timestamps are cast to DATE (or formatted) at the output edge so
+  engine timestamp internals never reach the comparator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.flags import country_flag_udf
+from ..functions.stats import (
+    mean_ci_columns,
+    normal_two_sided_p_udf,
+    two_sided_p_udf,
+    welch_t_columns,
+)
+from ..operators.dedup import (
+    embedding_cosine_dup_pairs,
+    exact_dedup,
+    exact_dedup_pairs,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_from_grams,
+    shingles_udf,
+    simhash_md5_near_dup_pairs,
+)
+from ..operators.reshape import unpivot_measures
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    knn_all_pairs_bruteforce,
+)
+from ..operators.text import (
+    BPE_ISH_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_token_count,
+    word_frequencies,
+)
+from ..sources.registry import load_table
+from ..streaming.event_windows import (
+    sessionize,
+    sliding_event_counts,
+    streaming_sessionize_state,
+    tumbling_event_counts,
+)
+
+# --------------------------------------------------------------------- #
+# constants shared by Spark plans and oracle SQL
+
+REF_YEAR = 1998          # campaign-style reference year on orders
+PRE_YEARS = 2            # before window: [1996, 1997]
+POST_YEARS = 1           # after window:  [1998, 1999]
+Q1_CUTOFF = "2001-09-01"
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => not SQL-expressible; driver does rows-only
+    note: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, note: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, note=note)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+
+
+# Explicit __all__ so topic modules can star-import the shared
+# surface including underscore-prefixed helpers.
+__all__ = [
+    'annotations',
+    'Callable',
+    'dataclass',
+    'DataFrame',
+    'SparkSession',
+    'Window',
+    'F',
+    'country_flag_udf',
+    'mean_ci_columns',
+    'normal_two_sided_p_udf',
+    'two_sided_p_udf',
+    'welch_t_columns',
+    'embedding_cosine_dup_pairs',
+    'exact_dedup',
+    'exact_dedup_pairs',
+    'minhash_near_dup_pairs',
+    'ngram_jaccard_pairs',
+    'ngram_jaccard_pairs_from_grams',
+    'shingles_udf',
+    'simhash_md5_near_dup_pairs',
+    'unpivot_measures',
+    'cosine_topk_bruteforce',
+    'cosine_topk_lsh',
+    'knn_all_pairs_bruteforce',
+    'BPE_ISH_PATTERN',
+    'LANG_MARKERS',
+    'STOPWORDS_EN',
+    'with_fingerprint',
+    'with_language_id',
+    'with_quality_score',
+    'with_token_count',
+    'word_frequencies',
+    'load_table',
+    'sessionize',
+    'sliding_event_counts',
+    'streaming_sessionize_state',
+    'tumbling_event_counts',
+    'REF_YEAR',
+    'PRE_YEARS',
+    'POST_YEARS',
+    'Q1_CUTOFF',
+    'QueryDef',
+    'REGISTRY',
+    'register',
+    '_t',
+]

@@ -1,0 +1,207 @@
+"""Certification-priority rotation (see tools/rotation_audit.py)."""
+
+from ._core import QueryDef  # noqa: F401
+
+# --------------------------------------------------------------------- #
+# Registry certification-priority rotation.
+#
+# The driver's CORRECTNESS_r{N}.json records at most the FIRST 50
+# registry entries (observed truncation in r2 and r3).  With more than
+# 50 registered queries, iteration order therefore decides which
+# operators get driver-certified each round.  Policy (pinned here, per
+# round-3 verdict):
+#
+#   1. queries whose last driver row was broken (err/FAIL) or whose
+#      output changed since their last row come first;
+#   2. then queries NEW this round;
+#   3. then queries rotated out LAST round (their newest driver row is
+#      two rounds old after this one runs);
+#   4. remaining head slots go to once-green queries for a second row;
+#   5. the tail is everything green in the PREVIOUS round's driver run
+#      — freshest evidence, safest to defer.
+#
+# Round-6 ordering (per the r5 verdict item 2: drain the driver-
+# certification backlog).  The driver's CORRECTNESS gate records only
+# the first 50 registry entries per round; after r1-r5, 88 of the 187
+# registered queries have never had a driver-written correctness row
+# (registry minus the union of CORRECTNESS_r1..r5 names).  This round:
+#
+#   head  (_CERT_EARLY): exactly the 50 OLDEST never-driver-certified
+#          entries, in original registration order (r5b additions
+#          first, then r5c, then r5d) — all are oracle-certified by the
+#          local sweep; this gives them their first driver row.
+#   middle (unlisted):   the remaining 38 never-certified entries, in
+#          registration order — they lead r7's window automatically.
+#   tail  (_CERT_LATE):  all 99 entries with at least one driver row,
+#          least-recently-certified first after the cutoff so any
+#          window wider than 50 re-certifies the stalest evidence.
+#
+# Lists are derived mechanically (tools/rotation_audit.py regenerates
+# and checks them); do not hand-edit without re-running the audit.
+
+_CERT_EARLY = [
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q16_supplier_diversity",
+    "doc_concat_shards",
+    "sql_api_running_revenue",
+    "domain_cap_sample",
+    "incremental_dedup_new_docs",
+    "streaming_two_level_window",
+    "streaming_sink_jsonl_events",
+    "stream_attribution_outer",
+    "doc_unigram_logprob",
+    "corpus_health_by_source",
+    "exact_k_sample_docs",
+    "hard_negatives_topk",
+    "embedding_norm_stats",
+    "semantic_dedup_clusters",
+    "quantization_error_by_label",
+    "dedup_rate_by_source",
+    "peak_load_1h",
+    "fk_orphan_audit",
+    "zipf_slope_words",
+    "gains_table_embedding",
+    "jackknife_mean_se",
+    "label_separation_stats",
+    "weekday_seasonality",
+    "kfold_assignment_docs",
+    "rolling_slope_7d",
+    "rfm_user_segments",
+    "sql_recursive_calendar",
+    "auc_rank_embedding",
+    "multimodal_byte_entropy",
+    "doc_blocklist_filter",
+    "cdc_apply_user_state",
+    "chi2_independence_lang_source",
+    "heavy_hitters_users",
+    "incremental_agg_merge",
+    "assign_global_ids_docs",
+    "doc_segment_dedup",
+    "embedding_int8_quantize",
+    "profile_orders_columns",
+    "check_constraints_orders",
+    "scd2_user_event_type",
+    "events_daily_ewma",
+    "events_daily_anomaly",
+]
+
+_CERT_LATE = [
+    "limit_head",
+    "set_ops",
+    "window_lag_delta",
+    "window_moving_avg",
+    "event_tumbling_daily",
+    "event_sliding_2d",
+    "sessionize_counts",
+    "doc_fingerprint",
+    "doc_token_counts",
+    "doc_language_id",
+    "word_frequencies",
+    "agg_mean_ci_t",
+    "agg_welch_pvalue",
+    "agg_rollup",
+    "agg_cube",
+    "pivot_wide",
+    "join_broadcast_dim",
+    "join_semi",
+    "join_anti",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "udf_country_flag",
+    "streaming_dedup_events",
+    "streaming_enrich_nation",
+    "doc_repetition_stats",
+    "doc_pii_scrub",
+    "doc_chunk_windows",
+    "split_counts",
+    "det_sample_ids",
+    "stratified_sample_docs",
+    "mixture_sample_docs",
+    "pack_token_bins_docs",
+    "kmeans_clusters",
+    "exact_dedup_keep",
+    "exact_dedup_groups",
+    "minhash_near_dup",
+    "ngram_jaccard_block_lang",
+    "curation_pipeline",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "knn_allpairs_small",
+    "knn_blocked_lsh",
+    "embedding_dup_pairs",
+    "multimodal_metadata",
+    "multimodal_decode_fake",
+    "filter_eq2",
+    "dim_index",
+    "agg_unique_vals",
+    "filter_membership",
+    "filter_range_year",
+    "filter_window_range",
+    "cast_coerce",
+    "filter_dropna",
+    "proj_prefix_rename",
+    "unpivot_melt",
+    "agg_mean",
+    "agg_extremes",
+    "agg_first_last",
+    "agg_sem_ci",
+    "agg_window_compare",
+    "agg_welch_t",
+    "agg_grouping_sets",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "event_path_topk",
+    "cohort_retention",
+    "q15_top_supplier",
+    "funnel_conversion",
+    "props_json_extract",
+    "doc_length_ntile_bins",
+    "window_topn_per_group",
+    "streaming_tumbling_daily",
+    "streaming_tumbling_append",
+    "stream_click_attribution",
+    "range_join_attribution",
+    "streaming_upsert_latest",
+    "approx_distinct_users",
+    "approx_quantiles_value",
+    "session_window_agg",
+    "asof_join_last_purchase",
+    "streaming_sessionize_state",
+    "streaming_funnel_state",
+    "doc_quality_score",
+    "tfidf_top_terms",
+    "weighted_sample_docs",
+    "salted_agg_events",
+    "skew_join_segment",
+    "dup_connected_components",
+    "dup_cluster_sizes",
+    "doc_length_stats",
+    "decontaminate_overlap",
+    "decontaminated_corpus",
+    "simhash_near_dup",
+    "multimodal_features_fake",
+]
+
+
+def _rotated(registry: dict[str, QueryDef]) -> dict[str, QueryDef]:
+    listed = set(_CERT_EARLY) | set(_CERT_LATE)
+    for name in listed:
+        if name not in registry:
+            raise KeyError(f"rotation list references unknown query {name!r}")
+    middle = [n for n in registry if n not in listed]
+    return {n: registry[n] for n in (*_CERT_EARLY, *middle, *_CERT_LATE)}
+
+
+

@@ -1,0 +1,914 @@
+"""Event-time windows + Structured Streaming queries (§2.10).
+
+Split from the former single-file queries.py (r5 verdict item 8);
+registration order is preserved by the package __init__ import order.
+"""
+
+from ._core import *  # noqa: F401,F403
+
+# --------------------------------------------------------------------- #
+# event-time windows (extension; SURVEY §2.10)
+
+
+@register(
+    "event_tumbling_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="tumbling event-time window aggregation (batch flavor of the streaming op)",
+)
+def q_event_tumbling_daily(spark, sf_dir):
+    agg = tumbling_event_counts(_t(spark, sf_dir, "events"), "1 day")
+    return agg.select(
+        F.col("window_start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("day", "event_type")
+
+
+@register(
+    "event_sliding_2d",
+    """
+    WITH shifted AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start, value FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('day', ts) - INTERVAL 1 DAY AS DATE) AS window_start, value
+      FROM events)
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM shifted GROUP BY window_start ORDER BY window_start
+    """,
+    note="sliding event-time windows (2-day window, 1-day slide): each event lands in 2 windows",
+)
+def q_event_sliding_2d(spark, sf_dir):
+    agg = sliding_event_counts(
+        _t(spark, sf_dir, "events"), duration="2 days", slide="1 day"
+    )
+    return (
+        agg.groupBy(F.col("window_start").cast("date").alias("window_start"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 6).alias("sum_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "sessionize_counts",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+    note="gap-based sessionization (30 min) via lag + cumulative sum",
+)
+def q_sessionize_counts(spark, sf_dir):
+    sessions = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return (
+        sessions.groupBy("user_id")
+        .agg((F.max("session_idx") + 1).cast("long").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------- #
+# Structured Streaming flavor (SURVEY §2.10) — REAL streaming queries:
+# parquet file source → watermark → event-time tumbling agg, run with
+# Trigger.AvailableNow and compared to the batch oracle.
+
+_EVENTS_STREAM_SCHEMA_NANOS = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+_EVENTS_STREAM_SCHEMA_NATIVE = (
+    # ts is declared TIMESTAMP (LTZ), not NTZ: withWatermark rejects NTZ
+    # event-time columns, and the LTZ read of parquet micros matches the
+    # legacy timestamp_micros() path bit-for-bit under a UTC session
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream_schema(sf_dir):
+    """Pick the stream schema matching the physical events layout.
+
+    File streams need a declared schema, so the nanos-vs-native probe
+    (sources.registry.events_ts_is_nanos, one footer read) decides
+    between the legacy ``ts long`` shape (+ ÷1000 conversion downstream)
+    and the native ``ts timestamp_ntz`` pass-through.  Hardcoding one
+    silently corrupted every streaming timestamp when the testdata
+    regenerated — hence the probe.
+    """
+    from ..sources.registry import events_ts_is_nanos
+
+    if events_ts_is_nanos(sf_dir):
+        return _EVENTS_STREAM_SCHEMA_NANOS, True
+    return _EVENTS_STREAM_SCHEMA_NATIVE, False
+
+
+def _events_stream(spark, sf_dir):
+    """File-stream over the events table (the source needs a directory;
+    pathGlobFilter scopes it within the shared sf dir).  ts handling is
+    schema-adaptive: TIMESTAMP(NANOS) era → read as long → truncate to
+    micros; native micro timestamps → pass through."""
+    schema, from_nanos = _events_stream_schema(sf_dir)
+    if from_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if from_nanos:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+class _stream_state_partitions:
+    """Scope ``spark.sql.shuffle.partitions`` down for a streaming start.
+
+    A stateful stream materializes one state store per shuffle partition
+    per micro-batch; for a windows×types aggregate (~10² groups) 32
+    stores are pure overhead.  The value is captured into the stream's
+    checkpoint at start, so restoring the conf right after ``start()``
+    leaves batch queries untouched.  (On a real cluster you'd size this
+    to the key cardinality the same way.)
+    """
+
+    def __init__(self, spark, n: int = 8):
+        self.spark, self.n = spark, str(n)
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
+@register(
+    "streaming_tumbling_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="Structured Streaming tumbling-window aggregation (streaming/event_windows.py): "
+    "parquet file source + watermark + F.window, Trigger.AvailableNow, complete-mode "
+    "memory sink — a correctness harness (complete mode sees every window); the "
+    "scale-safe sink shape is streaming_tumbling_append below",
+)
+def q_streaming_tumbling_daily(spark, sf_dir):
+    import uuid
+
+    agg = tumbling_event_counts(
+        _events_stream(spark, sf_dir).withWatermark("ts", "1 day"), "1 day"
+    )
+    # unique sink name per invocation: a fixed name would collide if the
+    # harness runs the query twice in one session
+    qname = f"stream_tumbling_daily_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # conf restore must wait for termination: the shuffle-partition
+        # conf is captured asynchronously when batch 0 plans
+        q.awaitTermination()
+    mem = spark.table(qname)
+    return mem.select(
+        F.col("window_start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("day", "event_type")
+
+
+@register(
+    "streaming_tumbling_append",
+    """
+    WITH agg AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(sum(value), 6) AS sum_value
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT max(ts) AS mx FROM events)
+    SELECT day, event_type, n_events, sum_value
+    FROM agg, m
+    WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= mx - INTERVAL 1 DAY
+    ORDER BY day, event_type
+    """,
+    note="Structured Streaming tumbling agg through the PRODUCTION sink shape "
+    "(streaming/event_windows.py streaming_tumbling_to_files): append mode + parquet "
+    "file sink + watermark state eviction — each window emits exactly once when the "
+    "watermark (max event time - 1 day) passes its end, so the oracle is the batch agg "
+    "restricted to watermark-closed windows; nothing accumulates on the driver",
+)
+def q_streaming_tumbling_append(spark, sf_dir):
+    from ..scratch import scratch_dir
+    from ..streaming.event_windows import streaming_tumbling_to_files
+
+    out_dir = scratch_dir("stream_append_out_")
+    ck_dir = scratch_dir("stream_append_ck_")
+    schema, from_nanos = _events_stream_schema(sf_dir)
+    if from_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    with _stream_state_partitions(spark):
+        q = streaming_tumbling_to_files(
+            spark,
+            sf_dir,
+            schema,
+            out_dir,
+            ck_dir,
+            duration="1 day",
+            watermark="1 day",
+            path_glob="events.parquet",
+            ts_from_nanos=from_nanos,
+        )
+        q.awaitTermination()
+    res = spark.read.parquet(out_dir)
+    return res.select(
+        F.col("window_start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    ).orderBy("day", "event_type")
+
+
+@register(
+    "streaming_two_level_window",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n_hour
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT max(ts) AS mx FROM events),
+    daily AS (
+      SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
+             CAST(sum(n_hour) AS BIGINT) AS n_events,
+             max(n_hour) AS max_hourly,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY 1, 2)
+    SELECT day, event_type, n_events, max_hourly, n_hours
+    FROM daily, m
+    WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY <= mx - INTERVAL 1 HOUR
+    ORDER BY day, event_type
+    """,
+    note="CHAINED streaming aggregations — two stateful operators in one "
+    "query (streaming/event_windows.py two_level_window_rollup): hourly "
+    "tumbling partials re-windowed BY THE WINDOW COLUMN into daily "
+    "rollups, append mode, one shared watermark.  The production "
+    "pre-aggregation cascade: level 2's input is windows x keys, not raw "
+    "events, so daily state is tiny at any event rate.  Oracle = the "
+    "equivalent batch cascade restricted to watermark-closed days "
+    "(day_end <= max(ts) - 1 hour) — the eviction rule empirically "
+    "pinned at both scales; the max-per-hour column certifies the "
+    "two-level structure (not derivable from a flat daily agg)",
+)
+def q_streaming_two_level_window(spark, sf_dir):
+    import uuid
+
+    from ..streaming.event_windows import two_level_window_rollup
+
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    rolled = two_level_window_rollup(s, hourly="1 hour", daily="1 day")
+    qname = f"stream_two_level_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            rolled.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            F.col("window_start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "max_hourly",
+            "n_hours",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "streaming_sink_jsonl_events",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="the Python DataSource STREAMING-WRITE path end to end "
+    "(sources/jsonl_sink_source.py JsonlStreamWriter): the events "
+    "stream passes through the manifest-committed JSONL sink "
+    "(task-staged files -> idempotent per-(stream,batch) driver commit "
+    "-> atomic manifest swap) and is read back through the bundled "
+    "manifest reader; the oracle is the batch aggregate over the "
+    "source table, so the hash fails if the sink drops, duplicates, or "
+    "corrupts one row (doubles round-trip exactly via repr JSON).  "
+    "Exactly-once under replay is pytest-pinned "
+    "(tests/test_jsonl_sink_source.py)",
+)
+def q_streaming_sink_jsonl_events(spark, sf_dir):
+    from ..scratch import scratch_dir
+    from ..sources.jsonl_sink_source import register_jsonl_manifest
+
+    register_jsonl_manifest(spark)
+    out = scratch_dir("jsonl_sink_out_")
+    ck = scratch_dir("jsonl_sink_ck_")
+    s = _events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    with _stream_state_partitions(spark):
+        q = (
+            s.writeStream.format("jsonl_manifest")
+            .option("checkpointLocation", ck)
+            .option("stream_id", "events")
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination()
+    back = (
+        spark.read.format("jsonl_manifest")
+        .schema("event_id long, event_type string, value double")
+        .load(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="streaming exact dedup with BOUNDED state (streaming/dedup_stream.py "
+    "dedup_within_watermark -> dropDuplicatesWithinWatermark): the stream is a "
+    "self-union of the events feed, so every event_id arrives exactly twice; the "
+    "dedup emits each first arrival and evicts key state once the watermark "
+    "passes. Oracle = plain batch aggregate over the UN-duplicated table — the "
+    "hash check fails if even one duplicate leaks through (counts would double) "
+    "or one event is lost",
+)
+def q_streaming_dedup_events(spark, sf_dir):
+    import uuid
+
+    from ..streaming.dedup_stream import dedup_within_watermark
+
+    s = _events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    deduped = dedup_within_watermark(
+        doubled, ["event_id"], watermark_col="ts", delay="1 day"
+    )
+    qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(qname)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "streaming_enrich_nation",
+    """
+    SELECT n.n_name, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 6) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, e.event_type ORDER BY n.n_name, e.event_type
+    """,
+    note="stream-static enrichment join (streaming/enrich.py enrich_with_dim): the "
+    "events stream joins a broadcast customer->nation dimension per micro-batch — "
+    "STATELESS (no join state store, dim refreshes picked up next batch), the "
+    "production clicks-x-users topology; downstream per-(nation, type) aggregate is "
+    "the only stateful operator. Oracle = the equivalent batch join+agg",
+)
+def q_streaming_enrich_nation(spark, sf_dir):
+    import uuid
+
+    from ..streaming.enrich import enrich_with_dim
+
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    enriched = enrich_with_dim(_events_stream(spark, sf_dir), dim, ["user_id"])
+    agg = enriched.groupBy("n_name", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    qname = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).orderBy("n_name", "event_type")
+
+
+@register(
+    "stream_click_attribution",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events)
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM e c JOIN e p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    note="watermarked stream-stream interval join (streaming/stream_join.py "
+    "stream_interval_join): click x purchase attribution within 6 hours per user. "
+    "Both sides buffer in the state store ONLY for watermark + interval width — "
+    "the built-in time-range predicate is what makes a two-sided streaming join "
+    "scale-safe. Oracle = the batch self-join at micros precision "
+    "(make_timestamp(epoch_ns//1000) mirrors the nanos->micros ingest truncation)",
+)
+def q_stream_click_attribution(spark, sf_dir):
+    import uuid
+
+    from ..streaming.stream_join import stream_interval_join
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        clicks, purchases, on="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        max_delay="6 hours", watermark="1 day",
+    )
+    qname = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            joined.select("user_id", "click_id", "purchase_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).orderBy("user_id", "click_id", "purchase_id")
+
+
+@register(
+    "stream_attribution_outer",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events),
+    c AS (SELECT user_id, event_id AS click_id, ts FROM e
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts FROM e
+          WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                  - INTERVAL 1 DAY AS w),
+    matched AS (
+      SELECT c.user_id, c.click_id, p.purchase_id
+      FROM c JOIN p ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR),
+    unmatched AS (
+      SELECT c.user_id, c.click_id, CAST(-1 AS BIGINT) AS purchase_id
+      FROM c, wm
+      WHERE NOT EXISTS (SELECT 1 FROM p
+                        WHERE p.user_id = c.user_id
+                          AND p.ts >= c.ts
+                          AND p.ts <= c.ts + INTERVAL 6 HOUR)
+        AND c.ts + INTERVAL 6 HOUR < wm.w)
+    SELECT user_id, click_id, CAST(purchase_id AS BIGINT) AS purchase_id
+    FROM matched
+    UNION ALL SELECT user_id, click_id, purchase_id FROM unmatched
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    note="watermarked stream-stream LEFT OUTER interval join (streaming/"
+    "stream_join.py how='left_outer'): clicks that never convert emit a "
+    "null-extended row (surfaced as purchase_id=-1) once the watermark "
+    "proves no purchase can still arrive. The oracle encodes the exact "
+    "eviction semantics, empirically pinned: the GLOBAL watermark is the "
+    "MIN across both inputs' event-time maxima minus the delay (not the "
+    "union max — clicks and purchases advance at different rates), and a "
+    "click is released when click_ts + interval < watermark. Matched "
+    "pairs emit immediately; only the outer tail waits on state eviction "
+    "— which is what bounds the state store at 100 TB/day",
+)
+def q_stream_attribution_outer(spark, sf_dir):
+    import uuid
+
+    from ..streaming.stream_join import stream_interval_join
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = stream_interval_join(
+        clicks, purchases, on="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        max_delay="6 hours", watermark="1 day", how="left_outer",
+    )
+    qname = f"stream_attr_outer_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            joined.select(
+                "user_id",
+                "click_id",
+                F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname).orderBy("user_id", "click_id", "purchase_id")
+
+
+@register(
+    "range_join_attribution",
+    """
+    SELECT c.user_id AS user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 6 HOUR
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    note="BATCH interval join via bucketing (operators/rangejoin.py "
+    "bucketed_interval_join): a bare ts-range join plans as a nested-loop / "
+    "cartesian product at O(n*m); bucketing by the interval width + 2x "
+    "replication of the right side turns it into a plain equi hash join on "
+    "(user_id, bucket) with an exact residual range filter — one shuffle, "
+    "AQE-skew-safe, the time-series-engine range-join optimization. Oracle is "
+    "the naive inequality self-join",
+)
+def q_range_join_attribution(spark, sf_dir):
+    from ..operators.rangejoin import bucketed_interval_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = bucketed_interval_join(
+        clicks, purchases, keys=["user_id"],
+        left_ts="ts", right_ts="ts", interval_seconds=6 * 3600,
+    )
+    return joined.select(
+        "user_id",
+        F.col("l_click_id").alias("click_id"),
+        F.col("r_purchase_id").alias("purchase_id"),
+    ).orderBy("user_id", "click_id", "purchase_id")
+
+
+@register(
+    "streaming_upsert_latest",
+    """
+    WITH r AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+    SELECT user_id, event_id AS last_event_id FROM r WHERE rk = 1
+    ORDER BY user_id
+    """,
+    note="streaming keyed upsert through foreachBatch "
+    "(streaming/foreach_upsert.py): each micro-batch merges into the parquet "
+    "warehouse keeping the latest row per user (total (ts, event_id) order, so "
+    "last-write-wins is deterministic); stateless stream — no watermark, "
+    "arbitrarily late keys still upsert. Plain-parquet merge = latest-per-key "
+    "+ materialize + overwrite; a table format swaps the batch body for MERGE "
+    "INTO. Oracle is the batch latest-per-key window",
+)
+def q_streaming_upsert_latest(spark, sf_dir):
+    from ..scratch import scratch_dir
+    from ..streaming.foreach_upsert import streaming_upsert_parquet
+
+    out_dir = scratch_dir("upsert_out_")
+    ck_dir = scratch_dir("upsert_ck_")
+    schema, from_nanos = _events_stream_schema(sf_dir)
+    if from_nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    with _stream_state_partitions(spark):
+        q = streaming_upsert_parquet(
+            spark, sf_dir, schema, out_dir, ck_dir,
+            path_glob="events.parquet",
+        )
+        q.awaitTermination()
+    # nanos-era note: ordering by the raw long ts is order-equivalent
+    # to ordering by the decoded timestamp, and ts isn't projected out,
+    # so no conversion is needed on either branch
+    res = spark.read.parquet(out_dir)
+    return res.select(
+        "user_id", F.col("event_id").alias("last_event_id")
+    ).orderBy("user_id")
+
+
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           true AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="HyperLogLog++ approx_count_distinct per event_type, gated against the exact "
+    "distinct in the same plan (operators/approx.py distinct_with_hll_gate; |err| <= "
+    "4x rsd) — the oracle asserts the gate, so a drifting sketch fails the hash check",
+)
+def q_approx_distinct_users(spark, sf_dir):
+    from ..operators.approx import distinct_with_hll_gate
+
+    e = _t(spark, sf_dir, "events")
+    return distinct_with_hll_gate(e, "event_type", "user_id").orderBy("event_type")
+
+
+@register(
+    "approx_quantiles_value",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS exact_p50,
+           round(quantile_cont(value, 0.95), 6) AS exact_p95,
+           true AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="Greenwald-Khanna-style percentile_approx (p50/p95) per event_type, gated in "
+    "rank space against exact percentiles at p +/- 0.01 (operators/approx.py "
+    "quantiles_with_sketch_gate) — sketch drift fails the oracle hash check",
+)
+def q_approx_quantiles_value(spark, sf_dir):
+    from ..operators.approx import quantiles_with_sketch_gate
+
+    e = _t(spark, sf_dir, "events")
+    return quantiles_with_sketch_gate(e, "event_type", "value").orderBy("event_type")
+
+
+@register(
+    "session_window_agg",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    islands AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM flagged)
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM islands GROUP BY user_id, sess
+    ORDER BY user_id, session_start_us
+    """,
+    note="NATIVE Spark session windows (F.session_window, 30 min gap) vs the manual "
+    "lag+cumsum islands oracle; window end = last event + gap per Spark's [start, "
+    "last+gap) session semantics (new session when the gap is >= the timeout, hence "
+    "the >= in the oracle)",
+)
+def q_session_window_agg(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+@register(
+    "asof_join_last_purchase",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+    purch AS (
+      SELECT user_id, ts, max(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    u AS (
+      SELECT user_id, ts, 1 AS tag, event_id, value, NULL::DOUBLE AS pval FROM clicks
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, NULL, pval FROM purch),
+    w AS (
+      SELECT user_id, ts, tag, event_id, value,
+             last_value(pval IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pval_asof
+      FROM u)
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           round(value, 6) AS value, round(pval_asof, 6) AS pval_asof
+    FROM w WHERE tag = 1 ORDER BY event_id
+    """,
+    note="as-of (point-in-time) join: every click gains the most recent prior purchase "
+    "value per user (operators/asof.py asof_join; union + carry-forward, ONE shuffle, "
+    "linear — no range-join pair blow-up)",
+)
+def q_asof_join_last_purchase(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(clicks, purchases, key_cols=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        F.round("pval_asof", 6).alias("pval_asof"),
+    ).orderBy("event_id")
+
+
+@register(
+    "streaming_sessionize_state",
+    """
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+    note="CUSTOM STATEFUL streaming operator via applyInPandasWithState "
+    "(streaming/event_windows.py streaming_sessionize_state): per-user (last_ts, "
+    "session_count) state, gap>30min opens a session, update-mode emission — must "
+    "reproduce the batch sessionize oracle exactly",
+)
+def q_streaming_sessionize_state(spark, sf_dir):
+    import uuid
+
+    agg = streaming_sessionize_state(_events_stream(spark, sf_dir), gap_minutes=30)
+    qname = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    mem = spark.table(qname)
+    # update mode re-emits a user's row per micro-batch; the cumulative
+    # count is monotone, so max() per user is the final state
+    return (
+        mem.groupBy("user_id")
+        .agg(F.max("n_sessions").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "streaming_funnel_state",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(CASE WHEN tc > tv AND tp > tc THEN 3
+                     WHEN tc > tv THEN 2
+                     WHEN tv IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage
+    FROM f ORDER BY user_id
+    """,
+    note="stateful streaming funnel via applyInPandasWithState "
+    "(streaming/funnel_state.py): per-user state is the order-insensitive "
+    "triple of first-occurrence minimums (O(1) per key), so arrival order "
+    "within/across micro-batches cannot change the result and no watermark is "
+    "needed — the oracle is an exact batch equivalence, the same "
+    "classification as funnel_conversion but per user. Stage is monotone, so "
+    "update-mode re-emissions collapse with max()",
+)
+def q_streaming_funnel_state(spark, sf_dir):
+    import uuid
+
+    from ..streaming.funnel_state import streaming_funnel_state
+
+    agg = streaming_funnel_state(_events_stream(spark, sf_dir))
+    qname = f"stream_funnel_{uuid.uuid4().hex[:8]}"
+    with _stream_state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    mem = spark.table(qname)
+    return (
+        mem.groupBy("user_id")
+        .agg(F.max("funnel_stage").alias("funnel_stage"))
+        .orderBy("user_id")
+    )
+
+

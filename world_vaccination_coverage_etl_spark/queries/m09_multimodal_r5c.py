@@ -1,0 +1,657 @@
+"""Multimodal plumbing + r5c additions (ids, quantize, SCD2, ...).
+
+Split from the former single-file queries.py (r5 verdict item 8);
+registration order is preserved by the package __init__ import order.
+"""
+
+from ._core import *  # noqa: F401,F403
+
+# --------------------------------------------------------------------- #
+# multimodal plumbing over `documents` (operators/multimodal.py)
+#
+# The driver schema carries no binary column, so the graded queries
+# derive an opaque payload from the text bytes (encode utf-8) — the
+# binary/metadata plumbing (schema, byte lengths, digests, Arrow batch
+# shape through mapInPandas) is exactly what it would be for real
+# image/audio payloads; only the decode kernel is a deterministic fake.
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents ORDER BY asset_id
+    """,
+    note="typed metadata over an opaque binary payload column (operators/multimodal.py "
+    "attach_binary_metadata; pure JVM byte-length + sha2-256)",
+)
+def q_multimodal_metadata(spark, sf_dir):
+    from ..operators.multimodal import attach_binary_metadata
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text/plain").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return (
+        attach_binary_metadata(d)
+        .select("asset_id", "n_bytes", "sha")
+        .orderBy("asset_id")
+    )
+
+
+@register(
+    "multimodal_decode_fake",
+    """
+    WITH b AS (
+      SELECT doc_id AS asset_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents),
+    sums AS (
+      SELECT asset_id,
+             sum(ord(substring(text, CAST(i AS INT), 1))) AS byte_sum
+      FROM b, unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS t(i)
+      GROUP BY asset_id)
+    SELECT b.asset_id, b.n_bytes,
+           CAST(greatest(1, b.n_bytes % 64) AS INT) AS width,
+           CAST(greatest(1, (b.n_bytes // 64) % 64 + 1) AS INT) AS height,
+           round(CASE WHEN b.n_bytes > 0
+                      THEN coalesce(s.byte_sum, 0) / b.n_bytes
+                      ELSE 0.0 END, 6) AS mean_intensity
+    FROM b LEFT JOIN sums s ON s.asset_id = b.asset_id
+    ORDER BY b.asset_id
+    """,
+    note="binary decode via mapInPandas (operators/multimodal.py "
+    "decode_image_batch, deterministic fake kernel — no media libs in this "
+    "environment). HASH-CERTIFIED since r5b: the fake is pure byte math "
+    "(dims from length, intensity = byte mean) and the documents fixture is "
+    "ASCII (verified: octet_length(encode(text)) == length(text) corpus-"
+    "wide), so the oracle recomputes it with ord() over characters — "
+    "integer sums divide exactly in both engines. The mapInPandas Arrow "
+    "contract (columnar in/out, no shuffle) is exactly what a real "
+    "PIL/libvips kernel would keep",
+)
+def q_multimodal_decode_fake(spark, sf_dir):
+    from ..operators.multimodal import decode_image_batch
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image/fake").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    decoded = decode_image_batch(d, fake=True)
+    return decoded.select(
+        "asset_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    ).orderBy("asset_id")
+
+
+@register(
+    "multimodal_features_fake",
+    """
+    WITH docs AS (SELECT doc_id AS asset_id, text FROM documents),
+    pos AS (SELECT unnest(range(0, 8)) AS p),
+    sums AS (
+      SELECT asset_id, CAST((i - 1) % 8 AS BIGINT) AS p,
+             sum(ord(substring(text, CAST(i AS INT), 1))) AS s
+      FROM docs, unnest(range(1, CAST(length(text) AS BIGINT) + 1)) AS t(i)
+      GROUP BY 1, 2),
+    buckets AS (
+      SELECT d.asset_id, pos.p, coalesce(s.s, 0) / 255.0 AS v
+      FROM docs d CROSS JOIN pos
+      LEFT JOIN sums s ON s.asset_id = d.asset_id AND s.p = pos.p),
+    norms AS (SELECT asset_id, sqrt(sum(v * v)) AS nrm
+              FROM buckets GROUP BY asset_id)
+    SELECT b.asset_id, CAST(b.p AS INT) AS pos,
+           round(CASE WHEN n.nrm > 0 THEN b.v / n.nrm ELSE 0.0 END, 6)
+             AS feat
+    FROM buckets b JOIN norms n ON n.asset_id = b.asset_id
+    ORDER BY b.asset_id, pos
+    """,
+    note="feature-extraction stub via mapInPandas (operators/multimodal.py "
+    "extract_features, deterministic byte-bucket kernel — no model runtime "
+    "in this environment); Arrow batch in/out, unit-norm pinned by pytest. "
+    "HASH-CERTIFIED since r5b: the kernel accumulates INTEGER bucket sums "
+    "and divides once (bit-reproducible pre-normalization from any "
+    "engine), the fixture is ASCII so the oracle rebuilds the buckets with "
+    "ord() over character positions, and the vector is exploded to "
+    "(asset_id, pos, feat) rows at 6-dp — numeric rows hash cleanly where "
+    "the earlier to_json form depended on float formatting",
+)
+def q_multimodal_features_fake(spark, sf_dir):
+    from ..operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(d, dim=8, fake=True)
+    return (
+        feats.select("asset_id", F.posexplode("feature").alias("pos", "feat"))
+        .select("asset_id", "pos", F.round("feat", 6).alias("feat"))
+        .orderBy("asset_id", "pos")
+    )
+
+
+# --------------------------------------------------------------------- #
+# r5c additions: global ID assignment, span dedup, quantization,
+# profiling/constraints, SCD2, time-series features.
+
+
+@register(
+    "assign_global_ids_docs",
+    """
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+             AS global_id
+    FROM documents
+    """,
+    note="contiguous global ID assignment by (n_chars DESC, doc_id) — the "
+    "length-sorted corpus numbering a packing stage consumes.  The naive "
+    "plan (empty-PARTITION row_number) funnels 100 TB through ONE task; "
+    "operators/ids.py assign_global_ids does the two-phase range-bucketed "
+    "rank instead: approxQuantile boundaries, per-bucket counts prefix-"
+    "summed on the driver (<= B scalars), rank WITHIN each bucket in "
+    "parallel + offset.  Output ids equal the global rank exactly, so the "
+    "approximate boundaries never affect the result",
+)
+def q_assign_global_ids_docs(spark, sf_dir):
+    from ..operators.ids import assign_global_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return assign_global_ids(
+        docs,
+        ["n_chars", "doc_id"],
+        range_col="n_chars",
+        descending=True,
+        num_buckets=8,
+    ).select("doc_id", "n_chars", "global_id")
+
+
+@register(
+    "doc_segment_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, w, CAST(ceil(len(w) / 8.0) AS BIGINT) AS n_segs
+      FROM toks
+    ),
+    segs AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(w[CAST(i * 8 + 1 AS INT) : CAST(i * 8 + 8 AS INT)],
+                             ' ') AS seg
+      FROM base, unnest(range(0, n_segs)) AS t(i)
+    ),
+    keep AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx)
+               AS rn
+      FROM segs
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM keep WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           b.n_segs, coalesce(r.n_kept, 0) AS n_kept
+    FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+    """,
+    note="C4/RefinedWeb-style corpus-wide duplicate-span removal "
+    "(operators/text.py segment_dedup): non-overlapping 8-token segments, "
+    "keep only the globally-first occurrence of each repeated span, "
+    "reassemble in order.  One partial-agged groupBy on the segment (the "
+    "min-struct keeper row carries everything — no join-back), one "
+    "reassembly groupBy, one doc-keyed left join to restore fully-deduped "
+    "docs.  At scale the group key becomes xxhash64(seg) + string residual",
+)
+def q_doc_segment_dedup(spark, sf_dir):
+    from ..operators.text import segment_dedup
+
+    return segment_dedup(_t(spark, sf_dir, "documents"), seg_len=8)
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             greatest(list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE))))
+                        / 127.0, 1e-12) AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, scale,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) / scale)
+                                      AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, label, round(scale, 6) AS scale6,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT) AS n_sat
+    FROM q
+    """,
+    note="symmetric per-vector int8 scalar quantization (operators/"
+    "quantize.py) — the 4x ANN-index compression step.  Pure Catalyst HOFs "
+    "(transform/aggregate/filter), row-local, zero shuffle.  Certification "
+    "columns are integer-exact (code sums/L1/saturation count) so the "
+    "oracle needs no float tolerance beyond one 6-dp round on the scale; "
+    "float->double widening and order-independent max make both engines "
+    "bit-identical",
+)
+def q_embedding_int8_quantize(spark, sf_dir):
+    from ..operators.quantize import quantize_int8_arrow
+
+    # Arrow kernel flavor — bit-identical to the HOF documentation
+    # form (pytest-pinned), and the volume path per the repo-wide
+    # HOF-for-reporting / Arrow-for-volume split
+    return quantize_int8_arrow(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "profile_orders_columns",
+    """
+    SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           round(CAST(min(o_orderkey) AS DOUBLE), 6) AS min_num,
+           round(CAST(max(o_orderkey) AS DOUBLE), 6) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           round(CAST(min(o_custkey) AS DOUBLE), 6),
+           round(CAST(max(o_custkey) AS DOUBLE), 6), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           round(CAST(min(o_totalprice) AS DOUBLE), 6),
+           round(CAST(max(o_totalprice) AS DOUBLE), 6), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           round(epoch(min(o_orderdate)), 6),
+           round(epoch(max(o_orderdate)), 6), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+    note="deequ-style one-scan column profiler (operators/profile.py "
+    "profile_columns): rows/nulls/distincts/min/max for all six orders "
+    "columns in a single aggregate pass (multi-column exact distinct "
+    "plans via one Expand — the one-pass tradeoff; approximate=True "
+    "switches to HLL with no Expand for very wide tables, the 100 TB "
+    "default).  Timestamps profile as epoch seconds; the oracle is one "
+    "UNION ALL per column",
+)
+def q_profile_orders_columns(spark, sf_dir):
+    from ..operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "orders"),
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
+@register(
+    "check_constraints_orders",
+    """
+    SELECT 'o_orderkey_not_null' AS check_name,
+           CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS violations,
+           coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_not_null',
+           CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique',
+           CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_positive',
+           CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_domain',
+           CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey_references',
+           CAST((SELECT count(*) FROM orders o
+                 LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL) AS BIGINT),
+           (SELECT count(*) FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL) = 0
+    """,
+    note="declarative data-quality constraint suite (operators/profile.py "
+    "check_constraints): not-null / uniqueness / positivity / domain "
+    "checks fold into ONE conditional-aggregate scan; the referential "
+    "check is a broadcast LEFT ANTI against the customer keys.  The "
+    "per-batch monitoring gate of a production ingest (deequ shape)",
+)
+def q_check_constraints_orders(spark, sf_dir):
+    from ..operators.profile import check_constraints
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return check_constraints(
+        orders,
+        not_null=["o_orderkey", "o_custkey"],
+        unique=["o_orderkey"],
+        positive=["o_totalprice"],
+        domain={"o_orderstatus": ["O", "F", "P"]},
+        references={"o_custkey": customer},
+    )
+
+
+@register(
+    "scd2_user_event_type",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             event_id
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_type, ts,
+             sum(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM o
+    ),
+    g AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+             min(ts) AS effective_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM r GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type, effective_from,
+           lead(effective_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS effective_to,
+           lead(effective_from) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current,
+           n_events
+    FROM g
+    """,
+    note="SCD type-2 dimension build from the event log (operators/scd.py "
+    "scd2_collapse): consecutive same-attribute runs collapse into "
+    "versioned rows with effective_from/effective_to validity and an "
+    "is_current flag.  One key-partitioned window for change detection "
+    "(lag + running sum), a partial-agged groupBy reusing the same "
+    "partitioning, one more key window for the effective_to carry — no "
+    "self-join, O(1) driver traffic.  Deterministic under timestamp ties "
+    "via the event_id tiebreak",
+)
+def q_scd2_user_event_type(spark, sf_dir):
+    from ..operators.scd import scd2_collapse
+
+    return scd2_collapse(
+        _t(spark, sf_dir, "events"), "user_id", "event_type", "ts", "event_id"
+    )
+
+
+@register(
+    "events_daily_ewma",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             round(sum(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d1.day, d1.event_type, d1.x,
+           round(sum(d2.x * (1 << (13 - (d1.day - d2.day))))
+                 / sum(1 << (13 - (d1.day - d2.day))), 6) AS ewma
+    FROM daily d1
+    JOIN daily d2
+      ON d2.event_type = d1.event_type
+     AND d1.day - d2.day BETWEEN 0 AND 13
+    GROUP BY d1.day, d1.event_type, d1.x
+    """,
+    note="exponentially-weighted trailing 14-day average of daily event "
+    "value per type (half-life decay).  The heavy reduce is the daily "
+    "pre-aggregation (partial-agged, one shuffle); the EWMA then runs on "
+    "the tiny (days x types) series via an equi-join on type with a "
+    "day-range residual — a hash join, NOT a nested loop.  Weights are "
+    "integer powers of two (shiftleft), bit-exact in any engine; no libm "
+    "pow in the certified path",
+)
+def q_events_daily_ewma(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+    )
+    d1 = daily.alias("d1")
+    d2 = daily.alias("d2")
+    diff = F.datediff(F.col("d1.day"), F.col("d2.day"))
+    # SQL shiftleft accepts an expression shift count; the PySpark
+    # wrapper restricts it to a literal int, so go through expr()
+    w = F.expr("shiftleft(1, 13 - datediff(d1.day, d2.day))")
+    return (
+        d1.join(d2, F.col("d2.event_type") == F.col("d1.event_type"))
+        .filter((diff >= 0) & (diff <= 13))
+        .groupBy(
+            F.col("d1.day").alias("day"),
+            F.col("d1.event_type").alias("event_type"),
+            F.col("d1.x").alias("x"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("d2.x") * w) / F.sum(w), 6
+            ).alias("ewma")
+        )
+    )
+
+
+@register(
+    "events_daily_anomaly",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             round(sum(value), 6) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT day, event_type, x,
+             avg(x) OVER w AS mu,
+             stddev_samp(x) OVER w AS sd,
+             CAST(count(x) OVER w AS BIGINT) AS n_prev
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, event_type, x, n_prev,
+           CASE WHEN n_prev >= 3 AND sd > 1e-9
+                THEN round((x - mu) / sd, 6) END AS z,
+           coalesce(CASE WHEN n_prev >= 3 AND sd > 1e-9
+                         THEN abs((x - mu) / sd) > 2 END, false) AS is_anomaly
+    FROM stats
+    """,
+    note="trailing-window anomaly detection on the daily event series: "
+    "z-score of each day's total against the previous 7 days' mean/"
+    "stddev per type, flagged at |z| > 2.  Daily reduce is the only "
+    "big-data shuffle; the scoring window runs over the small series.  "
+    "Warm-up rows (fewer than 3 prior days) and degenerate stddev emit "
+    "NULL z / false flag in both engines",
+)
+def q_events_daily_anomaly(spark, sf_dir):
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.round(F.sum("value"), 6).alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "day",
+        "event_type",
+        "x",
+        F.avg("x").over(w).alias("mu"),
+        F.stddev_samp("x").over(w).alias("sd"),
+        F.count("x").over(w).cast("long").alias("n_prev"),
+    )
+    ok = (F.col("n_prev") >= 3) & (F.col("sd") > 1e-9)
+    z = (F.col("x") - F.col("mu")) / F.col("sd")
+    return stats.select(
+        "day",
+        "event_type",
+        "x",
+        "n_prev",
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.coalesce(F.when(ok, F.abs(z) > 2), F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@register(
+    "window_range_1h_user",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(sum(value) OVER w, 6) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(epoch(ts) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    note="value-based (RANGE) window frame over event time — the "
+    "trailing-1-hour per-user activity feature (SURVEY §2.6 extension): "
+    "frame membership is decided by the epoch-second VALUE, not row "
+    "position, so simultaneous events share a frame deterministically.  "
+    "One shuffle on user_id; both engines order by the same truncated "
+    "epoch so the frames agree exactly",
+)
+def q_window_range_1h_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+    )
+
+
+@register(
+    "orders_price_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    note="fixed-width histogram of order totals (floor-division "
+    "bucketing — engine-portable, no width_bucket dependency): the "
+    "distribution-profiling companion to profile_orders_columns.  "
+    "Partial-agged single shuffle on the bucket key",
+)
+def q_orders_price_histogram(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 25000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_median_acctbal",
+    """
+    SELECT c_mktsegment,
+           round(median(c_acctbal), 6) AS med_acctbal,
+           round(quantile_cont(c_acctbal, 0.9), 6) AS p90_acctbal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    note="exact interpolated median / p90 per segment: Spark median() "
+    "and percentile() match DuckDB median()/quantile_cont() "
+    "(linear-interpolation contract).  Exact percentiles buffer the "
+    "group's values; the sketch flavor for 100 TB volumes is "
+    "approx_quantiles_value — this is the small-group reporting shape",
+)
+def q_agg_median_acctbal(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.median("c_acctbal"), 6).alias("med_acctbal"),
+            F.round(F.percentile("c_acctbal", 0.9), 6).alias("p90_acctbal"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
