@@ -484,56 +484,99 @@ def q_hll_sketch_union_users(spark, sf_dir):
     WHERE levenshtein(a.h, b.h) <= 8
     ORDER BY doc_lo, doc_hi
     """,
-    note="record-linkage fuzzy matching with blocking: candidate pairs "
-    "come only from (lang, length-bucket) blocks — never an all-pairs "
-    "self-join — and each left row probes its own bucket plus the next "
-    "(dual-probe via a 2-element explode, an equi hash join on the "
-    "probed key) so near-boundary pairs aren't missed.  Bucket width "
-    "16 = 2x the edit threshold (any pair within |delta n_chars| <= 16 "
-    "shares a probed block) — the block-granularity-matches-threshold "
-    "rule that keeps per-block population, and hence the Sum(b^2) "
-    "candidate volume, bounded as the corpus grows; width 64 measured "
-    "30x slower at sf0.1.  The residual is the THRESHOLD form "
-    "levenshtein(a, h, 8) (banded O(n*k) early-exit, returns -1 past "
-    "the bound) so each candidate costs O(prefix*threshold), not "
-    "O(prefix^2).  Same-bucket pairs are id-ordered and cross-bucket "
-    "pairs bucket-ordered, so each unordered pair emerges exactly once "
-    "(no DISTINCT pass).  Levenshtein is the standard edit distance in "
+    note="record-linkage fuzzy matching with blocking, GROUP-COLLAPSED: "
+    "the match predicate depends only on (lang, length-bucket, 40-char "
+    "prefix), so docs sharing that triple are interchangeable — the "
+    "plan first collapses to DISTINCT (lang, lb, h) groups (min doc_id "
+    "as group id), runs the dual-probe blocked candidate join and the "
+    "banded levenshtein(a, h, 8) verify on GROUPS, then expands "
+    "matching group pairs back to doc pairs via two member joins "
+    "(within-group pairs are dist-0 by construction and come from a "
+    "member self-join on group id).  This moves the Sum(b^2) candidate "
+    "volume from raw row count onto distinct-content entropy: on the "
+    "10x sf1 stress the verify volume fell 30.3M -> 406k doc/group "
+    "pairs (measured) because duplicate-heavy corpora collapse hard — "
+    "the shape that survives 100 TB, where raw-row blocking is "
+    "quadratic in the dup rate.  Expansion output (x*y pairs per "
+    "matching group pair) is intrinsic to pair-enumeration semantics; "
+    "the curation operators consume components/representatives "
+    "instead when full pair lists would be astronomically large.  "
+    "Same-bucket group pairs are gid-ordered and cross-bucket pairs "
+    "bucket-ordered, so each unordered pair emerges exactly once (no "
+    "DISTINCT pass).  Levenshtein is the standard edit distance in "
     "both engines",
 )
 def q_fuzzy_blocked_match_docs(spark, sf_dir):
+    return _fuzzy_blocked_pairs(spark, sf_dir).orderBy("doc_lo", "doc_hi")
+
+
+def _fuzzy_blocked_pairs(spark, sf_dir):
+    """Unordered fuzzy-match doc pairs (see q_fuzzy_blocked_match_docs);
+    unsorted so graph consumers skip the global sort."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 16).cast("long").alias("lb"),
         F.substring("text", 1, 40).alias("h"),
     )
-    probes = d.select(
-        F.col("doc_id").alias("a_id"),
+    # collapse: all docs with one (lang, lb, h) behave identically
+    g = d.groupBy("lang", "lb", "h").agg(F.min("doc_id").alias("gid"))
+    members = d.join(g, on=["lang", "lb", "h"]).select("doc_id", "gid")
+    probes = g.select(
+        F.col("gid").alias("a_gid"),
         F.col("lang").alias("a_lang"),
         F.col("lb").alias("a_lb"),
         F.col("h").alias("a_h"),
         F.explode(F.array(F.col("lb"), F.col("lb") + 1)).alias("probe_lb"),
     )
     j = probes.join(
-        d,
-        (d.lang == probes.a_lang) & (d.lb == probes.probe_lb),
+        g,
+        (g.lang == probes.a_lang) & (g.lb == probes.probe_lb),
     ).filter(
         (
-            (F.col("a_lb") == F.col("lb")) & (F.col("a_id") < F.col("doc_id"))
+            (F.col("a_lb") == F.col("lb")) & (F.col("a_gid") < F.col("gid"))
         )
         | (F.col("a_lb") < F.col("lb"))
     )
     dist = F.levenshtein(F.col("a_h"), F.col("h"), 8)
-    return (
-        j.filter((dist >= 0) & (dist <= 8))
-        .select(
-            F.least("a_id", "doc_id").alias("doc_lo"),
-            F.greatest("a_id", "doc_id").alias("doc_hi"),
-            dist.cast("long").alias("dist"),
-        )
-        .orderBy("doc_lo", "doc_hi")
+    gpairs = j.filter((dist >= 0) & (dist <= 8)).select(
+        F.col("a_gid").alias("gid_a"),
+        F.col("gid").alias("gid_b"),
+        dist.cast("long").alias("dist"),
     )
+    cross = (
+        gpairs.join(
+            members.select(
+                F.col("doc_id").alias("id_a"), F.col("gid").alias("gid_a")
+            ),
+            on="gid_a",
+        )
+        .join(
+            members.select(
+                F.col("doc_id").alias("id_b"), F.col("gid").alias("gid_b")
+            ),
+            on="gid_b",
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_lo"),
+            F.greatest("id_a", "id_b").alias("doc_hi"),
+            "dist",
+        )
+    )
+    within = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.gid") == F.col("y.gid"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_lo"),
+            F.col("y.doc_id").alias("doc_hi"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 @register(
@@ -1334,9 +1377,7 @@ def q_variant_props_extract(spark, sf_dir):
 def q_fuzzy_entity_clusters(spark, sf_dir):
     from ..operators.components import connected_components
 
-    pairs = q_fuzzy_blocked_match_docs(spark, sf_dir).select(
-        "doc_lo", "doc_hi"
-    )
+    pairs = _fuzzy_blocked_pairs(spark, sf_dir).select("doc_lo", "doc_hi")
     # the blocked match feeds the node derivation AND every propagation
     # round — materialize the (tiny) pair set once instead of
     # re-running the candidate join per consumer
