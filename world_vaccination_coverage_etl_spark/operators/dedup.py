@@ -849,12 +849,29 @@ def simhash_md5_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs under the engine-portable md5 SimHash.
 
-    Same pigeonhole blocking as ``simhash_near_dup_pairs``: the 64
-    signature bits split into four 16-bit chunks (two per half); any
-    pair within hamming distance 3 shares at least one chunk, so the
-    blocked candidate set provably contains every qualifying pair and
-    the output equals the exact O(n²) pair set.  Verify is JVM
-    ``bit_count(xor)`` per half.
+    Two scale levers over the naive chunk-block join, both
+    exactness-preserving (the output still equals the exact O(n²)
+    pair set, which the oracle certifies):
+
+    1. **Signature-group collapse** — docs with identical
+       (sig_hi, sig_lo) are interchangeable (hamming 0 within the
+       group, equal hamming to everyone else), so blocking and verify
+       run on DISTINCT signatures; matching signature pairs expand
+       back to doc pairs via member joins, and within-group pairs are
+       emitted directly at hamming 0.  On duplicate-heavy corpora the
+       collapse is dramatic (sf1 stress: 100k rows -> 37k signatures,
+       candidate volume -9.5x).
+    2. **C(6,3) combo blocking** — the 64 signature bits split into
+       six blocks (11,11,10 per half); a pair within hamming 3 has
+       ≥3 untouched blocks, so it shares at least one of the 20
+       enumerated 3-block combo keys (~33-bit key space).  Versus
+       four 16-bit chunks (65,536 buckets — birthday-quadratic in the
+       corpus), random-collision candidates are ~2^17x rarer, so
+       candidate volume tracks true near-dup structure instead of
+       corpus².  Verify is JVM ``bit_count(xor)`` per half.
+
+    The combo pigeonhole requires ``max_hamming <= 3`` (more edits
+    could touch 4+ blocks); larger thresholds raise.
 
     ``signature_impl``: ``"kernel"`` (default) computes signatures via
     the Arrow md5 kernel (bit-identical, ~1.5 s less fresh-plan
@@ -862,6 +879,13 @@ def simhash_md5_near_dup_pairs(
     (zero Python anywhere in the plan — the engine-portability
     reference the kernel is parity-pinned against).
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_md5_near_dup_pairs blocking is exact only for "
+            f"max_hamming <= 3 (got {max_hamming})"
+        )
+    from itertools import combinations
+
     make_sigs = {
         "kernel": simhash_md5_signatures_kernel,
         "expr": simhash_md5_signatures,
@@ -870,49 +894,91 @@ def simhash_md5_near_dup_pairs(
     # one narrow materialization so the signature agg runs once, not
     # once per blocking-join side (same rationale as the FNV flavor)
     signed = _stage(signed, staging_dir, "simhash_md5_signed")
-    chunks = F.array(
+    g = signed.groupBy("sig_hi", "sig_lo").agg(F.min(id_col).alias("gid"))
+    members = signed.join(g, on=["sig_hi", "sig_lo"]).select(id_col, "gid")
+
+    # six blocks over the two 32-bit halves: (offset, width) per half
+    block_defs = [
+        ("sig_hi", 0, 11), ("sig_hi", 11, 11), ("sig_hi", 22, 10),
+        ("sig_lo", 0, 11), ("sig_lo", 11, 11), ("sig_lo", 22, 10),
+    ]
+
+    def _blk(i: int) -> F.Column:
+        col, off, width = block_defs[i]
+        return F.shiftrightunsigned(col, off).bitwiseAND(F.lit((1 << width) - 1))
+
+    combo_keys = F.array(
         *[
             F.struct(
-                F.lit(i).alias("chunk_idx"),
-                F.shiftrightunsigned(half_col, shift)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("chunk_val"),
+                F.lit(ci).alias("ck"),
+                (
+                    _blk(i)
+                    + F.shiftleft(_blk(j), 16)
+                    + F.shiftleft(_blk(k), 32)
+                ).alias("cv"),
             )
-            for i, (half_col, shift) in enumerate(
-                [("sig_hi", 0), ("sig_hi", 16), ("sig_lo", 0), ("sig_lo", 16)]
-            )
+            for ci, (i, j, k) in enumerate(combinations(range(6), 3))
         ]
     )
-    blocked = signed.select(
-        id_col, "sig_hi", "sig_lo", F.explode(chunks).alias("c")
-    ).select(id_col, "sig_hi", "sig_lo", "c.chunk_idx", "c.chunk_val")
+    blocked = g.select(
+        "gid", "sig_hi", "sig_lo", F.explode(combo_keys).alias("c")
+    ).select("gid", "sig_hi", "sig_lo", "c.ck", "c.cv")
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.gid") < F.col("b.gid")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.gid").alias("gid_a"),
+            F.col("b.gid").alias("gid_b"),
             F.col("a.sig_hi").alias("hi_a"),
             F.col("a.sig_lo").alias("lo_a"),
             F.col("b.sig_hi").alias("hi_b"),
             F.col("b.sig_lo").alias("lo_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["gid_a", "gid_b"])
     )
-    return (
+    gpairs = (
         cand.withColumn(
             "hamming",
             F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
             + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("gid_a", "gid_b", "hamming")
     )
+    cross = (
+        gpairs.join(
+            members.select(F.col(id_col).alias("m_a"), F.col("gid").alias("gid_a")),
+            on="gid_a",
+        )
+        .join(
+            members.select(F.col(id_col).alias("m_b"), F.col("gid").alias("gid_b")),
+            on="gid_b",
+        )
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.gid") == F.col("y.gid"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 # --------------------------------------------------------------------------
