@@ -30,7 +30,24 @@ Doc-id safety: registry self-union fixtures shift by DOC_SHIFT=1e6;
 original ids are far below 1e6, so c*1e7 amplification ranges and the
 +1e6 union shift can never collide.
 
-Usage: python tools/make_sf1.py [src_sf_dir] [out_dir]
+Perturbation modes (4th arg):
+
+- ``neardup`` (default, the sf1 behavior): copies 1..N-1 append a
+  short copy marker — copies of one doc stay NEAR-DUPS of each other,
+  so the near-dup clique per doc grows with the copy count.  Right for
+  stressing candidate-volume behavior, but the exact pair answer grows
+  quadratically in N (see SCALING_OUTPUT_ROWS.json).
+- ``decorrelated``: every 7th word gets a copy-indexed suffix (~43% of
+  word-trigram shingles change ⇒ cross-copy Jaccard ≈ 0.4, under every
+  registered threshold) and embeddings get a per-(copy, component)
+  deterministic sinusoidal nudge (cosine to the original ≈ 0.87, under
+  the 0.95 dup threshold; distinct copies near-orthogonal nudges).
+  Within a copy the original dup-group structure is preserved (one
+  deterministic transformation per copy), so the dup FRACTION stays
+  constant as the corpus scales — how real crawl corpora grow.  Right
+  for 100x cost-curve probes where the true answer must stay ~linear.
+
+Usage: python tools/make_sf1.py [src_sf_dir] [out_dir] [copies] [mode]
 """
 
 from __future__ import annotations
@@ -49,10 +66,10 @@ COPIES = 10
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
-def _copies(df):
+def _copies(df, copies=COPIES):
     return df.select(
         "*",
-        F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))).alias("__c"),
+        F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__c"),
     )
 
 
@@ -68,6 +85,10 @@ def main() -> int:
     out_dir = (
         sys.argv[2] if len(sys.argv) > 2 else os.path.join(root, ".scale", "sf1")
     )
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else COPIES
+    mode = sys.argv[4] if len(sys.argv) > 4 else "neardup"
+    if mode not in ("neardup", "decorrelated"):
+        raise SystemExit(f"unknown mode {mode!r}")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("make_sf1")
 
@@ -100,31 +121,56 @@ def main() -> int:
     for t in DIMS:
         wr(rd(t), t)
 
-    wr(_shift(_copies(rd("orders")), "o_orderkey").drop("__c"), "orders")
-    wr(_shift(_copies(rd("lineitem")), "l_orderkey").drop("__c"), "lineitem")
-    wr(_shift(_copies(rd("events")), "event_id").drop("__c"), "events")
+    wr(_shift(_copies(rd("orders"), copies), "o_orderkey").drop("__c"), "orders")
+    wr(
+        _shift(_copies(rd("lineitem"), copies), "l_orderkey").drop("__c"),
+        "lineitem",
+    )
+    wr(_shift(_copies(rd("events"), copies), "event_id").drop("__c"), "events")
 
-    docs = _shift(_copies(rd("documents")), "doc_id")
+    docs = _shift(_copies(rd("documents"), copies), "doc_id")
+    if mode == "neardup":
+        perturbed = F.concat(F.col("text"), F.lit(" c"), F.col("__c"))
+    else:
+        # suffix every 7th word with the copy index: ~43% of word-trigram
+        # shingles change, so cross-copy Jaccard ≈ (1-f)/(1+f) ≈ 0.4 —
+        # under every registered near-dup threshold — while within-copy
+        # dup structure survives (same deterministic rule per copy)
+        perturbed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w, i: F.when(
+                    i % 7 == 6,
+                    F.concat(w, F.lit("_c"), F.col("__c").cast("string")),
+                ).otherwise(w),
+            ),
+            " ",
+        )
     docs = docs.withColumn(
         "text",
-        F.when(F.col("__c") == 0, F.col("text")).otherwise(
-            F.concat(F.col("text"), F.lit(" c"), F.col("__c"))
-        ),
+        F.when(F.col("__c") == 0, F.col("text")).otherwise(perturbed),
     ).withColumn("n_chars", F.length("text").cast("int"))
     wr(docs.drop("__c"), "documents")
 
-    emb = _shift(_copies(rd("embeddings")), "vec_id")
+    emb = _shift(_copies(rd("embeddings"), copies), "vec_id")
+    if mode == "neardup":
+        nudge = lambda x, i: (  # noqa: E731
+            x * (F.lit(1.0) + F.col("__c") * F.lit(0.003))
+            + F.col("__c") * F.lit(0.011)
+            + i * F.lit(0.0)
+        ).cast("float")
+    else:
+        # deterministic per-(copy, component) sinusoidal nudge:
+        # ||noise|| ≈ 0.45 on unit vectors ⇒ cosine to original ≈ 0.87
+        # (< the 0.95 dup threshold); distinct copies get near-orthogonal
+        # nudges (different "frequencies"), so no cross-copy dup blob
+        nudge = lambda x, i: (  # noqa: E731
+            x + F.sin(F.col("__c") * (i + F.lit(1)) * F.lit(2.654)) * F.lit(0.08)
+        ).cast("float")
     emb = emb.withColumn(
         "embedding",
         F.when(F.col("__c") == 0, F.col("embedding")).otherwise(
-            F.transform(
-                "embedding",
-                lambda x, i: (
-                    x * (F.lit(1.0) + F.col("__c") * F.lit(0.003))
-                    + F.col("__c") * F.lit(0.011)
-                    + i * F.lit(0.0)
-                ).cast("float"),
-            )
+            F.transform("embedding", nudge)
         ),
     )
     wr(emb.drop("__c"), "embeddings")
