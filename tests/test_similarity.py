@@ -178,3 +178,52 @@ def test_hard_negatives_respects_label_and_ceiling(spark):
     assert (81, 80) not in pairs and (80, 81) not in pairs
     # every source with any eligible candidate appears
     assert len({r.src_id for r in out}) >= 75
+
+
+def test_adaptive_lsh_bits_occupancy_contract():
+    """Bucket bits must grow with log2(n/target) so expected occupancy
+    stays bounded as the corpus scales (fixed bits measured 425x time
+    on a 100x input), while the certification regime (<=16k rows at
+    target 1024) keeps the 4-bit blocks the static oracles reproduce."""
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        adaptive_lsh_bits,
+    )
+
+    # certification regime: floor holds through 16k rows
+    for n in (0, 1, 200, 2000, 16 * 1024):
+        assert adaptive_lsh_bits(n) == 4
+    # scale regime: occupancy n/2^bits stays within [target/2, target]
+    for n in (10**5, 2 * 10**5, 10**6, 10**7, 10**8 // 2):
+        bits = adaptive_lsh_bits(n)
+        assert n / (1 << bits) <= 1024
+        assert n / (1 << bits) > 256
+    # ceiling caps the bucket count
+    assert adaptive_lsh_bits(10**12) == 16
+    # monotone in n
+    vals = [adaptive_lsh_bits(n) for n in range(1, 10**6, 7919)]
+    assert vals == sorted(vals)
+
+
+def test_knn_kernel_chunking_exact(spark):
+    """The row-chunked matmul (the skew-bucket OOM guard) must be
+    result-identical to the single-chunk path: chunk_rows=16 forces a
+    90-row block through 6 chunk boundaries, including diagonal masking
+    at non-zero chunk offsets."""
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        knn_within_blocks,
+    )
+
+    rows = _clustered(n_clusters=3, per_cluster=30, dim=8, seed=11)
+    df = spark.createDataFrame(
+        [(vid, v, 0) for vid, v in rows],
+        "vec_id long, embedding array<double>, block int",
+    )
+    chunked = knn_within_blocks(
+        df, k=3, block_col="block", chunk_rows=16
+    ).collect()
+    whole = knn_within_blocks(
+        df, k=3, block_col="block", chunk_rows=10**6
+    ).collect()
+    key = lambda r: (r.src_id, r.rank, r.nbr_id, r.cosine)  # noqa: E731
+    assert sorted(map(key, chunked)) == sorted(map(key, whole))
+    assert len(chunked) == 90 * 3

@@ -177,20 +177,33 @@ def _knn_blocked_oracle(bits: int = 4, seed: int = 42, dim: int = 64, k: int = 5
     "knn_blocked_lsh",
     _knn_blocked_oracle(),
     note="LSH-blocked k-NN over the whole embeddings table — the scale path "
-    "knn_allpairs_small is the recall oracle for: sign-LSH(4 bits) coarse "
+    "knn_allpairs_small is the recall oracle for: sign-LSH coarse "
     "partition, then one Arrow numpy matmul per bucket emits only top-5 per "
-    "source (operators/similarity.py knn_within_blocks). O(b^2) per bucket, "
-    "single shuffle on the bucket key, no global self-join; the IVF pattern "
-    "at 100 TB with a learned coarse quantizer in place of LSH",
+    "source (operators/similarity.py knn_within_blocks). Bucket bits scale "
+    "with log2(n/1024) (adaptive_lsh_bits) so occupancy — and the per-block "
+    "O(b^2) verify — stays bounded as the corpus grows (fixed 4 bits "
+    "measured 425x time on a 100x input; adaptive stays ~linear); at the "
+    "certification SF the floor keeps bits=4, the regime the static oracle "
+    "reproduces. Single shuffle on the bucket key, no global self-join; the "
+    "IVF pattern at 100 TB with a learned coarse quantizer in place of LSH",
 )
 def q_knn_blocked_lsh(spark, sf_dir):
-    from ..operators.similarity import knn_within_blocks, lsh_bucket_batched
+    from ..operators.similarity import (
+        adaptive_lsh_bits,
+        knn_within_blocks,
+        lsh_bucket_batched,
+    )
 
     # Arrow-batched bucket kernel: same hyperplane draw as the JVM
     # lsh_bucket (pytest-pinned agreement) but one numpy matmul per
-    # Arrow batch instead of `bits` interpreted HOF folds per row
-    e = _t(spark, sf_dir, "embeddings").withColumn(
-        "block", lsh_bucket_batched(F.col("embedding"), dim=64, bits=4, seed=42)
+    # Arrow batch instead of `bits` interpreted HOF folds per row.
+    # Bits adapt to corpus size (one scalar count) — bits=4 below ~16k
+    # rows, so the sf0.01 oracle regime is unchanged.
+    e = _t(spark, sf_dir, "embeddings")
+    bits = adaptive_lsh_bits(e.count())
+    e = e.withColumn(
+        "block",
+        lsh_bucket_batched(F.col("embedding"), dim=64, bits=bits, seed=42),
     )
     knn = knn_within_blocks(e, k=5, block_col="block")
     return knn.select("src_id", "nbr_id", "cosine", "rank").orderBy(
@@ -250,18 +263,23 @@ def _hard_negatives_oracle(
     "same-label candidates are false negatives for the loss, and "
     "above-ceiling pairs are near-dups that would teach the model to "
     "split duplicates. Same scale shape as knn_blocked_lsh: sign-LSH "
-    "coarse blocks, one Arrow matmul per block, top-k per source, one "
+    "coarse blocks (adaptive bit count, bits=4 in the certification "
+    "regime), one Arrow matmul per block, top-k per source, one "
     "shuffle — the constraint masks run inside the kernel on the "
     "rounded cosine so the ceiling compares identically to the oracle",
 )
 def q_hard_negatives_topk(spark, sf_dir):
     from ..operators.similarity import (
+        adaptive_lsh_bits,
         hard_negatives_within_blocks,
         lsh_bucket_batched,
     )
 
-    e = _t(spark, sf_dir, "embeddings").withColumn(
-        "block", lsh_bucket_batched(F.col("embedding"), dim=64, bits=4, seed=42)
+    e = _t(spark, sf_dir, "embeddings")
+    bits = adaptive_lsh_bits(e.count())
+    e = e.withColumn(
+        "block",
+        lsh_bucket_batched(F.col("embedding"), dim=64, bits=bits, seed=42),
     )
     mined = hard_negatives_within_blocks(e, k=5, block_col="block")
     return mined.select("src_id", "nbr_id", "cosine", "rank").orderBy(
