@@ -93,6 +93,61 @@ def test_ngram_jaccard_blocked_by_lang(spark):
     assert all(4 not in p for p in found)
 
 
+def test_ngram_jaccard_prefix_plain_parity(spark):
+    # The adaptive dispatcher swaps candidate-generation plans at
+    # PREFIX_FILTER_MIN_DOCS; both must return the identical exact
+    # pair set.  Corpus: template docs with word-level edits so pairs
+    # span jaccard values on both sides of the threshold.
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs_from_grams,
+    )
+
+    base = (
+        "w{} x{} common tokens shared across every doc in this block "
+        "with enough trailing words that a single edited token still "
+        "leaves the surviving shingle overlap above the top threshold"
+    )
+    rows = []
+    for i in range(40):
+        fam, edit = divmod(i, 4)
+        words = base.format(fam, fam).split()
+        words[edit] = f"edit{i}"          # 4-doc families of near-dups
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = df.select(
+        "doc_id", shingles_udf(3)(F.col("text")).alias("grams")
+    )
+    for thresh in (0.3, 0.5, 0.8):
+        got = {}
+        for mode in (False, True):
+            pairs = ngram_jaccard_pairs_from_grams(
+                grams, threshold=thresh, prefix_filter=mode
+            )
+            got[mode] = {
+                (r.id_a, r.id_b): round(r.jaccard, 9)
+                for r in pairs.collect()
+            }
+        assert got[False] == got[True], f"paths diverge at t={thresh}"
+        assert got[False], f"degenerate test: no pairs at t={thresh}"
+    # plan shapes actually differ: only the prefix path ranks grams
+    plain = ngram_jaccard_pairs_from_grams(grams, prefix_filter=False)
+    pref = ngram_jaccard_pairs_from_grams(grams, prefix_filter=True)
+    assert "row_number" not in plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in pref._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ngram_jaccard_auto_picks_plain_below_cutover(spark):
+    # auto on a small corpus must resolve to the plain plan (no
+    # document-frequency rank) and still find the known pairs
+    pairs = ngram_jaccard_pairs(
+        _docs(spark), block_col="lang", n=3, threshold=0.3
+    )
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in found
+
+
 def test_embedding_dup_pairs_lsh_default(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

@@ -311,6 +311,17 @@ def minhash_near_dup_pairs(
     )
 
 
+# Below this corpus size the plain inverted index wins: the prefix
+# filter's document-frequency pass + per-doc rank costs two extra
+# shuffles whose fixed latency exceeds the Sum df² volume it prunes
+# (sf0.1 measured: plain 0.67 s vs prefix 1.34 s; sf1 the ordering
+# flips by 5x+).  Same adaptive-certification pattern as
+# similarity.adaptive_lsh_bits: small inputs run the simple exact
+# plan the oracle regime exercises, big inputs get the scale plan,
+# and a parity test pins the two paths to identical output.
+PREFIX_FILTER_MIN_DOCS = 20_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -318,6 +329,7 @@ def ngram_jaccard_pairs(
     block_col: str | None = "lang",
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via an inverted-index join.
 
@@ -344,6 +356,11 @@ def ngram_jaccard_pairs(
     ``block_col=None`` candidates pair across the whole corpus — still
     bounded, because only docs sharing a gram ever meet.
     """
+    if prefix_filter == "auto":
+        # resolve BEFORE shingling: the count prunes down to the id
+        # column on a parquet-backed input, so the UDF never runs for
+        # the decision (it would if from_grams counted the gram df).
+        prefix_filter = df.select(id_col).count() >= PREFIX_FILTER_MIN_DOCS
     grams = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
@@ -351,7 +368,7 @@ def ngram_jaccard_pairs(
     ).filter(F.size("grams") > 0)
     return ngram_jaccard_pairs_from_grams(
         grams, grams_col="grams", id_col=id_col, block_col=block_col,
-        threshold=threshold,
+        threshold=threshold, prefix_filter=bool(prefix_filter),
     )
 
 
@@ -361,9 +378,10 @@ def ngram_jaccard_pairs_from_grams(
     id_col: str = "doc_id",
     block_col: str | None = None,
     threshold: float = 0.5,
+    prefix_filter: bool | str = "auto",
 ) -> DataFrame:
-    """Prefix-filtered inverted-index Jaccard over PRE-COMPUTED gram
-    arrays.
+    """Inverted-index Jaccard over PRE-COMPUTED gram arrays, with an
+    adaptive prefix filter.
 
     Split out of ``ngram_jaccard_pairs`` so pipelines that materialize
     their shingles (e.g. a curation stage checkpointing to parquet) pay
@@ -390,16 +408,93 @@ def ngram_jaccard_pairs_from_grams(
     per-doc window whose partitions are bounded by a single document's
     gram count.  With ``block_col`` candidates are additionally scoped
     to equal block keys (the lemma holds a fortiori on a subset).
+
+    ``prefix_filter``: ``True`` forces the prefix-filtered plan,
+    ``False`` the plain inverted index (whose two fewer shuffles win
+    below ~``PREFIX_FILTER_MIN_DOCS`` docs), ``"auto"`` (default)
+    picks by a row count of ``df`` projected to ``id_col`` — one cheap
+    job (metadata-only on a bare parquet scan).  Both paths return the
+    identical exact pair set (parity-pinned in tests); only the
+    candidate-generation plan differs.
     """
     if threshold <= 0:
         raise ValueError("inverted-index jaccard requires threshold > 0")
-    from pyspark.sql.window import Window
+    if prefix_filter == "auto":
+        prefix_filter = (
+            df.select(id_col).count() >= PREFIX_FILTER_MIN_DOCS
+        )
 
     grams = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         F.col(grams_col).alias("grams"),
     ).filter(F.size("grams") > 0)
+    if prefix_filter:
+        return _jaccard_pairs_prefix(grams, id_col, block_col, threshold)
+    return _jaccard_pairs_plain(grams, id_col, block_col, threshold)
+
+
+def _jaccard_pairs_plain(
+    grams: DataFrame,
+    id_col: str,
+    block_col: str | None,
+    threshold: float,
+) -> DataFrame:
+    """Plain inverted index: join on every gram hash, count shared
+    grams per pair in one partial-aggregable groupBy.  Optimal while
+    Sum df² stays small (small corpora / high-entropy grams); the
+    dispatcher above swaps in the prefix-filtered plan past the
+    corpus-size cutover."""
+    ex = (
+        grams.select(
+            F.col(id_col),
+            *([F.col(block_col)] if block_col else []),
+            F.size("grams").alias("n_grams"),
+            F.explode("grams").alias("g"),
+        )
+        .select(
+            id_col,
+            *([block_col] if block_col else []),
+            "n_grams",
+            F.xxhash64("g").alias("gh"),
+        )
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.gh") == F.col("b.gh")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_grams").alias("n_a"),
+            F.col("b.n_grams").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _jaccard_pairs_prefix(
+    grams: DataFrame,
+    id_col: str,
+    block_col: str | None,
+    threshold: float,
+) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered candidate join + exact verify
+    on hashed gram arrays (see ``ngram_jaccard_pairs_from_grams``)."""
+    from pyspark.sql.window import Window
 
     ex = (
         grams.select(
