@@ -148,6 +148,56 @@ def test_ngram_jaccard_auto_picks_plain_below_cutover(spark):
     assert (0, 1) in found
 
 
+def test_substring_dup_spans_known_corpus(spark):
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        # docs 0/1 share a 6-token passage at different offsets
+        (0, f"intro words here {shared} tail zero"),
+        (1, f"{shared} completely different continuation text"),
+        # doc 2 repeats a 5-token phrase internally (self-duplication)
+        (2, "one two three four five filler one two three four five"),
+        # doc 3 shares nothing 4 tokens long with anyone
+        (3, "unrelated content with no overlapping window at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dup_spans(df, k=4).collect()
+    spans = {(r.doc_id, r.span_start, r.span_end): r.n_dup_windows for r in out}
+    # shared passage: 6 tokens -> 3 dup 4-windows, merged to one span
+    # doc 0 tokens: intro(0) words(1) here(2) alpha(3).. zeta(8) tail(9) zero(10)
+    assert spans[(0, 3, 8)] == 3
+    assert spans[(1, 0, 5)] == 3
+    # doc 2: "one two three four five" at 0..4 and 6..10 -> two spans
+    # of 2 windows each (starts 0,1 and 6,7), NOT merged (gap 6-1 > 4)
+    assert spans[(2, 0, 4)] == 2
+    assert spans[(2, 6, 10)] == 2
+    assert all(d != 3 for d, _, _ in spans)
+    # output is (doc, start)-ordered
+    got = [(r.doc_id, r.span_start) for r in out]
+    assert got == sorted(got)
+
+
+def test_substring_dup_spans_merges_overlaps(spark):
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    # ten-token passage shared verbatim -> every 4-window inside it is
+    # duplicated; the 7 windows must merge into ONE maximal span
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    rows = [(0, f"{passage} x0 y0"), (1, f"z1 z2 {passage}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.span_start, r.span_end, r.n_dup_windows)
+        for r in substring_dup_spans(df, k=4).collect()
+    }
+    assert out[0] == (0, 9, 7)
+    assert out[1] == (2, 11, 7)
+
+
 def test_embedding_dup_pairs_lsh_default(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

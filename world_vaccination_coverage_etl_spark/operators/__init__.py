@@ -6,6 +6,7 @@ from .dedup import (
     simhash_near_dup_pairs,
     ngram_jaccard_pairs,
     embedding_cosine_dup_pairs,
+    substring_dup_spans,
 )
 from .similarity import (
     cosine_topk_bruteforce,
@@ -34,6 +35,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "embedding_cosine_dup_pairs",
+    "substring_dup_spans",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "knn_all_pairs_bruteforce",

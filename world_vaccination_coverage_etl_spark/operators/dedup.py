@@ -859,6 +859,103 @@ def ngram_contamination_pairs(
 
 
 # --------------------------------------------------------------------------
+# exact duplicated-substring spans (suffix-array dedup, k-window form)
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact duplicated-substring detection, the k-token-window form
+    of suffix-array corpus dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — their 50-token
+    exact-substring criterion; k is the token analogue).
+
+    A token substring of length >= k duplicated anywhere in the corpus
+    (another document OR another position in the same document)
+    contains at least one duplicated k-token window, and every
+    duplicated k-window witnesses a duplicated substring of length
+    >= k — so flagging duplicated k-windows and merging overlaps
+    yields exactly the maximal duplicated spans at k-token
+    granularity, without building a suffix array.
+
+    Returns one row per maximal span: (doc_id, span_start, span_end,
+    n_dup_windows), token-indexed inclusive, ordered by (doc, start).
+
+    Plan shape (all JVM, shuffle-lean): windows are built ROW-LOCALLY
+    (``transform`` over a ``sequence`` of start offsets + ``slice`` —
+    no self-join, no window function over the token stream) and
+    reduced to their ``xxhash64`` immediately, so the only shuffles
+    are (a) the corpus-wide window-hash count — partial-aggregable,
+    high-cardinality 8-byte key — (b) the semi join flagging
+    duplicated sites, and (c) the per-document gaps-and-islands merge,
+    whose window partitions are bounded by a single document's token
+    count.  Gram strings never cross the wire.  64-bit hash collision
+    odds are ~1e-13 per corpus at 10^6 distinct windows — the same
+    certified contract as the n-gram Jaccard join key.
+    """
+    if k < 2:
+        raise ValueError("substring dedup needs k >= 2")
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-zA-Z0-9]+"),
+        lambda t: t != "",
+    )
+    t = df.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    # one (pos, window-hash) pair per k-window, built row-locally
+    wins = t.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(
+                        F.array_join(F.slice("toks", i + 1, k), " ")
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
+    dup = (
+        wins.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    flagged = wins.join(dup, on="gh", how="left_semi")
+    # merge overlapping/adjacent windows: [p, p+k-1] and [q, q+k-1]
+    # fuse iff q - p <= k (q <= p + k starts a touching-or-overlapping
+    # interval); islands via running sum of gap breaks
+    wo = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        flagged.withColumn("prev", F.lag("pos").over(wo))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") - F.col("prev") > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(wo))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_dup_windows")
+    )
+    return spans.orderBy(id_col, "span_start")
+
+
+# --------------------------------------------------------------------------
 # SimHash, engine-portable flavor (md5 token hash, pure JVM expressions)
 
 SIMHASH_MD5_TOKEN_SPLIT = "[^a-z0-9]+"

@@ -34,6 +34,7 @@ from . import m07_dedup  # noqa: F401,E402
 from . import m08_similarity  # noqa: F401,E402
 from . import m09_multimodal_r5c  # noqa: F401,E402
 from . import m10_tpch_breadth  # noqa: F401,E402
+from . import m11_substring_r6  # noqa: F401,E402
 from ._rotation import _rotated
 
 REGISTRY = _rotated(REGISTRY)

@@ -39,6 +39,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs_from_grams,
     shingles_udf,
     simhash_md5_near_dup_pairs,
+    substring_dup_spans,
 )
 from ..operators.reshape import unpivot_measures
 from ..operators.similarity import (
@@ -120,6 +121,7 @@ __all__ = [
     'ngram_jaccard_pairs_from_grams',
     'shingles_udf',
     'simhash_md5_near_dup_pairs',
+    'substring_dup_spans',
     'unpivot_measures',
     'cosine_topk_bruteforce',
     'cosine_topk_lsh',
