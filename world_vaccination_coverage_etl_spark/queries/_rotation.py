@@ -20,77 +20,69 @@ from ._core import QueryDef  # noqa: F401
 #   5. the tail is everything green in the PREVIOUS round's driver run
 #      — freshest evidence, safest to defer.
 #
-# Round-6 ordering (per the r5 verdict item 2: drain the driver-
-# certification backlog).  The driver's CORRECTNESS gate records only
-# the first 50 registry entries per round; after r1-r5, 88 of the 187
-# registered queries have never had a driver-written correctness row
-# (registry minus the union of CORRECTNESS_r1..r5 names).  This round:
+# Round-7 ordering (per the r6 verdict item 1: finish draining the
+# driver-certification backlog).  After r1-r6, 39 of the 188 registered
+# queries have never had a driver-written correctness row (registry
+# minus the union of CORRECTNESS_r1..r6 names).  This round:
 #
-#   head  (_CERT_EARLY): exactly the 50 OLDEST never-driver-certified
-#          entries, in original registration order (r5b additions
-#          first, then r5c, then r5d) — all are oracle-certified by the
-#          local sweep; this gives them their first driver row.
-#   middle (unlisted):   the remaining 38 never-certified entries, in
-#          registration order — they lead r7's window automatically.
-#   tail  (_CERT_LATE):  all 99 entries with at least one driver row,
-#          least-recently-certified first after the cutoff so any
-#          window wider than 50 re-certifies the stalest evidence.
+#   head  (_CERT_EARLY): ALL 39 never-driver-certified entries, in
+#          original registration order — each gets its first driver
+#          row this round, taking the never-certified backlog to 0.
+#   head fill (positions 40-50): the stalest-certified entries lead
+#          _CERT_LATE, so the remaining 11 window slots re-certify
+#          the least-recently-certified evidence (r2/r3 rows).
+#   tail  (_CERT_LATE): all 149 entries with at least one driver row,
+#          least-recently-certified first (round, then registration
+#          order) so any window wider than 50 re-certifies the stalest
+#          evidence next.
 #
-# Lists are derived mechanically (tools/rotation_audit.py regenerates
-# and checks them); do not hand-edit without re-running the audit.
+# Lists are derived mechanically (tools/rotation_audit.py --emit
+# regenerates them; plain run checks them); do not hand-edit without
+# re-running the audit.
 
 _CERT_EARLY = [
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q13_customer_distribution",
-    "q17_small_qty_revenue",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q16_supplier_diversity",
-    "doc_concat_shards",
-    "sql_api_running_revenue",
-    "domain_cap_sample",
-    "incremental_dedup_new_docs",
-    "streaming_two_level_window",
-    "streaming_sink_jsonl_events",
-    "stream_attribution_outer",
-    "doc_unigram_logprob",
-    "corpus_health_by_source",
-    "exact_k_sample_docs",
-    "hard_negatives_topk",
-    "embedding_norm_stats",
-    "semantic_dedup_clusters",
-    "quantization_error_by_label",
-    "dedup_rate_by_source",
-    "peak_load_1h",
-    "fk_orphan_audit",
-    "zipf_slope_words",
-    "gains_table_embedding",
-    "jackknife_mean_se",
-    "label_separation_stats",
-    "weekday_seasonality",
-    "kfold_assignment_docs",
-    "rolling_slope_7d",
-    "rfm_user_segments",
-    "sql_recursive_calendar",
-    "auc_rank_embedding",
-    "multimodal_byte_entropy",
-    "doc_blocklist_filter",
-    "cdc_apply_user_state",
-    "chi2_independence_lang_source",
-    "heavy_hitters_users",
-    "incremental_agg_merge",
-    "assign_global_ids_docs",
-    "doc_segment_dedup",
-    "embedding_int8_quantize",
-    "profile_orders_columns",
-    "check_constraints_orders",
-    "scd2_user_event_type",
-    "events_daily_ewma",
-    "events_daily_anomaly",
+    "window_range_1h_user",
+    "orders_price_histogram",
+    "agg_median_acctbal",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q20_dominant_promo_supplier",
+    "full_outer_reconcile_users",
+    "window_rank_family",
+    "events_gapfill_locf",
+    "regr_trend_daily_value",
+    "hll_sketch_union_users",
+    "fuzzy_blocked_match_docs",
+    "doc_bigram_logprob",
+    "skew_report_events",
+    "assoc_rules_event_types",
+    "multi_touch_attribution",
+    "revenue_share_window",
+    "mad_outliers_value",
+    "rolling_7d_unique_users",
+    "markov_transition_matrix",
+    "conversion_latency_percentiles",
+    "embedding_covariance",
+    "null_safe_join_nation",
+    "scd2_point_in_time_join",
+    "embedding_hof_flags",
+    "feature_hashing_docs",
+    "variant_props_extract",
+    "fuzzy_entity_clusters",
+    "naive_bayes_lang_confusion",
+    "winsorize_values",
+    "benford_first_digit",
+    "events_cusum_drift",
+    "dup_graph_triangles",
+    "user_activity_streaks",
+    "twap_value_by_type",
+    "bm25_topk_docs",
+    "clustering_coeff_dup_graph",
+    "pagerank_dup_graph",
+    "substring_dup_spans",
 ]
+
+# middle (unlisted; leads next round's window):
 
 _CERT_LATE = [
     "limit_head",
@@ -192,6 +184,56 @@ _CERT_LATE = [
     "decontaminated_corpus",
     "simhash_near_dup",
     "multimodal_features_fake",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q16_supplier_diversity",
+    "doc_concat_shards",
+    "sql_api_running_revenue",
+    "domain_cap_sample",
+    "incremental_dedup_new_docs",
+    "streaming_two_level_window",
+    "streaming_sink_jsonl_events",
+    "stream_attribution_outer",
+    "doc_unigram_logprob",
+    "corpus_health_by_source",
+    "exact_k_sample_docs",
+    "hard_negatives_topk",
+    "embedding_norm_stats",
+    "semantic_dedup_clusters",
+    "quantization_error_by_label",
+    "dedup_rate_by_source",
+    "peak_load_1h",
+    "fk_orphan_audit",
+    "zipf_slope_words",
+    "gains_table_embedding",
+    "jackknife_mean_se",
+    "label_separation_stats",
+    "weekday_seasonality",
+    "kfold_assignment_docs",
+    "rolling_slope_7d",
+    "rfm_user_segments",
+    "sql_recursive_calendar",
+    "auc_rank_embedding",
+    "multimodal_byte_entropy",
+    "doc_blocklist_filter",
+    "cdc_apply_user_state",
+    "chi2_independence_lang_source",
+    "heavy_hitters_users",
+    "incremental_agg_merge",
+    "assign_global_ids_docs",
+    "doc_segment_dedup",
+    "embedding_int8_quantize",
+    "profile_orders_columns",
+    "check_constraints_orders",
+    "scd2_user_event_type",
+    "events_daily_ewma",
+    "events_daily_anomaly",
 ]
 
 
@@ -202,6 +244,3 @@ def _rotated(registry: dict[str, QueryDef]) -> dict[str, QueryDef]:
             raise KeyError(f"rotation list references unknown query {name!r}")
     middle = [n for n in registry if n not in listed]
     return {n: registry[n] for n in (*_CERT_EARLY, *middle, *_CERT_LATE)}
-
-
-
