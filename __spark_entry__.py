@@ -19,8 +19,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from world_vaccination_coverage_etl_spark.queries import REGISTRY
+from world_vaccination_coverage_etl_spark.queries._core import resolve_oracle
 
 SF0001_DIR = "/root/testdata/sf0.001"
+# The driver certifies queries() against oracle_sql() at sf=0.01; a
+# few oracles are data-adaptive callables (their SQL embeds a plan
+# constant derived from the warehouse, e.g. the LSH bit count) and are
+# resolved here against the driver's certification warehouse.
+CERT_SF_DIR = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -38,4 +44,8 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI oracle per query; non-SQL-expressible ops
     (t-CDF p-values, the flag UDF, LSH internals) are omitted so the
     driver records its weaker rows-only check for them."""
-    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle}
+    return {
+        name: resolve_oracle(qd, CERT_SF_DIR)
+        for name, qd in REGISTRY.items()
+        if qd.oracle
+    }

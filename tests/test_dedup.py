@@ -136,6 +136,40 @@ def test_ngram_jaccard_prefix_plain_parity(spark):
     assert "row_number" in pref._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_ngram_jaccard_multiset_grams_parity(spark):
+    # Jaccard is a SET similarity; caller-supplied gram arrays with
+    # DUPLICATE grams must produce identical (set-semantics) values on
+    # both physical plans (ADVICE r6: the plain path used to count
+    # shared grams with multiplicity, silently flipping results with
+    # corpus size at the auto-dispatch cutover).
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs_from_grams,
+    )
+
+    rows = [
+        # duplicated shared gram "aa": multiset counting would see
+        # inter=3 (aa×2·aa×1 join rows + bb) over n_a=3, n_b=2 → J>1
+        (0, ["aa", "aa", "bb"]),
+        (1, ["aa", "bb"]),
+        (2, ["cc", "cc", "dd", "dd"]),
+        (3, ["cc", "dd", "ee"]),
+    ]
+    grams = spark.createDataFrame(rows, "doc_id long, grams array<string>")
+    got = {}
+    for mode in (False, True):
+        pairs = ngram_jaccard_pairs_from_grams(
+            grams, threshold=0.3, prefix_filter=mode
+        )
+        got[mode] = {
+            (r.id_a, r.id_b): round(r.jaccard, 9) for r in pairs.collect()
+        }
+    assert got[False] == got[True]
+    # true set jaccards: {aa,bb}∩{aa,bb}=2/2=1.0 ; {cc,dd}∩{cc,dd,ee}=2/3
+    assert got[False][(0, 1)] == 1.0
+    assert got[False][(2, 3)] == round(2 / 3, 9)
+    assert all(j <= 1.0 for j in got[False].values())
+
+
 def test_ngram_jaccard_auto_picks_plain_below_cutover(spark):
     # auto on a small corpus must resolve to the plain plan (no
     # document-frequency rank) and still find the known pairs

@@ -227,3 +227,32 @@ def test_knn_kernel_chunking_exact(spark):
     key = lambda r: (r.src_id, r.rank, r.nbr_id, r.cosine)  # noqa: E731
     assert sorted(map(key, chunked)) == sorted(map(key, whole))
     assert len(chunked) == 90 * 3
+
+
+def test_hard_negatives_kernel_chunking_exact(spark):
+    """Chunk-boundary parity for the hard-negative miner (ADVICE r6):
+    its same-label slice and dup-ceiling mask index at non-zero chunk
+    offsets, so chunk_rows=16 through a 90-row block must reproduce the
+    single-chunk result exactly."""
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        hard_negatives_within_blocks,
+    )
+
+    rows = _clustered(n_clusters=3, per_cluster=30, dim=8, seed=13)
+    df = spark.createDataFrame(
+        [(vid, v, vid % 4, 0) for vid, v in rows],
+        "vec_id long, embedding array<double>, label int, block int",
+    )
+    chunked = hard_negatives_within_blocks(
+        df, k=3, block_col="block", chunk_rows=16
+    ).collect()
+    whole = hard_negatives_within_blocks(
+        df, k=3, block_col="block", chunk_rows=10**6
+    ).collect()
+    key = lambda r: (r.src_id, r.rank, r.nbr_id, r.cosine)  # noqa: E731
+    assert sorted(map(key, chunked)) == sorted(map(key, whole))
+    assert chunked  # degenerate-test guard
+    # constraints hold under chunking: no same-label, none above ceiling
+    labels = {vid: vid % 4 for vid, _ in rows}
+    assert all(labels[r.src_id] != labels[r.nbr_id] for r in chunked)
+    assert all(r.cosine <= 0.95 for r in chunked)

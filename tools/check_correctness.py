@@ -24,6 +24,7 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from world_vaccination_coverage_etl_spark.queries import REGISTRY  # noqa: E402
+from world_vaccination_coverage_etl_spark.queries._core import resolve_oracle  # noqa: E402
 from world_vaccination_coverage_etl_spark.session import get_spark  # noqa: E402
 
 TABLES = [
@@ -36,8 +37,11 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        if os.path.isdir(path):  # Spark-written directory table
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
@@ -104,7 +108,7 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            duck_pdf = con.execute(qd.oracle).fetchdf()
+            duck_pdf = con.execute(resolve_oracle(qd, sf_dir)).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name:28s} duckdb-error: {str(exc)[:200]}")
             n_fail += 1

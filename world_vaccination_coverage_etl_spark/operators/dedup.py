@@ -416,6 +416,15 @@ def ngram_jaccard_pairs_from_grams(
     job (metadata-only on a bare parquet scan).  Both paths return the
     identical exact pair set (parity-pinned in tests); only the
     candidate-generation plan differs.
+
+    Gram arrays are normalized with ``array_distinct`` up front:
+    Jaccard is a SET similarity, and without the normalization the two
+    physical plans would disagree on multiset inputs (the plain path
+    counts shared grams per join row — i.e. with multiplicity — while
+    the prefix path verifies with ``array_intersect``, which is
+    set-semantics).  The in-repo shingle producers already emit
+    distinct grams, so for them this is a no-op; the normalization
+    makes the plan dispatch value-safe for ANY caller-supplied arrays.
     """
     if threshold <= 0:
         raise ValueError("inverted-index jaccard requires threshold > 0")
@@ -427,7 +436,7 @@ def ngram_jaccard_pairs_from_grams(
     grams = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
-        F.col(grams_col).alias("grams"),
+        F.array_distinct(F.col(grams_col)).alias("grams"),
     ).filter(F.size("grams") > 0)
     if prefix_filter:
         return _jaccard_pairs_prefix(grams, id_col, block_col, threshold)

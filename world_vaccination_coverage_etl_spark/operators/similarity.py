@@ -321,6 +321,7 @@ def hard_negatives_within_blocks(
     block_col: str = "block",
     dup_ceiling: float = 0.95,
     round_dp: int = 6,
+    chunk_rows: int = 4096,
 ) -> DataFrame:
     """Hard-negative mining — the contrastive-training companion to
     `knn_within_blocks`.
@@ -353,7 +354,9 @@ def hard_negatives_within_blocks(
         scale = 10.0 ** round_dp
         out_src, out_nbr, out_cos, out_rank = [], [], [], []
         # row-chunked like _knn_block: O(chunk·b) memory, exact ranking
-        chunk = 4096
+        # (the masks index by absolute column, so results are
+        # chunk-size-invariant — pinned by the parity test)
+        chunk = max(1, chunk_rows)
         for i0 in range(0, n, chunk):
             i1 = min(i0 + chunk, n)
             cos = unit[i0:i1] @ unit.T

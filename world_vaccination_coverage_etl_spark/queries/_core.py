@@ -77,19 +77,46 @@ Q1_CUTOFF = "2001-09-01"
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None => not SQL-expressible; driver does rows-only
+    # None => not SQL-expressible; driver does rows-only.  A callable
+    # receives the warehouse dir and returns the SQL — for oracles
+    # whose text depends on a data-adaptive plan constant (e.g. the
+    # LSH bit count scales with the embedding count), so the oracle
+    # certifies the SAME regime the Spark plan runs at any SF.
+    oracle: str | Callable[[str], str] | None
     note: str = ""
 
 
 REGISTRY: dict[str, QueryDef] = {}
 
 
-def register(name: str, oracle: str | None, note: str = ""):
+def register(name: str, oracle: str | Callable[[str], str] | None, note: str = ""):
     def deco(fn):
         REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, note=note)
         return fn
 
     return deco
+
+
+def resolve_oracle(qd: QueryDef, sf_dir: str) -> str | None:
+    """Oracle SQL for `qd` at `sf_dir` (calls data-adaptive oracles)."""
+    return qd.oracle(sf_dir) if callable(qd.oracle) else qd.oracle
+
+
+def parquet_num_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footer metadata — no engine needed, so
+    data-adaptive oracle callables stay cheap and Spark-free."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -146,5 +173,7 @@ __all__ = [
     'QueryDef',
     'REGISTRY',
     'register',
+    'resolve_oracle',
+    'parquet_num_rows',
     '_t',
 ]

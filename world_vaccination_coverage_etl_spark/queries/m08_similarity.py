@@ -173,19 +173,34 @@ def _knn_blocked_oracle(bits: int = 4, seed: int = 42, dim: int = 64, k: int = 5
     """
 
 
+def _knn_blocked_oracle_adaptive(sf_dir: str) -> str:
+    """Data-adaptive oracle: generates the bucket literals from the
+    SAME bit count `q_knn_blocked_lsh` computes for this warehouse, so
+    certification at any SF (not just the bits=4 floor regime) compares
+    identical bucketings (ADVICE r6: the static bits=4 oracle would
+    diverge spuriously past 16k embeddings)."""
+    from ..operators.similarity import adaptive_lsh_bits
+
+    return _knn_blocked_oracle(
+        bits=adaptive_lsh_bits(parquet_num_rows(sf_dir, "embeddings"))
+    )
+
+
 @register(
     "knn_blocked_lsh",
-    _knn_blocked_oracle(),
+    _knn_blocked_oracle_adaptive,
     note="LSH-blocked k-NN over the whole embeddings table — the scale path "
     "knn_allpairs_small is the recall oracle for: sign-LSH coarse "
     "partition, then one Arrow numpy matmul per bucket emits only top-5 per "
     "source (operators/similarity.py knn_within_blocks). Bucket bits scale "
     "with log2(n/1024) (adaptive_lsh_bits) so occupancy — and the per-block "
     "O(b^2) verify — stays bounded as the corpus grows (fixed 4 bits "
-    "measured 425x time on a 100x input; adaptive stays ~linear); at the "
-    "certification SF the floor keeps bits=4, the regime the static oracle "
-    "reproduces. Single shuffle on the bucket key, no global self-join; the "
-    "IVF pattern at 100 TB with a learned coarse quantizer in place of LSH",
+    "measured 425x time on a 100x input; adaptive stays ~linear). The "
+    "oracle is a callable of the warehouse dir generating its bucket "
+    "literals from the same adaptive bit count, so certification is "
+    "regime-safe at any SF. Single shuffle on the bucket key, no global "
+    "self-join; the IVF pattern at 100 TB with a learned coarse "
+    "quantizer in place of LSH",
 )
 def q_knn_blocked_lsh(spark, sf_dir):
     from ..operators.similarity import (
@@ -254,19 +269,29 @@ def _hard_negatives_oracle(
     """
 
 
+def _hard_negatives_oracle_adaptive(sf_dir: str) -> str:
+    """Data-adaptive oracle (see `_knn_blocked_oracle_adaptive`)."""
+    from ..operators.similarity import adaptive_lsh_bits
+
+    return _hard_negatives_oracle(
+        bits=adaptive_lsh_bits(parquet_num_rows(sf_dir, "embeddings"))
+    )
+
+
 @register(
     "hard_negatives_topk",
-    _hard_negatives_oracle(),
+    _hard_negatives_oracle_adaptive,
     note="hard-negative mining for contrastive training (operators/"
     "similarity.py hard_negatives_within_blocks): per vector, the top-5 "
     "most-similar OTHER-labeled vectors with 6-dp cosine <= 0.95 — "
     "same-label candidates are false negatives for the loss, and "
     "above-ceiling pairs are near-dups that would teach the model to "
     "split duplicates. Same scale shape as knn_blocked_lsh: sign-LSH "
-    "coarse blocks (adaptive bit count, bits=4 in the certification "
-    "regime), one Arrow matmul per block, top-k per source, one "
-    "shuffle — the constraint masks run inside the kernel on the "
-    "rounded cosine so the ceiling compares identically to the oracle",
+    "coarse blocks (adaptive bit count, generated into the oracle per "
+    "warehouse so certification is regime-safe at any SF), one Arrow "
+    "matmul per block, top-k per source, one shuffle — the constraint "
+    "masks run inside the kernel on the rounded cosine so the ceiling "
+    "compares identically to the oracle",
 )
 def q_hard_negatives_topk(spark, sf_dir):
     from ..operators.similarity import (
