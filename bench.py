@@ -83,6 +83,32 @@ def main() -> int:
         "wall_both_passes": wall,
         "n_queries": len(per_query),
     }
+    # host-normalized comparison vs the recorded BASELINE.md table
+    # (r6 verdict item 5): host factor = median ratio over the 20
+    # cheapest baseline queries (plan-identical, overhead-dominated —
+    # their drift is the machine, not the plans); the worst-5
+    # normalized ratios separate "plan slower" from "host slower"
+    # mechanically in the driver-captured tail.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from bench_compare import host_factor, load_baseline_md
+
+        base = load_baseline_md(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+        )
+        host = round(host_factor(base, per_query), 3)
+        norm = {
+            q: round(per_query[q] / base[q] / host, 2)
+            for q in base
+            if q in per_query and base[q] > 0
+        }
+        full["host_factor_vs_baseline"] = host
+        full["norm_worst5"] = dict(
+            sorted(norm.items(), key=lambda kv: -kv[1])[:5]
+        )
+    except Exception as exc:  # noqa: BLE001 — comparison is advisory
+        print(f"[bench] baseline compare skipped: {exc}", file=sys.stderr)
+
     local_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )

@@ -1,0 +1,165 @@
+"""Pure-stdlib PNG codec (operators/png_codec.py) + the real-decode
+path of decode_image_batch it unlocks.
+
+The decoder is the engine's everywhere-available real media decode
+(r6 verdict: the PIL-gated path had never executed in CI); these tests
+pin round-trips through every filter type and color type, the Pillow
+luma parity (auto-skipped where PIL is absent), and the corrupt /
+unsupported error tiers the mapInPandas kernel maps to sentinel /
+PIL-fallback respectively.
+"""
+
+import struct
+import zlib
+
+import pytest
+
+from world_vaccination_coverage_etl_spark.operators.png_codec import (
+    PNGCorruptError,
+    PNGUnsupportedError,
+    _chunk,
+    is_png,
+    png_decode,
+    png_decode_pixels,
+    png_encode,
+)
+
+
+def _gray_pixels(w, h):
+    return bytes((x * 7 + y * 31) % 256 for y in range(h) for x in range(w))
+
+
+def test_roundtrip_gray_every_filter_type():
+    # 5 rows, one per filter type 0-4: every unfilter branch executes
+    w, h = 6, 5
+    px = _gray_pixels(w, h)
+    blob = png_encode(w, h, px, color_type=0, row_filters=[0, 1, 2, 3, 4])
+    assert is_png(blob)
+    gw, gh, ch, got = png_decode_pixels(blob)
+    assert (gw, gh, ch) == (w, h, 1)
+    assert got == px
+    dw, dh, mean = png_decode(blob)
+    assert (dw, dh) == (w, h)
+    assert mean == pytest.approx(sum(px) / (w * h))
+
+
+@pytest.mark.parametrize("color_type,channels", [(2, 3), (6, 4), (4, 2)])
+def test_roundtrip_color_types(color_type, channels):
+    w, h = 4, 3
+    px = bytes((i * 13 + 5) % 256 for i in range(w * h * channels))
+    blob = png_encode(
+        w, h, px, color_type=color_type, row_filters=[4, 3, 1]
+    )
+    gw, gh, ch, got = png_decode_pixels(blob)
+    assert (gw, gh, ch) == (w, h, channels)
+    assert got == px
+
+
+def test_luma_matches_pillow_formula():
+    # one red, one green, one blue, one white pixel
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    blob = png_encode(4, 1, px, color_type=2)
+    _, _, mean = png_decode(blob)
+    lum = [
+        (r * 19595 + g * 38470 + b * 7471) >> 16
+        for r, g, b in [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    ]
+    assert mean == pytest.approx(sum(lum) / 4)
+    assert lum == [76, 149, 29, 255]  # Pillow convert("L") values
+
+
+def test_palette_decode():
+    # encoder doesn't emit type 3; build one by hand: 2x2, palette of 3
+    plte = bytes([10, 20, 30, 200, 100, 0, 0, 0, 255])
+    idx = bytes([0, 1, 2, 1])
+    raw = b"\x00" + idx[:2] + b"\x00" + idx[2:]
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    blob = (
+        sig
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    w, h, ch, px = png_decode_pixels(blob)
+    assert (w, h, ch) == (2, 2, 3)
+    assert px == plte[0:3] + plte[3:6] + plte[6:9] + plte[3:6]
+
+
+def test_corrupt_payloads_raise_corrupt():
+    good = png_encode(3, 3, _gray_pixels(3, 3))
+    for bad in [
+        b"not a png at all",
+        good[:12],  # truncated mid-IHDR
+        good[:8],  # signature only
+        good[: len(good) - 20],  # IEND + IDAT tail cut
+        good[:33] + b"\x00\x00\x00\x08IDAT\xde\xad\xbe\xef\xde\xad\xbe\xef" + good[-12:],
+    ]:
+        with pytest.raises(PNGCorruptError):
+            png_decode(bad)
+
+
+def test_unsupported_profile_raises_unsupported():
+    # 16-bit depth and interlaced: valid PNGs outside the baseline
+    sig = b"\x89PNG\r\n\x1a\n"
+    for depth, interlace in [(16, 0), (8, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+        blob = (
+            sig
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00"))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(PNGUnsupportedError):
+            png_decode(blob)
+
+
+def test_parity_with_pillow():
+    """Where PIL is importable, stdlib decode must agree to the bit
+    with PIL on dims and mean grayscale for every color type."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from world_vaccination_coverage_etl_spark.operators.multimodal import _pil_decode
+
+    for ct, ch in [(0, 1), (2, 3), (6, 4)]:
+        w, h = 5, 4
+        px = bytes((i * 17 + 3) % 256 for i in range(w * h * ch))
+        blob = png_encode(w, h, px, color_type=ct, row_filters=[0, 1, 2, 4])
+        sw, sh, smean = png_decode(blob)
+        pw, ph, pmean = _pil_decode(blob)
+        assert (sw, sh) == (pw, ph)
+        assert smean == pytest.approx(pmean)
+        # also confirm PIL itself parses the encoder's output
+        with Image.open(io.BytesIO(blob)) as im:
+            assert im.size == (w, h)
+
+
+def test_decode_image_batch_real_png(spark):
+    """decode_image_batch(fake=False) decodes PNGs through the stdlib
+    codec on ANY deployment: valid PNG → real dims/mean, corrupt PNG →
+    sentinel, NULL → sentinel.  (Non-PNG payloads without PIL raise —
+    pinned by test_multimodal.test_decode_without_fake_raises_only_without_pil.)
+    """
+    from world_vaccination_coverage_etl_spark.operators.multimodal import (
+        decode_image_batch,
+    )
+
+    w, h = 4, 2
+    px = _gray_pixels(w, h)
+    good = png_encode(w, h, px, color_type=0, row_filters=[3, 4])
+    corrupt = good[:20] + b"\x00" * 8
+    df = spark.createDataFrame(
+        [
+            (0, "image/png", bytearray(good)),
+            (1, "image/png", bytearray(corrupt)),
+            (2, "image/png", None),
+        ],
+        "asset_id long, mime string, payload binary",
+    )
+    rows = {r.asset_id: r for r in decode_image_batch(df, fake=False).collect()}
+    assert (rows[0].width, rows[0].height) == (w, h)
+    assert rows[0].mean_intensity == pytest.approx(sum(px) / (w * h))
+    assert (rows[1].width, rows[1].height, rows[1].mean_intensity) == (0, 0, 0.0)
+    assert (rows[2].width, rows[2].height, rows[2].mean_intensity) == (0, 0, 0.0)

@@ -3,10 +3,18 @@
 Raw cross-round totals mislead: the round hosts differ by up to ~2.3x
 on identical code (measured r4->r5 on untouched pure-JVM queries).
 This tool compares two bench JSON lines the way the round notes do by
-hand: estimate the host ratio as the MEDIAN per-query ratio over the
-common query set (robust to a few real regressions/improvements), then
-flag queries whose ratio deviates from that baseline by more than a
+hand: estimate the host ratio as the median per-query ratio, then flag
+queries whose ratio deviates from that baseline by more than a
 threshold in either direction.
+
+Host factor (r6 verdict item 5): the median is taken over the
+TRIVIAL-query subset — the N cheapest queries in the OLD run.  A
+cheap query's cost is scan + fixed overhead with a plan that never
+changes round-to-round, so its drift IS the host; expensive queries
+are exactly the ones whose plans change and must not vote on the
+normalization.  (Two consecutive rounds showed uniform ~1.1-1.3x
+drift on plan-identical cheap queries; an all-query median lets a
+broad real regression masquerade as host drift.)
 
 Usage::
 
@@ -20,8 +28,32 @@ than the host ratio predicts).
 from __future__ import annotations
 
 import json
+import re
 import statistics
 import sys
+
+N_TRIVIAL = 20  # host factor votes: the N cheapest old-run queries
+
+
+def load_baseline_md(path: str) -> dict[str, float]:
+    """Per-query seconds from BASELINE.md's recorded markdown table."""
+    out: dict[str, float] = {}
+    for m in re.finditer(
+        r"^\| ([A-Za-z0-9_]+) \| ([0-9.]+) \|$", open(path).read(), re.M
+    ):
+        out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def host_factor(
+    old: dict[str, float], new: dict[str, float], n_trivial: int = N_TRIVIAL
+) -> float:
+    """Median new/old ratio over the n cheapest old-run queries."""
+    common = [q for q in old if q in new and old[q] > 0]
+    trivial = sorted(common, key=lambda q: old[q])[:n_trivial]
+    if not trivial:
+        return 1.0
+    return statistics.median(new[q] / old[q] for q in trivial)
 
 
 def load(path: str) -> dict[str, float]:
@@ -61,9 +93,10 @@ def main() -> int:
     if not common:
         raise SystemExit("no common queries")
     ratios = {q: new[q] / old[q] for q in common if old[q] > 0}
-    host = statistics.median(ratios.values())
+    host = host_factor(old, new)
     print(
-        f"common={len(common)}  host_ratio(median)={host:.3f}  "
+        f"common={len(common)}  host_ratio(median of {N_TRIVIAL} cheapest)="
+        f"{host:.3f}  all-query median={statistics.median(ratios.values()):.3f}  "
         f"new_only={sorted(set(new) - set(old))}"
     )
     flagged = []

@@ -60,6 +60,12 @@ PROBE = [
     ("doc_repetition_stats", False),
     ("curation_pipeline", False),
     ("semantic_dedup_clusters", True),
+    # r7 additions (r6 verdict item 3): the r6 newcomer + heavy text
+    # ops never probed past sf1
+    ("substring_dup_spans", True),
+    ("doc_bigram_logprob", False),
+    ("naive_bayes_lang_confusion", False),
+    ("tfidf_top_terms", False),
 ]
 
 

@@ -3,11 +3,13 @@
 Design: a multimodal asset is a row with an opaque ``binary`` payload
 plus typed metadata (mime, width/height, sample rate, ...).  The
 Spark-side contract — schema, partitioning, Arrow batch shape, UDF
-signatures — is fully real and tested; the actual media decode is
-STUBBED (the container has no image/audio libraries): ``decode_image_batch``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder derives "pixels" from the payload bytes so
-the pipeline shape can be exercised end-to-end.
+signatures — is fully real and tested.  Decode coverage is tiered:
+PNG payloads decode for real EVERYWHERE through the pure-stdlib codec
+(``operators/png_codec.py`` — zlib inflate + scanline unfilter, PIL
+luma parity); other formats (JPEG, ...) use PIL when importable and
+raise ``NotImplementedError`` where it is absent; ``fake=True`` runs
+a deterministic byte-stat stub so pipeline shape can be exercised
+independent of any codec.
 
 All batch operators use ``mapInPandas`` — per-partition Arrow batches,
 never per-row Python.
@@ -86,30 +88,64 @@ def decode_image_batch(
 ) -> DataFrame:
     """Decode binary images → (width, height, mean_intensity).
 
-    Optional-dependency pattern (mirrors ``functions/chart.py``'s
-    matplotlib handling): with ``fake=False`` the kernel uses PIL when
-    importable ON THE EXECUTOR — real pixel decode inside the same
-    ``mapInPandas`` Arrow contract — and raises ``NotImplementedError``
-    only where PIL is genuinely absent (this sandbox).  ``fake=True``
-    always runs the deterministic byte-stat stub, which is what the
-    oracle-certified registry query pins.  The partitioning contract
-    either way: payloads stay with their partition; no shuffle is
-    introduced by decode.
+    Real decode, tiered by format (``fake=False``):
+
+    - **PNG** payloads decode through the pure-stdlib codec
+      (``png_codec.png_decode`` — full IDAT inflate + unfilter), so
+      the real path executes on every deployment, PIL or not.
+      Structurally corrupt PNGs degrade to the ``(0, 0, 0.0)``
+      sentinel (same as a NULL payload — PIL's kernel behavior);
+      valid-but-exotic PNGs (interlaced, 16-bit) fall through to PIL.
+    - **Other formats** use PIL when importable ON THE EXECUTOR
+      (optional-dependency pattern, mirrors ``functions/chart.py``'s
+      matplotlib handling) and raise ``NotImplementedError`` per
+      payload where PIL is genuinely absent.
+
+    The stdlib and PIL paths agree to the bit on baseline PNGs (same
+    integer luma; parity-pinned in tests).  ``fake=True`` always runs
+    the deterministic byte-stat stub, which is what the
+    ``multimodal_decode_fake`` registry query pins.  The partitioning
+    contract either way: payloads stay with their partition; no
+    shuffle is introduced by decode.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if fake:
             decode = _fake_decode
         else:
+            from .png_codec import (
+                PNGCorruptError,
+                PNGUnsupportedError,
+                is_png,
+                png_decode,
+            )
+
             try:
                 import PIL  # noqa: F401
 
-                decode = _pil_decode
+                pil_ok = True
             except ImportError:
+                pil_ok = False
+
+            def decode(payload: bytes) -> tuple[int, int, float]:
+                if is_png(payload):
+                    try:
+                        return png_decode(payload)
+                    except PNGCorruptError:
+                        return 0, 0, 0.0
+                    except PNGUnsupportedError:
+                        if not pil_ok:
+                            raise NotImplementedError(
+                                "non-baseline PNG decode requires PIL, not "
+                                "present in this environment"
+                            ) from None
+                        return _pil_decode(payload)
+                if pil_ok:
+                    return _pil_decode(payload)
                 raise NotImplementedError(
-                    "media decode requires PIL, not present in this "
+                    "non-PNG media decode requires PIL, not present in this "
                     "environment; pass fake=True for the deterministic stub"
-                ) from None
+                )
         for pdf in batches:
             decoded = [
                 decode(bytes(p)) if p is not None else (0, 0, 0.0)

@@ -1,0 +1,246 @@
+"""Pure-stdlib PNG codec (zlib inflate/deflate + scanline filters).
+
+Why this exists: ``decode_image_batch`` (operators/multimodal.py) is
+the engine's real-media decode surface, but PIL is an optional
+dependency and absent in some deployments (including the build
+sandbox), which left the real-decode path unexecutable there — it
+raised ``NotImplementedError`` for every format.  PNG needs nothing
+beyond the stdlib (``zlib`` for the IDAT stream, ``struct`` for chunk
+framing), so this module implements the full baseline-PNG pipeline —
+chunk walk → IHDR parse → IDAT inflate → per-scanline unfilter
+(all five filter types) → grayscale reduction — making PNG decode
+real and oracle-certifiable everywhere, with PIL only needed for
+other formats (JPEG etc.).
+
+Scope (baseline PNG, the overwhelmingly common profile):
+  - bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); no interlace.
+  - Anything outside that raises ``PNGUnsupportedError`` (callers fall
+    back to PIL); structurally broken payloads raise
+    ``PNGCorruptError`` (callers degrade to the NULL-payload sentinel,
+    mirroring PIL's behavior in the decode kernel).
+
+The grayscale reduction matches Pillow's ``convert("L")`` exactly
+(ITU-R 601-2 integer form: ``(R*19595 + G*38470 + B*7471) >> 16``)
+so stdlib and PIL paths are value-identical on shared formats — the
+parity test pins this where PIL is importable.
+
+The encoder exists so pipelines (and the registry's real-decode
+oracle query) can synthesize deterministic PNGs from table columns;
+it can emit a chosen filter type per scanline, which lets one small
+fixture exercise every unfilter branch of the decoder.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+# channels per pixel by color type (bit depth 8)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PNGCorruptError(ValueError):
+    """Payload claims to be a PNG but is structurally broken."""
+
+
+class PNGUnsupportedError(ValueError):
+    """Valid PNG outside the baseline profile (interlace, depth != 8)."""
+
+
+def is_png(payload: bytes) -> bool:
+    return payload[:8] == _SIGNATURE
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def png_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 0,
+    row_filters: list[int] | None = None,
+) -> bytes:
+    """Encode raw 8-bit pixels into a baseline PNG.
+
+    ``pixels`` is the row-major raw sample stream (``width * height *
+    channels`` bytes).  ``row_filters`` optionally fixes the filter
+    type (0-4) applied to each scanline — deterministic filtering is
+    what lets an oracle predict the exact byte stream; default all 0.
+    """
+    ch = _CHANNELS.get(color_type)
+    if ch is None or color_type == 3:
+        raise PNGUnsupportedError(f"encoder does not emit color type {color_type}")
+    rl = width * ch  # raw bytes per row
+    if len(pixels) != rl * height:
+        raise ValueError(f"need {rl * height} pixel bytes, got {len(pixels)}")
+    filters = row_filters or [0] * height
+    if len(filters) != height:
+        raise ValueError("row_filters length must equal height")
+    raw = bytearray()
+    prior = bytes(rl)
+    for y in range(height):
+        row = pixels[y * rl : (y + 1) * rl]
+        f = filters[y]
+        raw.append(f)
+        for x in range(rl):
+            a = row[x - ch] if x >= ch else 0
+            b = prior[x]
+            c = prior[x - ch] if x >= ch else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - a
+            elif f == 2:
+                v = row[x] - b
+            elif f == 3:
+                v = row[x] - (a + b) // 2
+            elif f == 4:
+                v = row[x] - _paeth(a, b, c)
+            else:
+                raise ValueError(f"filter type {f} out of range 0-4")
+            raw.append(v & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline PNG → ``(width, height, channels, raw_pixels)``.
+
+    ``raw_pixels`` is the reconstructed row-major sample stream after
+    unfiltering; palette images are expanded to RGB (channels=3).
+    """
+    if not is_png(payload):
+        raise PNGCorruptError("missing PNG signature")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    idat = bytearray()
+    plte = None
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data_start = pos + 8
+        data_end = data_start + length
+        if data_end + 4 > n:
+            raise PNGCorruptError("truncated chunk")
+        data = payload[data_start:data_end]
+        if ctype == b"IHDR":
+            if length != 13:
+                raise PNGCorruptError("bad IHDR length")
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos = data_end + 4  # skip CRC
+    if width is None:
+        raise PNGCorruptError("no IHDR chunk")
+    if not idat:
+        raise PNGCorruptError("no IDAT data")
+    if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+        raise PNGUnsupportedError(
+            f"outside baseline profile: depth={bit_depth} "
+            f"color_type={color_type} interlace={interlace}"
+        )
+    if width == 0 or height == 0:
+        raise PNGCorruptError("zero dimension")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise PNGCorruptError(f"IDAT inflate failed: {exc}") from None
+    ch = _CHANNELS[color_type]
+    rl = width * ch
+    if len(raw) != (rl + 1) * height:
+        raise PNGCorruptError(
+            f"scanline stream is {len(raw)} bytes, expected {(rl + 1) * height}"
+        )
+    out = bytearray(rl * height)
+    prior = bytes(rl)
+    for y in range(height):
+        f = raw[y * (rl + 1)]
+        line = raw[y * (rl + 1) + 1 : (y + 1) * (rl + 1)]
+        row = bytearray(rl)
+        for x in range(rl):
+            a = row[x - ch] if x >= ch else 0
+            b = prior[x]
+            c = prior[x - ch] if x >= ch else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] + a
+            elif f == 2:
+                v = line[x] + b
+            elif f == 3:
+                v = line[x] + (a + b) // 2
+            elif f == 4:
+                v = line[x] + _paeth(a, b, c)
+            else:
+                raise PNGCorruptError(f"filter type {f} out of range")
+            row[x] = v & 0xFF
+        out[y * rl : (y + 1) * rl] = row
+        prior = bytes(row)
+    if color_type == 3:
+        if plte is None:
+            raise PNGCorruptError("palette image without PLTE")
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            if idx * 3 + 3 > len(plte):
+                raise PNGCorruptError("palette index out of range")
+            rgb[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+        return width, height, 3, bytes(rgb)
+    return width, height, ch, bytes(out)
+
+
+def _luma(r: int, g: int, b: int) -> int:
+    # Pillow convert("L"): ITU-R 601-2 in 16.16 fixed point
+    return (r * 19595 + g * 38470 + b * 7471) >> 16
+
+
+def png_decode(payload: bytes) -> tuple[int, int, float]:
+    """Decode a PNG → ``(width, height, mean_intensity)``.
+
+    ``mean_intensity`` is the mean of the per-pixel grayscale values,
+    computed with the same integer luma Pillow's ``convert("L")``
+    uses — the stdlib and PIL decode paths agree to the bit on
+    baseline PNGs (parity-pinned in tests).
+    """
+    width, height, ch, px = png_decode_pixels(payload)
+    n = width * height
+    if ch == 1:
+        total = sum(px)
+    elif ch == 2:  # gray + alpha: alpha ignored, like convert("L")
+        total = sum(px[0::2])
+    else:  # RGB / RGBA: alpha ignored
+        total = 0
+        for i in range(n):
+            o = i * ch
+            total += _luma(px[o], px[o + 1], px[o + 2])
+    return width, height, total / n

@@ -21,15 +21,15 @@ from ._core import QueryDef  # noqa: F401
 #      — freshest evidence, safest to defer.
 #
 # Round-7 ordering (per the r6 verdict item 1: finish draining the
-# driver-certification backlog).  After r1-r6, 39 of the 188 registered
+# driver-certification backlog).  After r1-r6, 40 of the 189 registered
 # queries have never had a driver-written correctness row (registry
 # minus the union of CORRECTNESS_r1..r6 names).  This round:
 #
-#   head  (_CERT_EARLY): ALL 39 never-driver-certified entries, in
+#   head  (_CERT_EARLY): ALL 40 never-driver-certified entries, in
 #          original registration order — each gets its first driver
 #          row this round, taking the never-certified backlog to 0.
-#   head fill (positions 40-50): the stalest-certified entries lead
-#          _CERT_LATE, so the remaining 11 window slots re-certify
+#   head fill (positions 41-50): the stalest-certified entries lead
+#          _CERT_LATE, so the remaining 10 window slots re-certify
 #          the least-recently-certified evidence (r2/r3 rows).
 #   tail  (_CERT_LATE): all 149 entries with at least one driver row,
 #          least-recently-certified first (round, then registration
@@ -44,6 +44,7 @@ _CERT_EARLY = [
     "window_range_1h_user",
     "orders_price_histogram",
     "agg_median_acctbal",
+    "multimodal_decode_png",
     "q11_important_parts",
     "q12_priority_by_returnflag",
     "q20_dominant_promo_supplier",

@@ -378,6 +378,21 @@ def _curation_oracle() -> str:
     "already-audited operator (operators/text.py, operators/dedup.py)",
 )
 def q_curation_pipeline(spark, sf_dir):
+    for _name, df, _forced in curation_pipeline_stages(spark, sf_dir):
+        final = df
+    return final
+
+
+def curation_pipeline_stages(spark, sf_dir):
+    """The curation pipeline as an ordered stage generator — the single
+    source of truth for `curation_pipeline` (the query consumes every
+    stage and returns the last; `tools/curation_stage_probe.py` forces
+    and times each one to attribute scale drift to a stage).
+
+    Yields ``(stage_name, df, forced)`` in dependency order.  `forced`
+    is True when producing the tuple already executed the stage (the
+    materialization checkpoint); lazy stages are forced by the caller.
+    """
     from ..scratch import scratch_dir
 
     u = _docs_self_union(spark, sf_dir)
@@ -387,6 +402,7 @@ def q_curation_pipeline(spark, sf_dir):
         & (F.col("n_words") >= 10)
         & (F.col("punct_ratio") <= 0.2)
     )
+    yield "gate_lang_quality", kept.select("doc_id"), False
     uniq = exact_dedup(kept).select(
         "doc_id", shingles_udf(3)(F.col("text")).alias("grams")
     )
@@ -399,13 +415,15 @@ def q_curation_pipeline(spark, sf_dir):
     tmp = scratch_dir("curation_uniq_")
     uniq.write.mode("overwrite").parquet(tmp)
     uniq = spark.read.parquet(tmp)
+    yield "exact_dedup_shingle", uniq, True
     pairs = ngram_jaccard_pairs_from_grams(uniq, block_col=None, threshold=0.7)
+    yield "near_dup_pairs", pairs, False
     survivors = uniq.join(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(),
         on="doc_id",
         how="left_anti",
     )
-    return survivors.select("doc_id").orderBy("doc_id")
+    yield "survivors_anti_join", survivors.select("doc_id").orderBy("doc_id"), False
 
 
 def _simhash_md5_oracle_sql() -> str:

@@ -655,3 +655,91 @@ def q_agg_median_acctbal(spark, sf_dir):
     )
 
 
+
+@register(
+    "multimodal_decode_png",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id,
+             1 + doc_id % 8 AS w, 1 + doc_id % 5 AS h
+      FROM documents),
+    px AS (
+      SELECT asset_id, w, h,
+             CASE WHEN asset_id % 2 = 0
+                  THEN (asset_id * 7 + i * 13) % 256
+                  ELSE (((asset_id + 3 * i) % 256) * 19595
+                        + ((asset_id * 5 + i) % 256) * 38470
+                        + ((11 * i) % 256) * 7471) >> 16
+             END AS lum
+      FROM d, unnest(range(0, w * h)) AS t(i))
+    SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(sum(lum) / (w * h), 6) AS mean_intensity
+    FROM px GROUP BY asset_id, w, h
+    ORDER BY asset_id
+    """,
+    note="REAL PNG decode, no media library (operators/png_codec.py): per doc "
+    "a deterministic baseline PNG is encoded from doc_id alone — dims "
+    "(1+id%8, 1+id%5), gray for even ids / RGB for odd, pixel values from "
+    "fixed modular formulas, and the scanline FILTER TYPE cycling (id+y)%5 "
+    "so all five unfilter branches execute across the corpus — then decoded "
+    "by decode_image_batch(fake=False): stdlib zlib IDAT inflate, "
+    "per-scanline unfilter, Pillow-parity integer luma ((19595R+38470G+"
+    "7471B)>>16). The oracle recomputes dims + mean intensity from the "
+    "generating formulas, so a pass certifies decode(encode(x)) == x "
+    "through the full byte pipeline. Row-local mapInPandas both ways, "
+    "zero shuffle before the final sort; kills the r6 'real decode never "
+    "executed in CI' gap",
+)
+def q_multimodal_decode_png(spark, sf_dir):
+    from ..operators.multimodal import decode_image_batch
+    from ..operators.png_codec import png_encode
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h = 1 + a % 8, 1 + a % 5
+                if a % 2 == 0:
+                    px = bytes((a * 7 + i * 13) % 256 for i in range(w * h))
+                    ct = 0
+                else:
+                    px = bytes(
+                        b
+                        for i in range(w * h)
+                        for b in (
+                            (a + 3 * i) % 256,
+                            (a * 5 + i) % 256,
+                            (11 * i) % 256,
+                        )
+                    )
+                    ct = 2
+                payloads.append(
+                    png_encode(
+                        w, h, px, color_type=ct,
+                        row_filters=[(a + y) % 5 for y in range(h)],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
+    return (
+        decode_image_batch(assets, fake=False)
+        .select(
+            "asset_id",
+            "width",
+            "height",
+            F.round("mean_intensity", 6).alias("mean_intensity"),
+        )
+        .orderBy("asset_id")
+    )
