@@ -31,14 +31,26 @@ HEAD_WINDOW = 50  # driver's observed CORRECTNESS truncation
 
 
 def certified_rounds() -> dict[str, int]:
-    """name -> latest round with a driver-written correctness row."""
+    """name -> latest round with a GREEN driver-written correctness row.
+
+    Green = err is null and rows/schema/hash all matched.  A failed or
+    errored row is NOT certification (r7 verdict item: the hash-blind
+    version counted embedding_covariance's FAILED r7 row as certified,
+    which would have sunk the one red entry to the rotation tail).
+    """
     out: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", f)
         rnd = int(m.group(1)) if m else 0
         with open(f) as fh:
-            for name in json.load(fh):
-                out[name] = max(out.get(name, 0), rnd)
+            for name, row in json.load(fh).items():
+                if (
+                    row.get("err") is None
+                    and row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                ):
+                    out[name] = max(out.get(name, 0), rnd)
     return out
 
 

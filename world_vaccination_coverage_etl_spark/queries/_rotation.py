@@ -20,18 +20,23 @@ from ._core import QueryDef  # noqa: F401
 #   5. the tail is everything green in the PREVIOUS round's driver run
 #      — freshest evidence, safest to defer.
 #
-# Round-7 ordering (per the r6 verdict item 1: finish draining the
-# driver-certification backlog).  After r1-r6, 40 of the 189 registered
-# queries have never had a driver-written correctness row (registry
-# minus the union of CORRECTNESS_r1..r6 names).  This round:
+# Round-8 ordering (r7 verdict item 1b): "certified" now means a GREEN
+# driver row (err null + rows/schema/hash all matched) — the audit was
+# previously hash-blind and counted embedding_covariance's FAILED r7
+# hash row as certification.  Under the green-only rule two entries
+# have never been driver-certified and lead the window:
 #
-#   head  (_CERT_EARLY): ALL 40 never-driver-certified entries, in
-#          original registration order — each gets its first driver
-#          row this round, taking the never-certified backlog to 0.
-#   head fill (positions 41-50): the stalest-certified entries lead
-#          _CERT_LATE, so the remaining 10 window slots re-certify
-#          the least-recently-certified evidence (r2/r3 rows).
-#   tail  (_CERT_LATE): all 149 entries with at least one driver row,
+#   head  (_CERT_EARLY): multimodal_decode_fake (its only driver row
+#          was a r4 "no_oracle" rows-only record; it has a full oracle
+#          since r5) and embedding_covariance (r7 hash FAIL, root-caused
+#          to order-dependent float summation, re-contracted this round
+#          to fixed-point integer moments — operators/pca.py
+#          embedding_covariance_fixedpoint).  Both get a first green
+#          row this round.
+#   head fill (positions 3-50): the stalest-certified entries lead
+#          _CERT_LATE (r4/r5 evidence), so the remaining 48 window
+#          slots re-certify the least-recently-certified evidence.
+#   tail  (_CERT_LATE): all 187 green-certified entries,
 #          least-recently-certified first (round, then registration
 #          order) so any window wider than 50 re-certifies the stalest
 #          evidence next.
@@ -41,61 +46,13 @@ from ._core import QueryDef  # noqa: F401
 # re-running the audit.
 
 _CERT_EARLY = [
-    "window_range_1h_user",
-    "orders_price_histogram",
-    "agg_median_acctbal",
-    "multimodal_decode_png",
-    "q11_important_parts",
-    "q12_priority_by_returnflag",
-    "q20_dominant_promo_supplier",
-    "full_outer_reconcile_users",
-    "window_rank_family",
-    "events_gapfill_locf",
-    "regr_trend_daily_value",
-    "hll_sketch_union_users",
-    "fuzzy_blocked_match_docs",
-    "doc_bigram_logprob",
-    "skew_report_events",
-    "assoc_rules_event_types",
-    "multi_touch_attribution",
-    "revenue_share_window",
-    "mad_outliers_value",
-    "rolling_7d_unique_users",
-    "markov_transition_matrix",
-    "conversion_latency_percentiles",
+    "multimodal_decode_fake",
     "embedding_covariance",
-    "null_safe_join_nation",
-    "scd2_point_in_time_join",
-    "embedding_hof_flags",
-    "feature_hashing_docs",
-    "variant_props_extract",
-    "fuzzy_entity_clusters",
-    "naive_bayes_lang_confusion",
-    "winsorize_values",
-    "benford_first_digit",
-    "events_cusum_drift",
-    "dup_graph_triangles",
-    "user_activity_streaks",
-    "twap_value_by_type",
-    "bm25_topk_docs",
-    "clustering_coeff_dup_graph",
-    "pagerank_dup_graph",
-    "substring_dup_spans",
 ]
 
 # middle (unlisted; leads next round's window):
 
 _CERT_LATE = [
-    "limit_head",
-    "set_ops",
-    "window_lag_delta",
-    "window_moving_avg",
-    "event_tumbling_daily",
-    "event_sliding_2d",
-    "sessionize_counts",
-    "doc_fingerprint",
-    "doc_token_counts",
-    "doc_language_id",
     "word_frequencies",
     "agg_mean_ci_t",
     "agg_welch_pvalue",
@@ -134,7 +91,6 @@ _CERT_LATE = [
     "knn_blocked_lsh",
     "embedding_dup_pairs",
     "multimodal_metadata",
-    "multimodal_decode_fake",
     "filter_eq2",
     "dim_index",
     "agg_unique_vals",
@@ -235,8 +191,56 @@ _CERT_LATE = [
     "scd2_user_event_type",
     "events_daily_ewma",
     "events_daily_anomaly",
+    "limit_head",
+    "set_ops",
+    "window_lag_delta",
+    "window_moving_avg",
+    "event_tumbling_daily",
+    "event_sliding_2d",
+    "sessionize_counts",
+    "doc_fingerprint",
+    "doc_token_counts",
+    "doc_language_id",
+    "window_range_1h_user",
+    "orders_price_histogram",
+    "agg_median_acctbal",
+    "multimodal_decode_png",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q20_dominant_promo_supplier",
+    "full_outer_reconcile_users",
+    "window_rank_family",
+    "events_gapfill_locf",
+    "regr_trend_daily_value",
+    "hll_sketch_union_users",
+    "fuzzy_blocked_match_docs",
+    "doc_bigram_logprob",
+    "skew_report_events",
+    "assoc_rules_event_types",
+    "multi_touch_attribution",
+    "revenue_share_window",
+    "mad_outliers_value",
+    "rolling_7d_unique_users",
+    "markov_transition_matrix",
+    "conversion_latency_percentiles",
+    "null_safe_join_nation",
+    "scd2_point_in_time_join",
+    "embedding_hof_flags",
+    "feature_hashing_docs",
+    "variant_props_extract",
+    "fuzzy_entity_clusters",
+    "naive_bayes_lang_confusion",
+    "winsorize_values",
+    "benford_first_digit",
+    "events_cusum_drift",
+    "dup_graph_triangles",
+    "user_activity_streaks",
+    "twap_value_by_type",
+    "bm25_topk_docs",
+    "clustering_coeff_dup_graph",
+    "pagerank_dup_graph",
+    "substring_dup_spans",
 ]
-
 
 def _rotated(registry: dict[str, QueryDef]) -> dict[str, QueryDef]:
     listed = set(_CERT_EARLY) | set(_CERT_LATE)

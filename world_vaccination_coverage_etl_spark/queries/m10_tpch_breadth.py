@@ -1060,33 +1060,53 @@ def q_conversion_latency_percentiles(spark, sf_dir):
 @register(
     "embedding_covariance",
     """
-    WITH x AS (
-      SELECT vec_id, i, embedding[i]::DOUBLE AS xi
+    WITH q AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+             CAST(floor(embedding[i]::DOUBLE * 1000 + 0.5) AS BIGINT) AS qv
       FROM embeddings,
            LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r),
-    n AS (SELECT count(*) AS n FROM embeddings)
-    SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
-           round(sum(a.xi * b.xi) / max(n.n)
-                 - (sum(a.xi) / max(n.n)) * (sum(b.xi) / max(n.n)), 6)
-             AS cov
-    FROM x a JOIN x b USING (vec_id), n
-    GROUP BY 1, 2 ORDER BY 1, 2
+    nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+    m AS (
+      SELECT a.i AS i, b.i AS j,
+             sum(a.qv * b.qv)::BIGINT AS s_xx,
+             sum(a.qv)::BIGINT AS s_x_i,
+             sum(b.qv)::BIGINT AS s_x_j
+      FROM q a JOIN q b USING (vec_id)
+      GROUP BY 1, 2),
+    p AS (
+      SELECT i, j, s_x_i, s_x_j, s_xx, n,
+             1000000::HUGEINT
+               * (n::HUGEINT * s_xx::HUGEINT
+                  - s_x_i::HUGEINT * s_x_j::HUGEINT) AS num,
+             n::HUGEINT * n::HUGEINT * 1000000::HUGEINT AS den
+      FROM m, nn)
+    SELECT i, j, s_x_i, s_x_j, s_xx, n,
+           CAST(CASE WHEN num >= 0 THEN (2 * num + den) // (2 * den)
+                     ELSE -((-2 * num + den) // (2 * den)) END
+                AS BIGINT) AS cov_micro
+    FROM p ORDER BY i, j
     """,
-    note="distributed covariance matrix of the embedding column "
-    "(operators/pca.py embedding_covariance) — the data-parallel half "
-    "of PCA: an Arrow kernel folds each partition into per-batch "
-    "moment sums (n, Σx, ΣxxT — one numpy matmul per batch), emits "
-    "dim² tiny rows per batch, and ONE shuffle on (i,j) finishes the "
-    "reduction; no vector crosses the network, traffic is "
-    "O(partitions·dim²).  The driver-side eigh over the 64×64 result "
-    "(pca_top_components) is model-sized math, pytest-pinned.  Oracle "
-    "rebuilds the same moments from an exploded self-join",
+    note="distributed covariance matrix of the embedding column on a "
+    "FIXED-POINT INTEGER contract (operators/pca.py "
+    "embedding_covariance_fixedpoint) — the data-parallel half of PCA: "
+    "an Arrow kernel quantizes each value to floor(x*1000+0.5) (exact, "
+    "engine-independent IEEE double chain), folds each partition into "
+    "per-batch integer moment sums (n, Σq, ΣqqT — one numpy int64 "
+    "matmul per batch), emits dim² tiny rows per batch, and ONE shuffle "
+    "on (i,j) finishes the reduction with LONG sums — associative, so "
+    "the certified columns are bit-identical under any partitioning "
+    "(the r7 float-order flake is structurally impossible).  cov_micro "
+    "= round_half_away(1e6·(n·Σqq−ΣqΣq)/(n²·scale²)) via exact "
+    "arbitrary-precision integer math over the dim²-row aggregate; the "
+    "oracle rebuilds the identical integer contract with HUGEINT.  "
+    "Traffic O(partitions·dim²); driver-side eigh (pca_top_components) "
+    "stays pytest-pinned",
 )
 def q_embedding_covariance(spark, sf_dir):
-    from ..operators.pca import embedding_covariance
+    from ..operators.pca import embedding_covariance_fixedpoint
 
-    return embedding_covariance(
-        _t(spark, sf_dir, "embeddings"), dim=64
+    return embedding_covariance_fixedpoint(
+        _t(spark, sf_dir, "embeddings"), dim=64, scale=1000
     ).orderBy("i", "j")
 
 
