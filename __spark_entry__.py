@@ -43,9 +43,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI oracle per query; non-SQL-expressible ops
     (t-CDF p-values, the flag UDF, LSH internals) are omitted so the
-    driver records its weaker rows-only check for them."""
-    return {
-        name: resolve_oracle(qd, CERT_SF_DIR)
-        for name, qd in REGISTRY.items()
-        if qd.oracle
-    }
+    driver records its weaker rows-only check for them.
+
+    Data-adaptive oracles resolve against the certification warehouse;
+    if one cannot resolve on this host (warehouse missing, pyarrow
+    absent), it degrades to a rows-only check for THAT query instead
+    of aborting the whole dict (ADVICE r7)."""
+    out: dict[str, str] = {}
+    for name, qd in REGISTRY.items():
+        if not qd.oracle:
+            continue
+        try:
+            out[name] = resolve_oracle(qd, CERT_SF_DIR)
+        except Exception:  # noqa: BLE001 - one bad resolve must not drop 188 oracles
+            continue
+    return out

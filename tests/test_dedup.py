@@ -136,6 +136,59 @@ def test_ngram_jaccard_prefix_plain_parity(spark):
     assert "row_number" in pref._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_ngram_jaccard_min_shared_parity(spark):
+    # ℓ-prefix (multi-prefix) escalation: the pair set must be
+    # r-invariant — r only shrinks the candidate superset, the exact
+    # verify decides.  Includes 1- and 2-gram docs to pin the
+    # min(r, ceil(t/(1+t)(a+b))) cap: two identical 1-gram docs share
+    # exactly ONE gram yet J=1.0 — an uncapped r=3 filter would
+    # wrongly drop them.
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs_from_grams,
+    )
+
+    base = (
+        "w{} x{} common tokens shared across every doc in this block "
+        "with enough trailing words that a single edited token still "
+        "leaves the surviving shingle overlap above the top threshold"
+    )
+    rows = []
+    for i in range(40):
+        fam, edit = divmod(i, 4)
+        words = base.format(fam, fam).split()
+        words[edit] = f"edit{i}"
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = df.select(
+        "doc_id", shingles_udf(3)(F.col("text")).alias("grams")
+    ).union(
+        spark.createDataFrame(
+            [
+                (100, ["solo gram one"]),          # J(100,101)=1.0, 1 shared
+                (101, ["solo gram one"]),
+                (102, ["tiny a", "tiny b"]),       # J(102,103)=2/2=1.0
+                (103, ["tiny b", "tiny a"]),
+                (104, ["tiny a", "other c"]),      # J(102,104)=1/3 < t
+            ],
+            "doc_id long, grams array<string>",
+        )
+    )
+    for thresh in (0.5, 0.7):
+        got = {}
+        for r in (1, 2, 3, 5):
+            pairs = ngram_jaccard_pairs_from_grams(
+                grams, threshold=thresh, prefix_filter=True, min_shared=r
+            )
+            got[r] = {
+                (p.id_a, p.id_b): round(p.jaccard, 9) for p in pairs.collect()
+            }
+        assert got[1] == got[2] == got[3] == got[5], f"r-variant at t={thresh}"
+        assert (100, 101) in got[1]   # the 1-shared-gram pair survived r=5
+        assert (102, 103) in got[1]
+        assert (102, 104) not in got[1]
+        assert len(got[1]) > 2
+
+
 def test_ngram_jaccard_multiset_grams_parity(spark):
     # Jaccard is a SET similarity; caller-supplied gram arrays with
     # DUPLICATE grams must produce identical (set-semantics) values on

@@ -163,3 +163,65 @@ def test_decode_image_batch_real_png(spark):
     assert rows[0].mean_intensity == pytest.approx(sum(px) / (w * h))
     assert (rows[1].width, rows[1].height, rows[1].mean_intensity) == (0, 0, 0.0)
     assert (rows[2].width, rows[2].height, rows[2].mean_intensity) == (0, 0, 0.0)
+
+
+def test_numpy_scalar_unfilter_parity_and_speed():
+    """The numpy unfilter must be BIT-identical to the scalar
+    reference on every filter type / color type / size — including the
+    adversarial all-Paeth and all-Average images — and >=10x faster on
+    a vectorizable-filter image (r7 verdict item 7; Average/Paeth rows
+    are scalar either way, so the speed pin uses filters 0-2).
+    """
+    import time
+
+    import numpy as np
+
+    from world_vaccination_coverage_etl_spark.operators.png_codec import (
+        _unfilter_np,
+        _unfilter_scalar,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = []
+    for w, h, ch in [(6, 5, 1), (4, 3, 3), (17, 9, 4), (1, 1, 1), (3, 64, 2)]:
+        px = bytes(rng.integers(0, 256, size=w * h * ch, dtype=np.uint8))
+        for filt in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h,
+                     [(y * 3 + 1) % 5 for y in range(h)]):
+            ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+            blob = png_encode(w, h, px, color_type=ct, row_filters=filt)
+            cases.append((blob, w, h, ch, px))
+    for blob, w, h, ch, px in cases:
+        # raw scanline stream = inflate of the IDAT payload
+        pos, idat = 8, b""
+        while pos + 8 <= len(blob):
+            (length,) = struct.unpack_from(">I", blob, pos)
+            ctype = blob[pos + 4 : pos + 8]
+            if ctype == b"IDAT":
+                idat += blob[pos + 8 : pos + 8 + length]
+            pos += length + 12
+        raw = zlib.decompress(idat)
+        rl = w * ch
+        got_np = _unfilter_np(raw, h, rl, ch)
+        got_sc = _unfilter_scalar(raw, h, rl, ch)
+        assert got_np == got_sc == px
+
+    # speed: 512x512 gray, filters cycling 0/1/2 only (the vector set)
+    w = h = 512
+    px = bytes(rng.integers(0, 256, size=w * h, dtype=np.uint8))
+    blob = png_encode(w, h, px, color_type=0,
+                      row_filters=[y % 3 for y in range(h)])
+    pos, idat = 8, b""
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        if blob[pos + 4 : pos + 8] == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + length]
+        pos += length + 12
+    raw = zlib.decompress(idat)
+    t0 = time.perf_counter()
+    a = _unfilter_np(raw, h, w, 1)
+    t_np = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    b = _unfilter_scalar(raw, h, w, 1)
+    t_sc = time.perf_counter() - t0
+    assert a == b == px
+    assert t_sc / t_np >= 10, f"numpy unfilter only {t_sc / t_np:.1f}x"

@@ -5,13 +5,25 @@ the same query through DuckDB over the same parquet tables; compares
 row count, column names, and order-insensitive values (exact and
 allclose).  Usage::
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--perturb] [sf_dir] [query ...]
 
 Defaults to /root/testdata/sf0.01 and all queries.
+
+``--perturb`` (r7 verdict item 2 — flaky-certification sweep): instead
+of comparing against DuckDB, run each query TWICE — once under the
+normal session and once under a perturbed physical layout (different
+shuffle-partition count, tiny Arrow batches so mapInPandas kernels see
+different batch boundaries, small scan splits so inputs split
+differently) — and require the two results to be EXACTLY equal
+(order-insensitive, bit-level on floats).  Any query whose output moves
+under perturbation has an order-dependent certification (the
+embedding_covariance r7 flake) and must be re-contracted to
+order-independent math.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -21,7 +33,8 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_DIR)
 
 from world_vaccination_coverage_etl_spark.queries import REGISTRY  # noqa: E402
 from world_vaccination_coverage_etl_spark.queries._core import resolve_oracle  # noqa: E402
@@ -81,14 +94,70 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]
     return True, "ok"
 
 
+# Perturbed physical layout: odd shuffle-partition count, tiny Arrow
+# batches (mapInPandas kernels see different batch boundaries), small
+# scan splits (different input partitioning).  All runtime-settable.
+_PERTURB_CONFS = {
+    "spark.sql.shuffle.partitions": "5",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "97",
+    "spark.sql.files.maxPartitionBytes": "262144",
+}
+
+
+def run_perturb_sweep(spark, sf_dir: str, only: set[str] | None) -> int:
+    """Spark-vs-Spark: every query must be layout-invariant (exact)."""
+    n_pass = n_fail = 0
+    results: dict[str, dict] = {}
+    for name, qd in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            base_pdf = qd.fn(spark, sf_dir).toPandas()
+            saved = {k: spark.conf.get(k, None) for k in _PERTURB_CONFS}
+            try:
+                for k, v in _PERTURB_CONFS.items():
+                    spark.conf.set(k, v)
+                pert_pdf = qd.fn(spark, sf_dir).toPandas()
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
+        except Exception as exc:  # noqa: BLE001
+            traceback.print_exc(limit=3)
+            print(f"FAIL  {name:28s} error: {type(exc).__name__}: {str(exc)[:200]}")
+            n_fail += 1
+            results[name] = {"ok": False, "why": f"error: {exc}"[:300]}
+            continue
+        dt = time.time() - t0
+        ok, why = compare(base_pdf, pert_pdf)
+        status = "PASS" if ok else "FAIL"
+        n_pass += ok
+        n_fail += not ok
+        results[name] = {"ok": bool(ok), "why": None if ok else why}
+        print(f"{status}  {name:28s} rows={len(base_pdf)} ({dt:.1f}s) {'' if ok else why}")
+    out = os.path.join(REPO_DIR, ".scale", "perturb_sweep.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as fh:
+        json.dump({"confs": _PERTURB_CONFS, "results": results}, fh, indent=1)
+    print(f"\nperturb sweep: {n_pass} invariant, {n_fail} moved -> {out}")
+    return 1 if n_fail else 0
+
+
 def main() -> int:
     args = sys.argv[1:]
+    perturb = "--perturb" in args
+    args = [a for a in args if a != "--perturb"]
     if args and os.path.isdir(args[0]):
         sf_dir, names = args[0], args[1:]
     else:
         sf_dir, names = "/root/testdata/sf0.01", args
     only = set(names) or None
     spark = get_spark("correctness-check")
+    if perturb:
+        return run_perturb_sweep(spark, sf_dir, only)
     con = duck_connect(sf_dir)
     n_pass = n_fail = n_rows_only = 0
     for name, qd in REGISTRY.items():

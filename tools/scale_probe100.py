@@ -110,21 +110,17 @@ def main() -> int:
             )
         # output-aware survival bound (same rule as scale_stress.py):
         # a pair enumerator whose TRUE answer grows R-fold cannot emit R
-        # rows in o(R) time, so its bound is max(input-based, R x 1.5)
-        # — but ONLY when output growth actually exceeds the input
-        # ratio (super-linear answer); an exactly-linear 100x output
-        # must keep the input-based bound, else a mildly quadratic
-        # plan on a linear-output query could hide under the lift
-        # (ADVICE r6).  The decorrelated perturbation keeps
-        # Jaccard/cosine answers linear but lands INSIDE wide
-        # edit-distance thresholds (copy prefixes differ by ~4 edits <
-        # the fuzzy matcher's 8), so those answers are quadratic in
-        # copies by construction.
+        # rows in o(R) time, so its bound is max(input-based, R x 1.5).
+        # Because BOUND = INPUT_RATIO x 1.5, the max() itself already
+        # keeps the input-based bound whenever output growth is at or
+        # under the input ratio — a mildly quadratic plan on a
+        # linear-output query gets no lift (ADVICE r6/r7).  The
+        # decorrelated perturbation keeps Jaccard/cosine answers linear
+        # but lands INSIDE wide edit-distance thresholds (copy prefixes
+        # differ by ~4 edits < the fuzzy matcher's 8), so those answers
+        # are quadratic in copies by construction.
         rows_ratio = rec.get("rows_ratio", 0)
-        rec["bound"] = round(
-            max(BOUND, rows_ratio * 1.5) if rows_ratio > INPUT_RATIO else BOUND,
-            1,
-        )
+        rec["bound"] = round(max(BOUND, rows_ratio * 1.5), 1)
         results[name] = rec
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         with open(cache, "w") as fh:

@@ -321,6 +321,26 @@ def minhash_near_dup_pairs(
 # and a parity test pins the two paths to identical output.
 PREFIX_FILTER_MIN_DOCS = 20_000
 
+# Multi-prefix escalation (r7 verdict item 3): on LOW-ENTROPY corpora —
+# fixed vocabulary, so every gram's document frequency grows linearly
+# with corpus size — the single-shared-gram prefix filter (r=1) stops
+# pruning: at the sf10 curation stage (383 k docs, 299 k gram vocab,
+# min df ~30) it admitted 59 M candidate pairs for 18.8 k true pairs.
+# The ℓ-prefix scheme (Xiao et al. 2008, PPJoin+; Wang et al. 2012
+# adaptive framework) fixes it losslessly: extend each doc's prefix by
+# r−1 grams and require ≥ min(r, ceil(t/(1+t)·(a+b))) SHARED prefix
+# grams — measured at sf10: r=3 cuts 59 M → 1.5 M candidates (39×)
+# for +2 grams of prefix per doc.  Escalation is mass-based, not
+# size-based: r jumps to _MULTI_PREFIX_R when the estimated candidate
+# mass (1−t)²·Σdf² — the prefix share of the inverted-index join
+# volume, an overestimate because prefixes pick the RAREST grams —
+# exceeds _MULTI_PREFIX_CAND_PER_DOC candidates per doc.  High-entropy
+# corpora (rare grams have df O(1), the 100 TB web-text regime) never
+# trip it; the pair set is r-invariant (exact verify follows), so the
+# knob is pure plan choice, parity-pinned in tests.
+_MULTI_PREFIX_R = 3
+_MULTI_PREFIX_CAND_PER_DOC = 50
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -379,6 +399,7 @@ def ngram_jaccard_pairs_from_grams(
     block_col: str | None = None,
     threshold: float = 0.5,
     prefix_filter: bool | str = "auto",
+    min_shared: int | str = "auto",
 ) -> DataFrame:
     """Inverted-index Jaccard over PRE-COMPUTED gram arrays, with an
     adaptive prefix filter.
@@ -417,6 +438,14 @@ def ngram_jaccard_pairs_from_grams(
     identical exact pair set (parity-pinned in tests); only the
     candidate-generation plan differs.
 
+    ``min_shared``: the ℓ-prefix escalation (see ``_MULTI_PREFIX_R``)
+    for LOW-ENTROPY corpora where single-gram prefixes stop pruning —
+    an int forces r, ``"auto"`` (default) escalates to
+    ``_MULTI_PREFIX_R`` when the estimated prefix candidate mass
+    ``(1−t)²·Σdf²`` exceeds ``_MULTI_PREFIX_CAND_PER_DOC`` per doc
+    (one fixed-width aggregate job, only on the prefix path).  The
+    pair set is r-invariant (parity-pinned).
+
     Gram arrays are normalized with ``array_distinct`` up front:
     Jaccard is a SET similarity, and without the normalization the two
     physical plans would disagree on multiset inputs (the plain path
@@ -428,10 +457,10 @@ def ngram_jaccard_pairs_from_grams(
     """
     if threshold <= 0:
         raise ValueError("inverted-index jaccard requires threshold > 0")
+    n_docs = None
     if prefix_filter == "auto":
-        prefix_filter = (
-            df.select(id_col).count() >= PREFIX_FILTER_MIN_DOCS
-        )
+        n_docs = df.select(id_col).count()
+        prefix_filter = n_docs >= PREFIX_FILTER_MIN_DOCS
 
     grams = df.select(
         F.col(id_col),
@@ -439,7 +468,28 @@ def ngram_jaccard_pairs_from_grams(
         F.array_distinct(F.col(grams_col)).alias("grams"),
     ).filter(F.size("grams") > 0)
     if prefix_filter:
-        return _jaccard_pairs_prefix(grams, id_col, block_col, threshold)
+        if min_shared == "auto":
+            min_shared = 1
+            if n_docs is None:
+                n_docs = df.select(id_col).count()
+            # one cheap fixed-width aggregate: Σdf² over gram hashes —
+            # the plain inverted-index join volume.  (1−t)² of it is an
+            # overestimate of the r=1 prefix candidate mass (prefixes
+            # take the RAREST (1−t) share of each doc's grams).
+            mass = (
+                grams.select(F.explode("grams").alias("g"))
+                .select(F.xxhash64("g").alias("gh"))
+                .groupBy("gh")
+                .agg(F.count(F.lit(1)).alias("gdf"))
+                .agg(F.sum(F.col("gdf") * F.col("gdf")).alias("m"))
+                .collect()[0]["m"]
+            ) or 0
+            est_prefix_mass = (1.0 - threshold) ** 2 * mass
+            if est_prefix_mass > _MULTI_PREFIX_CAND_PER_DOC * max(n_docs, 1):
+                min_shared = _MULTI_PREFIX_R
+        return _jaccard_pairs_prefix(
+            grams, id_col, block_col, threshold, min_shared=min_shared
+        )
     return _jaccard_pairs_plain(grams, id_col, block_col, threshold)
 
 
@@ -500,9 +550,21 @@ def _jaccard_pairs_prefix(
     id_col: str,
     block_col: str | None,
     threshold: float,
+    min_shared: int = 1,
 ) -> DataFrame:
     """AllPairs/PPJoin prefix-filtered candidate join + exact verify
-    on hashed gram arrays (see ``ngram_jaccard_pairs_from_grams``)."""
+    on hashed gram arrays (see ``ngram_jaccard_pairs_from_grams``).
+
+    ``min_shared`` = r applies the ℓ-prefix scheme (Xiao et al. 2008):
+    each doc's prefix is extended by r−1 grams and a candidate pair
+    must share at least ``min(r, ceil(t/(1+t)·(a+b)))`` prefix grams —
+    the cap keeps the filter sound for tiny docs whose total required
+    overlap is below r (e.g. two identical 1-gram docs share exactly 1
+    gram at any threshold).  r=1 reduces to the classic single-shared-
+    gram prefix filter with a dropDuplicates; r>1 counts shared prefix
+    grams in a partial-aggregable groupBy instead.  The returned pair
+    set is r-invariant (candidates are a provable superset either way;
+    the exact verify decides)."""
     from pyspark.sql.window import Window
 
     ex = (
@@ -525,7 +587,7 @@ def _jaccard_pairs_prefix(
     w = Window.partitionBy(id_col).orderBy("gdf", "gh")
     prefix_len = F.col("n_grams") - F.ceil(
         F.lit(float(threshold)) * F.col("n_grams")
-    ) + 1
+    ) + min_shared
     pref = (
         ex.join(dfreq, on="gh")
         .withColumn("rn", F.row_number().over(w))
@@ -549,14 +611,31 @@ def _jaccard_pairs_prefix(
     )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    cand = (
-        a.join(b, cond)
-        .select(
+    joined = a.join(b, cond)
+    if min_shared <= 1:
+        cand = joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+        ).dropDuplicates(["id_a", "id_b"])
+    else:
+        # required shared prefix grams, capped by the pair's total
+        # overlap bound ceil(t/(1+t)·(a+b)) so tiny docs stay sound
+        tt = float(threshold) / (1.0 + float(threshold))
+        need = F.least(
+            F.lit(min_shared),
+            F.ceil(F.lit(tt) * (F.col("n_a") + F.col("n_b"))),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        cand = (
+            joined.groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.n_grams").alias("n_a"),
+                F.col("b.n_grams").alias("n_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= need)
+            .select("id_a", "id_b")
+        )
     # verify on HASHED gram arrays: array_intersect over longs avoids
     # per-pair string hashing/equality (measured ~5x on the sf1 stress,
     # 13.5M candidates); the per-doc hash transform runs once per doc.

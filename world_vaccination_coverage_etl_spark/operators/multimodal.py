@@ -88,18 +88,21 @@ def decode_image_batch(
 ) -> DataFrame:
     """Decode binary images → (width, height, mean_intensity).
 
-    Real decode, tiered by format (``fake=False``):
+    Real decode, tiered by availability (``fake=False``):
 
-    - **PNG** payloads decode through the pure-stdlib codec
-      (``png_codec.png_decode`` — full IDAT inflate + unfilter), so
-      the real path executes on every deployment, PIL or not.
+    - **PIL importable ON THE EXECUTOR** (optional-dependency pattern,
+      mirrors ``functions/chart.py``'s matplotlib handling): every
+      format routes through PIL's C decoder — on baseline PNGs it is
+      value-identical to the stdlib codec (parity-pinned) and orders
+      of magnitude faster (ADVICE r7: never run a Python unfilter
+      when a C decoder is present).
+    - **PIL absent**: PNG payloads decode through the pure-stdlib
+      codec (``png_codec.png_decode`` — full IDAT inflate + numpy
+      unfilter), so the real PNG path executes on every deployment.
       Structurally corrupt PNGs degrade to the ``(0, 0, 0.0)``
       sentinel (same as a NULL payload — PIL's kernel behavior);
-      valid-but-exotic PNGs (interlaced, 16-bit) fall through to PIL.
-    - **Other formats** use PIL when importable ON THE EXECUTOR
-      (optional-dependency pattern, mirrors ``functions/chart.py``'s
-      matplotlib handling) and raise ``NotImplementedError`` per
-      payload where PIL is genuinely absent.
+      non-PNG formats and valid-but-exotic PNGs (interlaced, 16-bit)
+      raise ``NotImplementedError`` per payload.
 
     The stdlib and PIL paths agree to the bit on baseline PNGs (same
     integer luma; parity-pinned in tests).  ``fake=True`` always runs
@@ -128,20 +131,21 @@ def decode_image_batch(
                 pil_ok = False
 
             def decode(payload: bytes) -> tuple[int, int, float]:
+                if pil_ok:
+                    # C decoder wins whenever present; baseline-PNG
+                    # values are bit-identical to the stdlib codec
+                    # (tests/test_png_codec.py parity pin)
+                    return _pil_decode(payload)
                 if is_png(payload):
                     try:
                         return png_decode(payload)
                     except PNGCorruptError:
                         return 0, 0, 0.0
                     except PNGUnsupportedError:
-                        if not pil_ok:
-                            raise NotImplementedError(
-                                "non-baseline PNG decode requires PIL, not "
-                                "present in this environment"
-                            ) from None
-                        return _pil_decode(payload)
-                if pil_ok:
-                    return _pil_decode(payload)
+                        raise NotImplementedError(
+                            "non-baseline PNG decode requires PIL, not "
+                            "present in this environment"
+                        ) from None
                 raise NotImplementedError(
                     "non-PNG media decode requires PIL, not present in this "
                     "environment; pass fake=True for the deterministic stub"

@@ -36,6 +36,11 @@ from __future__ import annotations
 import struct
 import zlib
 
+try:  # numpy unfilter is ~50x on vectorizable filters; stdlib path
+    import numpy as _np  # stays complete for numpy-less deployments
+except ImportError:  # pragma: no cover - numpy is baked into this env
+    _np = None
+
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # channels per pixel by color type (bit depth 8)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -182,6 +187,30 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise PNGCorruptError(
             f"scanline stream is {len(raw)} bytes, expected {(rl + 1) * height}"
         )
+    unfilter = _unfilter_np if _np is not None else _unfilter_scalar
+    out = unfilter(raw, height, rl, ch)
+    if color_type == 3:
+        if plte is None:
+            raise PNGCorruptError("palette image without PLTE")
+        if _np is not None:
+            idx = _np.frombuffer(out, dtype=_np.uint8)
+            if len(idx) and int(idx.max()) * 3 + 3 > len(plte):
+                raise PNGCorruptError("palette index out of range")
+            pal = _np.frombuffer(
+                plte[: (len(plte) // 3) * 3], dtype=_np.uint8
+            ).reshape(-1, 3)
+            return width, height, 3, pal[idx].tobytes()
+        rgb = bytearray(width * height * 3)
+        for i, pix in enumerate(out):
+            if pix * 3 + 3 > len(plte):
+                raise PNGCorruptError("palette index out of range")
+            rgb[i * 3 : i * 3 + 3] = plte[pix * 3 : pix * 3 + 3]
+        return width, height, 3, bytes(rgb)
+    return width, height, ch, bytes(out)
+
+
+def _unfilter_scalar(raw: bytes, height: int, rl: int, ch: int) -> bytes:
+    """Reference per-pixel unfilter (pure stdlib, numpy-less path)."""
     out = bytearray(rl * height)
     prior = bytes(rl)
     for y in range(height):
@@ -207,16 +236,56 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             row[x] = v & 0xFF
         out[y * rl : (y + 1) * rl] = row
         prior = bytes(row)
-    if color_type == 3:
-        if plte is None:
-            raise PNGCorruptError("palette image without PLTE")
-        rgb = bytearray(width * height * 3)
-        for i, idx in enumerate(out):
-            if idx * 3 + 3 > len(plte):
-                raise PNGCorruptError("palette index out of range")
-            rgb[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
-        return width, height, 3, bytes(rgb)
-    return width, height, ch, bytes(out)
+    return bytes(out)
+
+
+def _unfilter_np(raw: bytes, height: int, rl: int, ch: int) -> bytes:
+    """numpy per-scanline unfilter, bit-identical to the scalar path.
+
+    None (f=0) is a copy, Up (f=2) a wrapping uint8 vector add, and
+    Sub (f=1) — a per-channel-lane running sum mod 256 — is an exact
+    ``cumsum & 0xFF`` over the row reshaped to (pixels, channels).
+    Average (f=3) and Paeth (f=4) reconstruct through a NON-linear
+    recurrence on the already-reconstructed left pixel (floor-div /
+    predictor branch inside the mod-256 chain), so they stay a scalar
+    loop per row — vector rows cost O(row) numpy ops either way.
+    Parity with ``_unfilter_scalar`` and PIL is pinned in
+    tests/test_png_codec.py.
+    """
+    arr = _np.frombuffer(raw, dtype=_np.uint8).reshape(height, rl + 1)
+    rows = _np.empty((height, rl), dtype=_np.uint8)
+    prior = _np.zeros(rl, dtype=_np.uint8)
+    for y in range(height):
+        f = int(arr[y, 0])
+        line = arr[y, 1:]
+        if f == 0:
+            row = line.copy()
+        elif f == 1:
+            row = (
+                _np.cumsum(line.reshape(-1, ch), axis=0, dtype=_np.int64)
+                & 0xFF
+            ).astype(_np.uint8).reshape(rl)
+        elif f == 2:
+            row = line + prior  # uint8 add wraps mod 256
+        elif f in (3, 4):
+            li = line.tolist()
+            pr = prior.tolist()
+            rw = [0] * rl
+            for x in range(rl):
+                a = rw[x - ch] if x >= ch else 0
+                b = pr[x]
+                if f == 3:
+                    v = li[x] + (a + b) // 2
+                else:
+                    c = pr[x - ch] if x >= ch else 0
+                    v = li[x] + _paeth(a, b, c)
+                rw[x] = v & 0xFF
+            row = _np.array(rw, dtype=_np.uint8)
+        else:
+            raise PNGCorruptError(f"filter type {f} out of range")
+        rows[y] = row
+        prior = row
+    return rows.tobytes()
 
 
 def _luma(r: int, g: int, b: int) -> int:
@@ -234,6 +303,19 @@ def png_decode(payload: bytes) -> tuple[int, int, float]:
     """
     width, height, ch, px = png_decode_pixels(payload)
     n = width * height
+    if _np is not None:
+        # integer sums — exactly equal to the scalar loop below
+        arr = _np.frombuffer(px, dtype=_np.uint8).reshape(n, ch).astype(_np.int64)
+        if ch <= 2:  # gray / gray+alpha: alpha ignored, like convert("L")
+            total = int(arr[:, 0].sum())
+        else:  # RGB / RGBA: alpha ignored
+            total = int(
+                (
+                    (arr[:, 0] * 19595 + arr[:, 1] * 38470 + arr[:, 2] * 7471)
+                    >> 16
+                ).sum()
+            )
+        return width, height, total / n
     if ch == 1:
         total = sum(px)
     elif ch == 2:  # gray + alpha: alpha ignored, like convert("L")
