@@ -227,3 +227,27 @@ def test_enrich_with_dim_joins_and_validates(spark, tmp_path):
     q.awaitTermination()
     out = {r.event_id: r.country for r in spark.table(qname).collect()}
     assert out == {1: "DE", 2: "FR", 3: "DE"}
+
+
+def test_attribution_outer_emits_unmatched_tail(spark):
+    """The outer attribution's purchase_id=-1 tail emits during the
+    trailing NO-DATA micro-batch (watermark-driven state eviction) —
+    the batch the inner sibling now skips (no_data_batches=False).
+    Pins (a) the tail still exists for the outer query, (b) skipping
+    the no-data batch on the INNER query loses no rows: inner pairs ==
+    outer matched pairs.
+    """
+    from world_vaccination_coverage_etl_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    outer = REGISTRY["stream_attribution_outer"].fn(spark, sf).collect()
+    inner = REGISTRY["stream_click_attribution"].fn(spark, sf).collect()
+    assert any(r.purchase_id == -1 for r in outer)
+    outer_matched = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in outer
+        if r.purchase_id != -1
+    }
+    assert {
+        (r.user_id, r.click_id, r.purchase_id) for r in inner
+    } == outer_matched

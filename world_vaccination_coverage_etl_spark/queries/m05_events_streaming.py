@@ -115,6 +115,21 @@ def _events_stream_schema(sf_dir):
     return _EVENTS_STREAM_SCHEMA_NATIVE, False
 
 
+def _stream_ckpt() -> str:
+    """Explicit checkpoint dir for the memory-sink streaming queries.
+
+    Without it Spark drops a temp checkpoint under the JVM tmpdir
+    (/tmp, ext4 here) and every micro-batch pays fsync'd offset/commit/
+    state files on DISK; scratch_dir prefers /dev/shm, cutting the
+    harness overhead of each availableNow run (r6/r7 item: the two
+    attribution queries paid ~3 s each in cold micro-batch machinery).
+    Fresh dir per call — a streaming checkpoint must never be shared
+    across independent runs."""
+    from ..scratch import scratch_dir
+
+    return scratch_dir("stream_ckpt_")
+
+
 def _events_stream(spark, sf_dir):
     """File-stream over the events table (the source needs a directory;
     pathGlobFilter scopes it within the shared sf dir).  ts handling is
@@ -142,18 +157,37 @@ class _stream_state_partitions:
     checkpoint at start, so restoring the conf right after ``start()``
     leaves batch queries untouched.  (On a real cluster you'd size this
     to the key cardinality the same way.)
+
+    ``no_data_batches=False`` additionally disables the trailing
+    empty micro-batch an availableNow run appends to advance the
+    watermark.  That batch exists to EMIT watermark-gated output
+    (outer-join null rows, append-mode window finals) and to evict
+    state; for a stream whose full output is produced during data
+    batches (an INNER interval join emits on match) it only pays a
+    state-cleanup pass that stop() discards anyway — measured ~1 s of
+    the attribution queries' ~2.5-3.4 s harness cost (r6/r7 item).
+    NEVER disable it for outer joins / append-mode window aggregates:
+    their tail output IS the no-data batch (pinned by
+    tests/test_streaming.py::test_attribution_outer_emits_unmatched_tail
+    — the outer query loses its purchase_id=-1 rows without it).
     """
 
-    def __init__(self, spark, n: int = 8):
+    def __init__(self, spark, n: int = 8, no_data_batches: bool = True):
         self.spark, self.n = spark, str(n)
+        self.no_data = str(no_data_batches).lower()
+
+    _ND_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
 
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.prev_nd = self.spark.conf.get(self._ND_CONF, "true")
         self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+        self.spark.conf.set(self._ND_CONF, self.no_data)
         return self
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        self.spark.conf.set(self._ND_CONF, self.prev_nd)
         return False
 
 
@@ -184,6 +218,7 @@ def q_streaming_tumbling_daily(spark, sf_dir):
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(qname)
+            .option("checkpointLocation", _stream_ckpt())
             .trigger(availableNow=True)
             .start()
         )
@@ -293,6 +328,7 @@ def q_streaming_two_level_window(spark, sf_dir):
             rolled.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
+            .option("checkpointLocation", _stream_ckpt())
             .trigger(availableNow=True)
             .start()
         )
@@ -393,6 +429,7 @@ def q_streaming_dedup_events(spark, sf_dir):
             deduped.writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
+            .option("checkpointLocation", _stream_ckpt())
             .trigger(availableNow=True)
             .start()
         )
@@ -449,6 +486,7 @@ def q_streaming_enrich_nation(spark, sf_dir):
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(qname)
+            .option("checkpointLocation", _stream_ckpt())
             .trigger(availableNow=True)
             .start()
         )
@@ -507,12 +545,18 @@ def q_stream_click_attribution(spark, sf_dir):
         max_delay="6 hours", watermark="1 day",
     )
     qname = f"stream_attr_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
+    # INNER interval join: every output row emits during data batches,
+    # so the trailing no-data batch is pure state-cleanup — skip it
+    # (see _stream_state_partitions; the outer sibling below MUST keep
+    # it).  4 state partitions: the join state is ~200k fixed-width
+    # rows, store-instance overhead dominates at 8+.
+    with _stream_state_partitions(spark, 4, no_data_batches=False):
         q = (
             joined.select("user_id", "click_id", "purchase_id")
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
+            .option("checkpointLocation", _stream_ckpt())
             .trigger(availableNow=True)
             .start()
         )
@@ -590,7 +634,10 @@ def q_stream_attribution_outer(spark, sf_dir):
         max_delay="6 hours", watermark="1 day", how="left_outer",
     )
     qname = f"stream_attr_outer_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
+    # LEFT OUTER: the no-data batch is REQUIRED — the purchase_id=-1
+    # tail emits on watermark-driven eviction (no_data_batches stays
+    # True); 4 state partitions per the inner sibling's rationale
+    with _stream_state_partitions(spark, 4):
         q = (
             joined.select(
                 "user_id",
@@ -600,6 +647,7 @@ def q_stream_attribution_outer(spark, sf_dir):
             .writeStream.outputMode("append")
             .format("memory")
             .queryName(qname)
+            .option("checkpointLocation", _stream_ckpt())
             .trigger(availableNow=True)
             .start()
         )
@@ -850,6 +898,7 @@ def q_streaming_sessionize_state(spark, sf_dir):
             agg.writeStream.outputMode("update")
             .format("memory")
             .queryName(qname)
+            .option("checkpointLocation", _stream_ckpt())
             .trigger(availableNow=True)
             .start()
         )
@@ -900,6 +949,7 @@ def q_streaming_funnel_state(spark, sf_dir):
             agg.writeStream.outputMode("update")
             .format("memory")
             .queryName(qname)
+            .option("checkpointLocation", _stream_ckpt())
             .trigger(availableNow=True)
             .start()
         )
