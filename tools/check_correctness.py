@@ -140,6 +140,14 @@ def run_perturb_sweep(spark, sf_dir: str, only: set[str] | None) -> int:
         print(f"{status}  {name:28s} rows={len(base_pdf)} ({dt:.1f}s) {'' if ok else why}")
     out = os.path.join(REPO_DIR, ".scale", "perturb_sweep.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    # merge with prior runs so a targeted re-check of new queries never
+    # clobbers the full-registry record
+    if os.path.exists(out):
+        try:
+            prior = json.load(open(out)).get("results", {})
+        except Exception:  # noqa: BLE001
+            prior = {}
+        results = {**prior, **results}
     with open(out, "w") as fh:
         json.dump({"confs": _PERTURB_CONFS, "results": results}, fh, indent=1)
     print(f"\nperturb sweep: {n_pass} invariant, {n_fail} moved -> {out}")

@@ -116,6 +116,12 @@ def decode_image_batch(
         if fake:
             decode = _fake_decode
         else:
+            from .gif_codec import (
+                GIFCorruptError,
+                GIFUnsupportedError,
+                gif_decode,
+                is_gif,
+            )
             from .png_codec import (
                 PNGCorruptError,
                 PNGUnsupportedError,
@@ -132,9 +138,10 @@ def decode_image_batch(
 
             def decode(payload: bytes) -> tuple[int, int, float]:
                 if pil_ok:
-                    # C decoder wins whenever present; baseline-PNG
-                    # values are bit-identical to the stdlib codec
-                    # (tests/test_png_codec.py parity pin)
+                    # C decoder wins whenever present; baseline PNG/GIF
+                    # values are bit-identical to the stdlib codecs
+                    # (parity pins in tests/test_png_codec.py,
+                    # tests/test_gif_codec.py)
                     return _pil_decode(payload)
                 if is_png(payload):
                     try:
@@ -146,9 +153,21 @@ def decode_image_batch(
                             "non-baseline PNG decode requires PIL, not "
                             "present in this environment"
                         ) from None
+                if is_gif(payload):
+                    try:
+                        return gif_decode(payload)
+                    except GIFCorruptError:
+                        return 0, 0, 0.0
+                    except GIFUnsupportedError:
+                        raise NotImplementedError(
+                            "non-baseline GIF decode (interlace, local "
+                            "color table) requires PIL, not present in "
+                            "this environment"
+                        ) from None
                 raise NotImplementedError(
-                    "non-PNG media decode requires PIL, not present in this "
-                    "environment; pass fake=True for the deterministic stub"
+                    "non-PNG/GIF media decode requires PIL, not present in "
+                    "this environment; pass fake=True for the deterministic "
+                    "stub"
                 )
         for pdf in batches:
             decoded = [
@@ -167,6 +186,75 @@ def decode_image_batch(
             )
 
     return df.mapInPandas(kernel, schema=_DECODED_FIELDS)
+
+
+_AUDIO_FIELDS = (
+    "asset_id long, mime string, n_bytes long, sample_rate int, "
+    "channels int, n_frames long, sum_abs long, peak int"
+)
+
+
+def decode_audio_batch(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    mime_col: str = "mime",
+) -> DataFrame:
+    """Decode binary audio → (sample_rate, channels, n_frames,
+    sum_abs, peak).
+
+    PCM WAV decodes for real EVERYWHERE through the pure-stdlib codec
+    (``operators/wav_codec.py`` — RIFF chunk walk, 8/16-bit PCM);
+    structurally corrupt WAVs degrade to the all-zero sentinel row
+    (mirroring the image kernel's corrupt-PNG tier); compressed audio
+    (MP3, Opus, ...) raises ``NotImplementedError`` per payload — no
+    audio library ships in this environment, and pretending otherwise
+    would un-real the decode surface.
+
+    Every decoded statistic is an exact INTEGER (Σ|sample|, peak,
+    frame count), so the certification hash is layout-independent by
+    construction.  Row-local ``mapInPandas``; payloads never shuffle.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .wav_codec import WAVCorruptError, is_wav, wav_decode
+
+        def decode(payload: bytes) -> tuple[int, int, int, int, int]:
+            if is_wav(payload):
+                try:
+                    return wav_decode(payload)
+                except WAVCorruptError:
+                    return 0, 0, 0, 0, 0
+                # WAVUnsupportedError (float PCM etc.) propagates: a
+                # VALID file this codec cannot decode must not decode
+                # to a sentinel that looks like data
+            raise NotImplementedError(
+                "non-WAV audio decode requires an audio library, none "
+                "present in this environment"
+            )
+
+        for pdf in batches:
+            decoded = [
+                decode(bytes(p)) if p is not None else (0, 0, 0, 0, 0)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "mime": pdf[mime_col],
+                    "n_bytes": [
+                        len(bytes(p)) if p is not None else 0
+                        for p in pdf[payload_col]
+                    ],
+                    "sample_rate": [d[0] for d in decoded],
+                    "channels": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "sum_abs": [d[3] for d in decoded],
+                    "peak": [d[4] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=_AUDIO_FIELDS)
 
 
 def extract_features(
