@@ -122,6 +122,12 @@ def decode_image_batch(
                 gif_decode,
                 is_gif,
             )
+            from .jpeg_codec import (
+                JPEGCorruptError,
+                JPEGUnsupportedError,
+                is_jpeg,
+                jpeg_decode,
+            )
             from .png_codec import (
                 PNGCorruptError,
                 PNGUnsupportedError,
@@ -164,10 +170,21 @@ def decode_image_batch(
                             "color table) requires PIL, not present in "
                             "this environment"
                         ) from None
+                if is_jpeg(payload):
+                    try:
+                        return jpeg_decode(payload)
+                    except JPEGCorruptError:
+                        return 0, 0, 0.0
+                    except JPEGUnsupportedError:
+                        raise NotImplementedError(
+                            "non-baseline JPEG decode (progressive, "
+                            "subsampled, restart intervals) requires PIL, "
+                            "not present in this environment"
+                        ) from None
                 raise NotImplementedError(
-                    "non-PNG/GIF media decode requires PIL, not present in "
-                    "this environment; pass fake=True for the deterministic "
-                    "stub"
+                    "non-PNG/GIF/JPEG media decode requires PIL, not present "
+                    "in this environment; pass fake=True for the "
+                    "deterministic stub"
                 )
         for pdf in batches:
             decoded = [

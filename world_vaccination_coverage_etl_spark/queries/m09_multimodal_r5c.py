@@ -889,3 +889,77 @@ def q_multimodal_decode_gif(spark, sf_dir):
         )
         .orderBy("asset_id")
     )
+
+
+@register(
+    "multimodal_decode_jpeg",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id,
+             8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+      FROM documents),
+    blocks AS (
+      SELECT asset_id, w, h,
+             (asset_id * 13 + (b % (w // 8)) * 7
+              + (b // (w // 8)) * 29) % 256 AS v
+      FROM d, unnest(range(0, (w // 8) * (h // 8))) AS t(b))
+    SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(avg(v), 6) AS mean_intensity
+    FROM blocks GROUP BY asset_id, w, h
+    ORDER BY asset_id
+    """,
+    note="REAL baseline-JPEG decode, no media library (operators/"
+    "jpeg_codec.py): per doc a deterministic grayscale JPEG is encoded from "
+    "doc_id alone — dims (8(1+id%3), 8(1+id%2)), each 8x8 block CONSTANT at "
+    "(id*13+bx*7+by*29)%256.  Constant blocks have a DC-only spectrum, and "
+    "with the DC quantizer pinned to 8 the whole DC path is exact integer "
+    "math (FDCT DC of a constant block = 8(v-128); quantized DC = v-128; "
+    "the decoder's DC-only fast path reconstructs v exactly), so "
+    "decode(encode(x)) == x BIT-EXACTLY through marker framing, DQT/DHT/"
+    "SOF0/SOS parse, Huffman coding, byte stuffing, zigzag, dequant and DC "
+    "prediction — everything but the AC IDCT float path, which pytest "
+    "covers with tolerance round-trips.  The oracle recomputes dims + mean "
+    "from the generating formulas (block mean == pixel mean).  Row-local "
+    "mapInPandas both ways, zero shuffle before the final sort",
+)
+def q_multimodal_decode_jpeg(spark, sf_dir):
+    from ..operators.jpeg_codec import jpeg_encode
+    from ..operators.multimodal import decode_image_batch
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h = 8 * (1 + a % 3), 8 * (1 + a % 2)
+                nbx = w // 8
+                px = bytearray(w * h)
+                for y in range(h):
+                    for x in range(w):
+                        px[y * w + x] = (
+                            a * 13 + (x // 8) * 7 + (y // 8) * 29
+                        ) % 256
+                payloads.append(jpeg_encode(w, h, bytes(px), channels=1))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": "image/jpeg",
+                    "payload": payloads,
+                }
+            )
+
+    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
+    return (
+        decode_image_batch(assets, fake=False)
+        .select(
+            "asset_id",
+            "width",
+            "height",
+            F.round("mean_intensity", 6).alias("mean_intensity"),
+        )
+        .orderBy("asset_id")
+    )
