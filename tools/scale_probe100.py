@@ -66,6 +66,12 @@ PROBE = [
     ("doc_bigram_logprob", False),
     ("naive_bayes_lang_confusion", False),
     ("tfidf_top_terms", False),
+    # r8 additions: the real-decode queries (row-local mapInPandas
+    # encode+decode kernels — the media-pipeline posture at volume)
+    ("multimodal_decode_png", False),
+    ("multimodal_decode_gif", False),
+    ("multimodal_decode_wav", False),
+    ("multimodal_decode_jpeg", False),
 ]
 
 
