@@ -274,6 +274,77 @@ def decode_audio_batch(
     return df.mapInPandas(kernel, schema=_AUDIO_FIELDS)
 
 
+_VIDEO_FIELDS = (
+    "asset_id long, mime string, n_bytes long, width int, height int, "
+    "n_frames long, n_sampled long, luma_sum long, luma_peak int"
+)
+
+
+def sample_video_batch(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    mime_col: str = "mime",
+    every_k: int = 1,
+) -> DataFrame:
+    """Frame-sample binary video → (width, height, n_frames,
+    n_sampled, luma_sum, luma_peak).
+
+    Y4M (uncompressed YUV4MPEG2) decodes for real EVERYWHERE through
+    the pure-stdlib codec (``operators/y4m_codec.py``); frames
+    ``0, k, 2k, ...`` are kept — the every-k-th-frame sampling a
+    training-data pipeline runs — and reduced to exact INTEGER luma
+    statistics, so the certification hash is layout-independent by
+    construction.  Structurally corrupt streams degrade to the
+    all-zero sentinel row; compressed video (H.264, VP9, ...) raises
+    ``NotImplementedError`` per payload — no video library ships in
+    this environment.  Row-local ``mapInPandas``; payloads never
+    shuffle, and sampling drops (k−1)/k of the pixel volume BEFORE
+    any downstream feature step.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .y4m_codec import Y4MCorruptError, is_y4m, y4m_sample_stats
+
+        def decode(payload: bytes) -> tuple[int, int, int, int, int, int]:
+            if is_y4m(payload):
+                try:
+                    return y4m_sample_stats(payload, every_k=every_k)
+                except Y4MCorruptError:
+                    return 0, 0, 0, 0, 0, 0
+                # Y4MUnsupportedError (interlaced, exotic chroma)
+                # propagates: a valid stream this codec cannot read
+                # must not decode to a sentinel that looks like data
+            raise NotImplementedError(
+                "compressed video decode requires a codec library, none "
+                "present in this environment"
+            )
+
+        for pdf in batches:
+            decoded = [
+                decode(bytes(p)) if p is not None else (0, 0, 0, 0, 0, 0)
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "mime": pdf[mime_col],
+                    "n_bytes": [
+                        len(bytes(p)) if p is not None else 0
+                        for p in pdf[payload_col]
+                    ],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "n_sampled": [d[3] for d in decoded],
+                    "luma_sum": [d[4] for d in decoded],
+                    "luma_peak": [d[5] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=_VIDEO_FIELDS)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",

@@ -28,16 +28,16 @@ from ._core import QueryDef  # noqa: F401
 #
 #   head  (_CERT_EARLY): multimodal_decode_fake (its only driver row
 #          was a r4 "no_oracle" rows-only record; it has a full oracle
-#          since r5); the three r8-NEW real-decode queries
+#          since r5); the four r8-NEW real-decode/sample queries
 #          (multimodal_decode_wav, multimodal_decode_gif,
-#          multimodal_decode_jpeg); and
+#          multimodal_decode_jpeg, multimodal_sample_video); and
 #          embedding_covariance (r7 hash FAIL, root-caused to
 #          order-dependent float summation, re-contracted this round
 #          to fixed-point integer moments — operators/pca.py
-#          embedding_covariance_fixedpoint).  All five get a first
+#          embedding_covariance_fixedpoint).  All six get a first
 #          green row this round.
-#   head fill (positions 6-50): the stalest-certified entries lead
-#          _CERT_LATE (r4/r5 evidence), so the remaining 45 window
+#   head fill (positions 7-50): the stalest-certified entries lead
+#          _CERT_LATE (r4/r5 evidence), so the remaining 44 window
 #          slots re-certify the least-recently-certified evidence.
 #   tail  (_CERT_LATE): all 187 green-certified entries,
 #          least-recently-certified first (round, then registration
@@ -53,6 +53,7 @@ _CERT_EARLY = [
     "multimodal_decode_wav",
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
+    "multimodal_sample_video",
     "embedding_covariance",
 ]
 

@@ -963,3 +963,78 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
         )
         .orderBy("asset_id")
     )
+
+
+@register(
+    "multimodal_sample_video",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id,
+             2 * (2 + doc_id % 3) AS w, 4 AS h, 3 + doc_id % 6 AS nf
+      FROM documents),
+    fr AS (
+      SELECT asset_id, w, h, nf, f
+      FROM d, unnest(range(0, nf)) AS t(f) WHERE f % 2 = 0),
+    px AS (
+      SELECT asset_id, w, h, nf,
+             (asset_id * 7 + f * 31 + p * 13) % 256 AS v
+      FROM fr, unnest(range(0, w * h)) AS s(p))
+    SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(sum(v) AS BIGINT) AS luma_sum, CAST(max(v) AS INT) AS luma_peak
+    FROM px GROUP BY asset_id, w, h, nf
+    ORDER BY asset_id
+    """,
+    note="REAL video frame-sampling, no media library (operators/"
+    "y4m_codec.py): per doc a deterministic uncompressed Y4M stream is "
+    "encoded from doc_id alone — dims (2(2+id%3), 4), 3+id%6 frames, luma "
+    "pixel (id*7+f*31+p*13)%256 — then decoded by sample_video_batch with "
+    "every_k=2: stream-header parse, FRAME walk, keep frames 0,2,4,..., "
+    "reduce to exact INTEGER luma stats (sum, peak) so the hash is "
+    "layout-independent by construction.  The oracle recomputes the stats "
+    "from the generating formulas over the SAMPLED frames, so a green row "
+    "certifies decode(encode(x)) == x AND the sampling arithmetic through "
+    "the full byte pipeline — completing the image/audio/VIDEO modality "
+    "triple (PNG/GIF/JPEG, WAV, Y4M).  Row-local mapInPandas both ways, "
+    "zero shuffle before the final sort; sampling drops (k-1)/k of the "
+    "pixel volume before any downstream feature step",
+)
+def q_multimodal_sample_video(spark, sf_dir):
+    from ..operators.multimodal import sample_video_batch
+    from ..operators.y4m_codec import y4m_encode
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h, nf = 2 * (2 + a % 3), 4, 3 + a % 6
+                frames = [
+                    bytes(
+                        (a * 7 + f * 31 + p * 13) % 256 for p in range(w * h)
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(y4m_encode(w, h, frames, chroma="mono"))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": "video/x-yuv4mpeg",
+                    "payload": payloads,
+                }
+            )
+
+    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
+    return (
+        sample_video_batch(assets, every_k=2)
+        .select(
+            "asset_id", "width", "height",
+            "n_frames", "n_sampled", "luma_sum", "luma_peak",
+        )
+        .orderBy("asset_id")
+    )
