@@ -72,6 +72,7 @@ PROBE = [
     ("multimodal_decode_gif", False),
     ("multimodal_decode_wav", False),
     ("multimodal_decode_jpeg", False),
+    ("multimodal_sample_video", False),
 ]
 
 
