@@ -868,8 +868,10 @@ def q_multimodal_decode_gif(spark, sf_dir):
                         (a * 7 + 41 * i) % 256,
                     )
                 )
-                idx = bytes((a + 3 * p) % 4 for p in range(w * h))
-                payloads.append(gif_encode(w, h, idx, pal))
+                import numpy as np
+
+                idx = ((a + 3 * np.arange(w * h)) % 4).astype(np.uint8)
+                payloads.append(gif_encode(w, h, idx.tobytes(), pal))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -929,6 +931,7 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
 
     def enc(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -936,14 +939,13 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
             for a in pdf["asset_id"]:
                 a = int(a)
                 w, h = 8 * (1 + a % 3), 8 * (1 + a % 2)
-                nbx = w // 8
-                px = bytearray(w * h)
-                for y in range(h):
-                    for x in range(w):
-                        px[y * w + x] = (
-                            a * 13 + (x // 8) * 7 + (y // 8) * 29
-                        ) % 256
-                payloads.append(jpeg_encode(w, h, bytes(px), channels=1))
+                yy, xx = np.meshgrid(
+                    np.arange(h), np.arange(w), indexing="ij"
+                )
+                px = ((a * 13 + (xx // 8) * 7 + (yy // 8) * 29) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(jpeg_encode(w, h, px.tobytes(), channels=1))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -1013,11 +1015,14 @@ def q_multimodal_sample_video(spark, sf_dir):
             payloads = []
             for a in pdf["asset_id"]:
                 a = int(a)
+                import numpy as np
+
                 w, h, nf = 2 * (2 + a % 3), 4, 3 + a % 6
+                p_idx = np.arange(w * h)
                 frames = [
-                    bytes(
-                        (a * 7 + f * 31 + p * 13) % 256 for p in range(w * h)
-                    )
+                    ((a * 7 + f * 31 + p_idx * 13) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
                     for f in range(nf)
                 ]
                 payloads.append(y4m_encode(w, h, frames, chroma="mono"))
