@@ -58,6 +58,11 @@ HEADLINE = [
     "q22_dormant_customers",
     "doc_concat_shards",
     "sql_api_running_revenue",
+    # r8 additions: the fixed-point covariance re-contract + the
+    # real-decode media queries (row-local mapInPandas, zero shuffle)
+    "embedding_covariance",
+    "multimodal_decode_jpeg",
+    "multimodal_sample_video",
     "domain_cap_sample",
     "incremental_dedup_new_docs",
     "q16_supplier_diversity",
