@@ -505,3 +505,67 @@ def test_simhash_md5_kernel_matches_expression(spark):
     }
     assert kern == expr
     assert set(kern) == {0, 1, 5, 6, 7}  # 2/3/4 have no tokens
+
+
+def test_ceil_ratio_exact_integer_bounds(spark):
+    # r8 ADVICE: float ceil(t/(1+t)·(a+b)) can overshoot by 1 when the
+    # true bound is an integer (t=0.4, a+b=7 → bound 2, float gave 3).
+    # _ceil_ratio must be exact for every small case and for large
+    # values where float division would round across an integer.
+    import math
+    from fractions import Fraction
+
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        _ceil_ratio,
+        _threshold_fraction,
+    )
+
+    cases = []
+    for t in (0.4, 0.5, 0.7, 0.8, 0.85, 0.9):
+        num, den = _threshold_fraction(t)
+        assert Fraction(num, den) == Fraction(str(t))
+        for n in list(range(1, 40)) + [10**6, 10**6 + 7]:
+            cases.append((n, num, num + den))  # t/(1+t) bound
+            cases.append((n, num, den))        # ceil(t·n) prefix bound
+    df = spark.createDataFrame([(i, n) for i, (n, _, _) in enumerate(cases)],
+                               "i long, n long")
+    exprs = [
+        _ceil_ratio(F.col("n"), num, den).alias(f"c{i}")
+        for i, (_, num, den) in enumerate(cases)
+    ]
+    # evaluate each case's own (num, den) against its row only
+    rows = {r.i: r for r in df.select("i", "n", *exprs).collect()}
+    for i, (n, num, den) in enumerate(cases):
+        got = rows[i][f"c{i}"]
+        want = -(-num * n // den)  # exact integer ceil
+        assert got == want, (n, num, den, got, want)
+    # the named repro: t=0.4, a+b=7 → exact bound 2 (float ceil gave 3)
+    num, den = _threshold_fraction(0.4)
+    assert -(-num * 7 // (num + den)) == 2
+    assert math.ceil((0.4 / 1.4) * 7) == 3  # the float bug this replaces
+
+
+def test_jaccard_boundary_pair_not_dropped(spark):
+    # Pair sitting exactly ON the t=0.4 threshold with a+b=7:
+    # A={g1,g2,g3}, B={g1,g2,g3,g4} → J=3/4... need J exactly ON a
+    # boundary where the overlap bound is integral: t=0.5, A=2, B=2,
+    # overlap 1... use t=0.4, |A|=3, |B|=4, inter=2 → J=2/5=0.4 ≥ t.
+    # Overlap bound ceil(t/(1+t)·7)=2: with min_shared=3 the capped
+    # filter must require only 2 shared prefix grams, not 3.
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs_from_grams,
+    )
+
+    grams = spark.createDataFrame(
+        [
+            (1, ["a", "b", "x"]),
+            (2, ["a", "b", "y", "z"]),
+        ],
+        "doc_id long, grams array<string>",
+    )
+    for r in (1, 2, 3, 5):
+        pairs = ngram_jaccard_pairs_from_grams(
+            grams, threshold=0.4, prefix_filter=True, min_shared=r
+        )
+        got = {(p.id_a, p.id_b) for p in pairs.collect()}
+        assert got == {(1, 2)}, (r, got)

@@ -138,3 +138,14 @@ def test_decode_image_batch_real_gif(spark):
     assert (rows[0].width, rows[0].height) == (6, 4)
     assert rows[0].mean_intensity == pytest.approx(sum(lut[i] for i in idx) / 24)
     assert (rows[1].width, rows[1].height, rows[1].mean_intensity) == (0, 0, 0.0)
+
+
+def test_stray_parse_errors_become_corrupt():
+    # corrupt_guard: fuzzed truncations/mutations must stay within the
+    # typed Corrupt/Unsupported tiers (no struct.error/IndexError)
+    good = gif_encode(8, 8, bytes(range(64)), bytes(range(192)))
+    for cut in range(6, len(good)):
+        try:
+            gif_decode(good[:cut])
+        except (GIFCorruptError, GIFUnsupportedError):
+            pass

@@ -162,3 +162,37 @@ def test_decode_image_batch_real_jpeg(spark):
     assert (rows[0].width, rows[0].height) == (16, 8)
     assert rows[0].mean_intensity == pytest.approx(sum(px) / 128)
     assert (rows[1].width, rows[1].height, rows[1].mean_intensity) == (0, 0, 0.0)
+
+
+def test_stray_parse_errors_become_corrupt():
+    # r8 ADVICE repro: truncated SOF body raised struct.error through
+    # the kernel's typed-error catch; the corrupt_guard maps every
+    # low-level parse exception to JPEGCorruptError
+    with pytest.raises(JPEGCorruptError):
+        jpeg_decode(b"\xff\xd8\xff\xc0\x00\x04\x08\x00\xff\xd9")
+    # fuzzed truncations at every byte offset must stay in-tier
+    good = jpeg_encode(8, 8, bytes(range(64)), channels=1)
+    for cut in range(2, len(good)):
+        try:
+            jpeg_decode(good[:cut])
+        except (JPEGCorruptError, JPEGUnsupportedError):
+            pass  # the only allowed failure modes
+
+
+def test_dc_rounding_matches_idct_convention():
+    # r8 ADVICE: the DC-only fast path must use the same
+    # floor(x + 0.5) (half toward +inf) convention as the float-IDCT
+    # path.  dc*q00 ≡ 4 (mod 8) with negative dc is the disagreement
+    # case: floor(-4/8 + 0.5) = 0, half-away-from-zero gave -1.
+    from world_vaccination_coverage_etl_spark.operators.jpeg_codec import (
+        _cmat,
+    )
+
+    for dcq in (-4, -12, 4, 12, -20, 20):
+        v_fast = (dcq + 4) // 8 + 128
+        c = _cmat()
+        nat = np.zeros((8, 8))
+        nat[0, 0] = dcq
+        sp = c.T @ nat @ c + 128.0
+        v_float = int(np.clip(np.floor(sp + 0.5), 0, 255)[0, 0])
+        assert v_fast == v_float, dcq

@@ -236,3 +236,16 @@ def test_numpy_scalar_unfilter_parity_and_speed():
     )
     assert _unfilter_np(raw, h, w, 1) == _unfilter_scalar(raw, h, w, 1) == px
     assert t_sc / t_np >= 5, f"numpy unfilter only {t_sc / t_np:.1f}x"
+
+
+def test_stray_parse_errors_become_corrupt():
+    from world_vaccination_coverage_etl_spark.operators.png_codec import (
+        PNGUnsupportedError,
+    )
+
+    good = png_encode(8, 8, bytes(range(64)))
+    for cut in range(8, len(good)):
+        try:
+            png_decode(good[:cut])
+        except (PNGCorruptError, PNGUnsupportedError):
+            pass

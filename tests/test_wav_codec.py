@@ -111,3 +111,12 @@ def test_decode_audio_batch_non_wav_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|audio library"):
         decode_audio_batch(df).collect()
+
+
+def test_stray_parse_errors_become_corrupt():
+    good = wav_encode(8000, 1, list(range(-32, 32)))
+    for cut in range(4, len(good)):
+        try:
+            wav_decode(good[:cut])
+        except (WAVCorruptError, WAVUnsupportedError):
+            pass

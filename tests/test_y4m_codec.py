@@ -127,3 +127,19 @@ def test_sample_video_batch_non_y4m_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codec library"):
         sample_video_batch(df).collect()
+
+
+def test_stray_parse_errors_become_corrupt():
+    # r8 ADVICE repro: non-numeric W/H tag raised bare ValueError from
+    # int() through the kernel's typed-error catch
+    with pytest.raises(Y4MCorruptError):
+        y4m_decode_frames(b"YUV4MPEG2 Wx H8 F25:1 Cmono\n")
+    with pytest.raises(Y4MCorruptError):
+        y4m_decode_frames(b"YUV4MPEG2 W8 H8 F25:a Cmono\n")
+    # fuzzed truncations stay in-tier
+    good = y4m_encode(8, 8, [bytes(64)], chroma="mono")
+    for cut in range(len(b"YUV4MPEG2"), len(good)):
+        try:
+            y4m_decode_frames(good[:cut])
+        except (Y4MCorruptError, Y4MUnsupportedError):
+            pass

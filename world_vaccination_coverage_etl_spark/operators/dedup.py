@@ -545,6 +545,33 @@ def _jaccard_pairs_plain(
     )
 
 
+def _threshold_fraction(threshold: float) -> tuple[int, int]:
+    """Exact ``(numerator, denominator)`` for the Jaccard threshold.
+
+    ``Fraction(str(t))`` parses the decimal literal the caller wrote
+    (0.8 → 4/5), not the binary double, so the bound arithmetic in
+    ``_ceil_ratio`` is exact integer math.  A float product that lands
+    an ulp above an integer makes ``ceil`` overshoot by 1 (e.g.
+    t=0.4, a+b=7: true overlap bound 2, float ceil 3), silently
+    requiring more shared prefix grams than the lemma guarantees and
+    dropping a true pair before the exact verify."""
+    from fractions import Fraction
+
+    fr = Fraction(str(float(threshold)))
+    return fr.numerator, fr.denominator
+
+
+def _ceil_ratio(col: F.Column, num: int, den: int) -> F.Column:
+    """``ceil(num·col / den)`` as exact integer arithmetic (col ≥ 0).
+
+    ``p - pmod(p, den)`` is exactly divisible by ``den``, so the
+    float division of the two is correctly rounded to the exact
+    integer quotient (both operands and result < 2^53) — no
+    ulp-overshoot, unlike ``F.ceil`` of a float product."""
+    p = (F.lit(num) * col + F.lit(den - 1)).cast("long")
+    return ((p - F.pmod(p, F.lit(den))) / F.lit(den)).cast("long")
+
+
 def _jaccard_pairs_prefix(
     grams: DataFrame,
     id_col: str,
@@ -585,8 +612,9 @@ def _jaccard_pairs_prefix(
     # total order satisfies the lemma), then keep each doc's prefix
     dfreq = ex.groupBy("gh").agg(F.count(F.lit(1)).alias("gdf"))
     w = Window.partitionBy(id_col).orderBy("gdf", "gh")
-    prefix_len = F.col("n_grams") - F.ceil(
-        F.lit(float(threshold)) * F.col("n_grams")
+    t_num, t_den = _threshold_fraction(threshold)
+    prefix_len = F.col("n_grams") - _ceil_ratio(
+        F.col("n_grams"), t_num, t_den
     ) + min_shared
     pref = (
         ex.join(dfreq, on="gh")
@@ -602,11 +630,11 @@ def _jaccard_pairs_prefix(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         & (
             F.col("a.n_grams")
-            >= F.ceil(F.lit(float(threshold)) * F.col("b.n_grams"))
+            >= _ceil_ratio(F.col("b.n_grams"), t_num, t_den)
         )
         & (
             F.col("b.n_grams")
-            >= F.ceil(F.lit(float(threshold)) * F.col("a.n_grams"))
+            >= _ceil_ratio(F.col("a.n_grams"), t_num, t_den)
         )
     )
     if block_col:
@@ -619,11 +647,11 @@ def _jaccard_pairs_prefix(
         ).dropDuplicates(["id_a", "id_b"])
     else:
         # required shared prefix grams, capped by the pair's total
-        # overlap bound ceil(t/(1+t)·(a+b)) so tiny docs stay sound
-        tt = float(threshold) / (1.0 + float(threshold))
+        # overlap bound ceil(t/(1+t)·(a+b)) so tiny docs stay sound;
+        # t/(1+t) = num/(num+den) — exact integer ceil, no float ulp
         need = F.least(
             F.lit(min_shared),
-            F.ceil(F.lit(tt) * (F.col("n_a") + F.col("n_b"))),
+            _ceil_ratio(F.col("n_a") + F.col("n_b"), t_num, t_num + t_den),
         )
         cand = (
             joined.groupBy(

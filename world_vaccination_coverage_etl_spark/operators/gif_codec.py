@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import struct
 
+from ._codec_guard import corrupt_guard
 from .png_codec import _luma
 
 try:
@@ -189,6 +190,7 @@ def _lzw_decode(mcs: int, data: bytes, max_pixels: int) -> bytes:
     return bytes(out[:max_pixels])
 
 
+@corrupt_guard(GIFCorruptError, GIFUnsupportedError)
 def gif_decode_pixels(payload: bytes) -> tuple[int, int, bytes, bytes]:
     """Decode the first frame → ``(width, height, indices, palette)``."""
     if not is_gif(payload):

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import struct
 
+from ._codec_guard import corrupt_guard
+
 try:
     import numpy as _np
 except ImportError:  # pragma: no cover - numpy is baked into this env
@@ -344,6 +346,7 @@ def jpeg_encode(
 
 # ---------------------------------------------------------------- decode
 
+@corrupt_guard(JPEGCorruptError, JPEGUnsupportedError)
 def jpeg_decode_planes(payload: bytes):
     """Decode a baseline JPEG → ``(width, height, [plane, ...])``
     where each plane is a full-resolution numpy uint8 array (YCbCr
@@ -476,9 +479,10 @@ def jpeg_decode_planes(payload: bytes):
                     # DC-only fast path: exact integer reconstruction
                     # (IDCT of a DC-only block is the constant dc/8)
                     dc = int(deq[0])
-                    # round half away from zero (floor-div is floor,
-                    # not trunc, for negatives)
-                    v = ((dc + 4) // 8 if dc >= 0 else -((-dc + 4) // 8)) + 128
+                    # floor(dc/8 + 0.5) == (dc+4) floor-div 8 for all
+                    # signs — same half-toward-+inf convention as the
+                    # general float-IDCT path below
+                    v = (dc + 4) // 8 + 128
                     blk = _np.full((8, 8), max(0, min(255, v)), dtype=_np.uint8)
                 else:
                     nat = _np.zeros(64, dtype=_np.float64)

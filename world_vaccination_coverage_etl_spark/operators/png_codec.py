@@ -36,6 +36,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+from ._codec_guard import corrupt_guard
+
 try:  # numpy unfilter is ~50x on vectorizable filters; stdlib path
     import numpy as _np  # stays complete for numpy-less deployments
 except ImportError:  # pragma: no cover - numpy is baked into this env
@@ -131,6 +133,7 @@ def png_encode(
     )
 
 
+@corrupt_guard(PNGCorruptError, PNGUnsupportedError)
 def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline PNG → ``(width, height, channels, raw_pixels)``.
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import struct
 
+from ._codec_guard import corrupt_guard
+
 try:
     import numpy as _np
 except ImportError:  # pragma: no cover - numpy is baked into this env
@@ -74,6 +76,7 @@ def wav_encode(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@corrupt_guard(WAVCorruptError, WAVUnsupportedError)
 def wav_decode_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
     """Decode a PCM WAV → ``(sample_rate, channels, bits, samples)``.
 

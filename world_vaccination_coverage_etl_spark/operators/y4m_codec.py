@@ -20,6 +20,8 @@ two-tier contract the decode kernels map to raise / sentinel.
 
 from __future__ import annotations
 
+from ._codec_guard import corrupt_guard
+
 try:
     import numpy as _np
 except ImportError:  # pragma: no cover - numpy is baked into this env
@@ -71,6 +73,7 @@ def y4m_encode(
     return bytes(out)
 
 
+@corrupt_guard(Y4MCorruptError, Y4MUnsupportedError)
 def y4m_decode_frames(payload: bytes):
     """Decode a Y4M stream → ``(width, height, fps, [luma plane, ...])``."""
     if not is_y4m(payload):
