@@ -93,8 +93,9 @@ def test_corrupt_payloads_raise_corrupt():
 def test_unsupported_profile_raises_unsupported():
     good = gif_encode(3, 2, bytes([0, 1, 2, 3, 0, 1]), _gray_palette(4))
     i = good.index(b"\x2c")
-    # set the interlace bit in the image descriptor's packed byte
-    bad = good[: i + 9] + bytes([good[i + 9] | 0x40]) + good[i + 10 :]
+    # set the local-color-table bit in the image descriptor's packed
+    # byte (interlace decodes for real since r9)
+    bad = good[: i + 9] + bytes([good[i + 9] | 0x80]) + good[i + 10 :]
     with pytest.raises(GIFUnsupportedError):
         gif_decode(bad)
 
@@ -149,3 +150,13 @@ def test_stray_parse_errors_become_corrupt():
             gif_decode(good[:cut])
         except (GIFCorruptError, GIFUnsupportedError):
             pass
+
+
+def test_interlaced_gif_roundtrip():
+    for w, h in [(1, 1), (3, 2), (8, 8), (13, 11), (5, 17), (16, 1)]:
+        idx = bytes((x * 11 + 3) % 64 for x in range(w * h))
+        pal = bytes((i * 3 + 1) % 256 for i in range(192))
+        plain = gif_encode(w, h, idx, pal)
+        inter = gif_encode(w, h, idx, pal, interlace=True)
+        assert gif_decode_pixels(inter)[:3] == gif_decode_pixels(plain)[:3]
+        assert gif_decode(inter) == gif_decode(plain)

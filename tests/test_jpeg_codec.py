@@ -115,9 +115,11 @@ def test_corrupt_payloads_raise_corrupt():
 def test_unsupported_profile_raises_unsupported():
     good = jpeg_encode(8, 8, bytes(range(64)), channels=1)
     i = good.index(b"\xff\xc0")
-    progressive = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    # SOF1 extended sequential is outside the profile (SOF2
+    # progressive is decoded for real since r9)
+    extended = good[:i] + b"\xff\xc1" + good[i + 2 :]
     with pytest.raises(JPEGUnsupportedError):
-        jpeg_decode(progressive)
+        jpeg_decode(extended)
     # subsampling: flip the Y component's h/v factors to 0x22
     sof_body = i + 4
     sub = good[: sof_body + 7] + b"\x22" + good[sof_body + 8 :]
@@ -196,3 +198,162 @@ def test_dc_rounding_matches_idct_convention():
         sp = c.T @ nat @ c + 128.0
         v_float = int(np.clip(np.floor(sp + 0.5), 0, 255)[0, 0])
         assert v_fast == v_float, dcq
+
+
+def test_ac_single_coefficient_roundtrip_exact():
+    # the multimodal_decode_jpeg_ac fixture contract: pixels
+    # A + B*s(m)s(n) (s = sign pattern of the (4,4) DCT basis) have the
+    # exact two-coefficient spectrum {F00 = 8(A-128), F44 = 8B}; with
+    # q00=8, qAC=16 and B even the round trip is bit-exact through the
+    # AC Huffman + float-IDCT path (NOT the DC-only fast path).
+    s = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    s2 = np.outer(s, s)
+    for a, b in [(64, 2), (128, 32), (191, 32), (100, 14), (77, 30)]:
+        px = (a + b * s2).astype(np.uint8)
+        blob = jpeg_encode(8, 8, px.tobytes(), channels=1)
+        w, h, planes = jpeg_decode_planes(blob)
+        assert (w, h) == (8, 8)
+        assert np.array_equal(planes[0], px), (a, b)
+    # multi-block: per-block amplitudes, shared base — the registry
+    # fixture shape (exercises DC prediction across AC blocks too)
+    base = 90
+    px = np.empty((16, 24), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            bamp = 2 * (1 + (7 * 13 + bx * 7 + by * 29) % 16)
+            px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = base + bamp * s2
+    blob = jpeg_encode(24, 16, px.tobytes(), channels=1)
+    w, h, planes = jpeg_decode_planes(blob)
+    assert (w, h) == (24, 16)
+    assert np.array_equal(planes[0], px)
+    # odd B (inexact quantization) must NOT round-trip exactly — pins
+    # that the test above really exercises lossy machinery
+    px_odd = (100 + 3 * s2).astype(np.uint8)
+    blob = jpeg_encode(8, 8, px_odd.tobytes(), channels=1)
+    _, _, planes = jpeg_decode_planes(blob)
+    assert not np.array_equal(planes[0], px_odd)
+    assert np.abs(planes[0].astype(int) - px_odd.astype(int)).max() <= 2
+
+
+def test_progressive_equals_baseline_decode():
+    # the progressive scan script produces the IDENTICAL quantized
+    # coefficients, so decode(progressive) == decode(baseline) holds
+    # bit-exactly for ANY input — this pins spectral selection,
+    # DC/AC successive approximation, refinement correction bits and
+    # the shared reconstruction in one property.
+    rng = np.random.default_rng(11)
+    for _ in range(12):
+        w = int(rng.integers(1, 40))
+        h = int(rng.integers(1, 40))
+        ch = int(rng.choice([1, 3]))
+        px = rng.integers(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+        b0 = jpeg_encode(w, h, px, channels=ch)
+        b1 = jpeg_encode(w, h, px, channels=ch, progressive=True)
+        w0, h0, p0 = jpeg_decode_planes(b0)
+        w1, h1, p1 = jpeg_decode_planes(b1)
+        assert (w0, h0) == (w1, h1) == (w, h)
+        for a, b in zip(p0, p1):
+            assert np.array_equal(a, b)
+
+
+def test_progressive_block_constant_still_exact():
+    # the DC certification contract must survive the progressive path
+    # (DC coded at Al=1 + refinement; reconstruction shared)
+    px = _block_constant(24, 16, lambda bx, by: bx * 40 + by * 90)
+    blob = jpeg_encode(24, 16, px, channels=1, progressive=True)
+    w, h, planes = jpeg_decode_planes(blob)
+    assert (w, h) == (24, 16)
+    assert planes[0].tobytes() == px
+
+
+def test_progressive_ac_single_coefficient_exact():
+    # AC fixture contract through the progressive path too
+    s = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    px = (100 + 14 * np.outer(s, s)).astype(np.uint8)
+    blob = jpeg_encode(8, 8, px.tobytes(), channels=1, progressive=True)
+    _, _, planes = jpeg_decode_planes(blob)
+    assert np.array_equal(planes[0], px)
+
+
+def test_progressive_eob_run_decode():
+    """EOBn>0 (shared end-of-band runs across blocks) — emitted by web
+    encoders but not ours, so build the scan by hand with a custom AC
+    table containing the EOB1 symbol (0x10)."""
+    from world_vaccination_coverage_etl_spark.operators.jpeg_codec import (
+        _BitWriter,
+        _canonical_codes,
+    )
+    import struct
+
+    # 32x8 gray: 4 blocks.  Target coefficients: block0 has AC k=1
+    # value +2 (quantized), blocks 1-2 empty (covered by EOB run),
+    # block3 has AC k=2 value -1.
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    q = [8] + [16] * 63
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(q))
+    sof = seg(0xFFC2, struct.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+    dc_bits = [0, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = [0, 1]
+    ac_bits = [0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x10, 0x01, 0x11]  # EOB0, EOB1, (0,1), (1,1)
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals),
+    )
+    dc_enc, _ = _canonical_codes(dc_bits, dc_vals)
+    ac_enc, _ = _canonical_codes(ac_bits, ac_vals)
+
+    # scan 1: DC, Al=0 — all four DC diffs zero (constant 128 image)
+    w = _BitWriter()
+    for _ in range(4):
+        code, ln = dc_enc[0]
+        w.put(code, ln)
+    sos_dc = seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + w.flush()
+
+    # scan 2: AC 1..63, Ah=0, Al=0 with an EOB1 run covering blocks 1-2
+    w = _BitWriter()
+    code, ln = ac_enc[0x01]  # block0: (run 0, size 1)
+    w.put(code, ln)
+    w.put(1, 1)  # magnitude bit -> +1... size 1 => value +1
+    code, ln = ac_enc[0x00]  # EOB0 terminates block0's band
+    w.put(code, ln)
+    code, ln = ac_enc[0x10]  # EOB1 read during block1: terminates it
+    w.put(code, ln)          # and eobrun = (1<<1)-1 + bits(1) more
+    w.put(0, 1)              # bits(1)=0 -> skip exactly block2
+    code, ln = ac_enc[0x11]  # block3: (run 1, size 1)
+    w.put(code, ln)
+    w.put(0, 1)  # magnitude bit 0 -> value -1
+    code, ln = ac_enc[0x00]
+    w.put(code, ln)
+    sos_ac = seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + w.flush()
+
+    blob = b"\xff\xd8" + dqt + sof + dht + sos_dc + sos_ac + b"\xff\xd9"
+    width, height, planes = jpeg_decode_planes(blob)
+    assert (width, height) == (32, 8)
+    # verify via the reference reconstruction: coefficients we coded
+    from world_vaccination_coverage_etl_spark.operators.jpeg_codec import (
+        ZIGZAG,
+        _cmat,
+    )
+
+    c = _cmat()
+    want = np.empty((8, 32), dtype=np.uint8)
+    for bi, (k, v) in enumerate([(1, 1), (None, 0), (None, 0), (2, -1)]):
+        nat = np.zeros(64)
+        if k is not None:
+            nat[ZIGZAG[k]] = v * 16.0
+        sp = c.T @ nat.reshape(8, 8) @ c + 128.0
+        want[:, bi * 8 : bi * 8 + 8] = np.clip(np.floor(sp + 0.5), 0, 255)
+    assert np.array_equal(planes[0], want)
+
+
+def test_progressive_truncation_fuzz_stays_in_tier():
+    good = jpeg_encode(16, 16, bytes(range(256)), channels=1, progressive=True)
+    for cut in range(2, len(good)):
+        try:
+            jpeg_decode_planes(good[:cut])
+        except (JPEGCorruptError, JPEGUnsupportedError):
+            pass

@@ -101,9 +101,10 @@ def test_corrupt_payloads_raise_corrupt():
 
 
 def test_unsupported_profile_raises_unsupported():
-    # 16-bit depth and interlaced: valid PNGs outside the baseline
+    # 16-bit depth: valid PNG outside the baseline (Adam7
+    # interlace decodes for real since r9)
     sig = b"\x89PNG\r\n\x1a\n"
-    for depth, interlace in [(16, 0), (8, 1)]:
+    for depth, interlace in [(16, 0)]:
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
         blob = (
             sig
@@ -244,6 +245,49 @@ def test_stray_parse_errors_become_corrupt():
     )
 
     good = png_encode(8, 8, bytes(range(64)))
+    for cut in range(8, len(good)):
+        try:
+            png_decode(good[:cut])
+        except (PNGCorruptError, PNGUnsupportedError):
+            pass
+
+
+def test_adam7_interlace_roundtrip():
+    # every pass geometry: sizes that exercise empty passes (tiny),
+    # single-pixel, odd dims; all color types the encoder emits;
+    # varied per-pass-row filters
+    import itertools
+
+    from world_vaccination_coverage_etl_spark.operators.png_codec import (
+        _adam7_passes,
+    )
+
+    for w, h, ct in [(1, 1, 0), (2, 3, 0), (7, 5, 2), (8, 8, 6),
+                     (17, 9, 0), (16, 16, 2), (5, 1, 4), (1, 9, 0)]:
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        px = bytes((x * 7 + 13) % 256 for x in range(w * h * ch))
+        nrows = sum(ph for *_xy, pw, ph in _adam7_passes(w, h) if pw and ph)
+        filt = list(itertools.islice(itertools.cycle([0, 1, 2, 3, 4]), nrows))
+        blob = png_encode(w, h, px, color_type=ct, row_filters=filt,
+                          interlace=True)
+        dw, dh, dch, out = png_decode_pixels(blob)
+        assert (dw, dh, dch) == (w, h, ch)
+        assert out == px, (w, h, ct)
+
+
+def test_adam7_matches_noninterlaced_decode():
+    px = bytes((x * 31 + 5) % 256 for x in range(24 * 17))
+    plain = png_encode(24, 17, px)
+    inter = png_encode(24, 17, px, interlace=True)
+    assert png_decode(plain) == png_decode(inter)
+
+
+def test_adam7_truncation_fuzz_stays_in_tier():
+    from world_vaccination_coverage_etl_spark.operators.png_codec import (
+        PNGUnsupportedError,
+    )
+
+    good = png_encode(9, 9, bytes(range(81)), interlace=True)
     for cut in range(8, len(good)):
         try:
             png_decode(good[:cut])

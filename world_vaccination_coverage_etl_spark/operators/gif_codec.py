@@ -9,14 +9,15 @@ against an oracle that recomputes them from the generating formulas —
 same ``decode(encode(x)) == x`` contract as the PNG query.
 
 Scope (the baseline profile):
-  - GIF87a/GIF89a, global color table, first image frame, no
-    interlace, no local color table.  89a extension blocks (graphic
+  - GIF87a/GIF89a, global color table, first image frame, no local
+    color table; 4-pass interlace decoded for real since r9.
+    89a extension blocks (graphic
     control, comments, application) are skipped; transparency is
     ignored like the PNG path ignores alpha (Pillow ``convert("L")``
     on the raw palette).
-  - Interlaced images or a local color table raise
-    ``GIFUnsupportedError`` (PIL fallback tier); structurally broken
-    payloads raise ``GIFCorruptError`` (sentinel tier).
+  - A local color table raises ``GIFUnsupportedError`` (PIL fallback
+    tier); structurally broken payloads raise ``GIFCorruptError``
+    (sentinel tier).
 
 The encoder emits valid single-frame GIF87a with the classic
 "uncompressed LZW" scheme — literal codes at the minimum width with a
@@ -47,7 +48,7 @@ class GIFCorruptError(ValueError):
 
 
 class GIFUnsupportedError(ValueError):
-    """Valid GIF outside the baseline profile (interlace, local CT)."""
+    """Valid GIF outside the baseline profile (local color table)."""
 
 
 def is_gif(payload: bytes) -> bool:
@@ -61,12 +62,27 @@ def _bits_for(n: int) -> int:
     return b
 
 
-def gif_encode(width: int, height: int, indices: bytes, palette: bytes) -> bytes:
+def _interlace_rows(height: int):
+    """GIF 4-pass interlace row order (spec: 8/8, 8/8+4, 4/4+2, 2/2+1)."""
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        yield from range(start, height, step)
+
+
+def gif_encode(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+    interlace: bool = False,
+) -> bytes:
     """Encode palette indices into a single-frame GIF87a.
 
     ``indices`` is the row-major index stream (``width * height``
     bytes); ``palette`` is ``3 * n_colors`` RGB bytes, ``n_colors``
     a power of two between 2 and 256 (padded up if not).
+    ``interlace=True`` stores rows in the 4-pass interlace order and
+    sets the descriptor flag (round-trip pin for the decoder's
+    deinterlacer).
     """
     if len(indices) != width * height:
         raise ValueError(f"need {width * height} index bytes, got {len(indices)}")
@@ -103,6 +119,12 @@ def gif_encode(width: int, height: int, indices: bytes, palette: bytes) -> bytes
             acc >>= 8
             nbits -= 8
 
+    if interlace:
+        src = bytearray()
+        for y in _interlace_rows(height):
+            src += indices[y * width : (y + 1) * width]
+        indices = bytes(src)
+
     emit(clear)
     run = 0
     for px in indices:
@@ -123,7 +145,9 @@ def gif_encode(width: int, height: int, indices: bytes, palette: bytes) -> bytes
     sub.append(0)
 
     lsd = struct.pack("<HHBBB", width, height, 0x80 | ((k - 1) << 4) | (k - 1), 0, 0)
-    idesc = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    idesc = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
+    )
     return (
         b"GIF87a" + lsd + pal + idesc + bytes([mcs]) + bytes(sub) + b"\x3B"
     )
@@ -225,8 +249,7 @@ def gif_decode_pixels(payload: bytes) -> tuple[int, int, bytes, bytes]:
             "<BHHHHB", payload, pos
         )
         pos += 10
-        if ipacked & 0x40:
-            raise GIFUnsupportedError("interlaced GIF outside baseline")
+        interlaced = bool(ipacked & 0x40)
         if ipacked & 0x80:
             raise GIFUnsupportedError("local color table outside baseline")
         if not palette:
@@ -249,6 +272,13 @@ def gif_decode_pixels(payload: bytes) -> tuple[int, int, bytes, bytes]:
         indices = _lzw_decode(mcs, bytes(data), width * height)
         if indices and max(indices) * 3 + 3 > len(palette):
             raise GIFCorruptError("palette index out of range")
+        if interlaced:
+            out = bytearray(len(indices))
+            for si, y in enumerate(_interlace_rows(height)):
+                out[y * width : (y + 1) * width] = indices[
+                    si * width : (si + 1) * width
+                ]
+            indices = bytes(out)
         return width, height, indices, palette
     raise GIFCorruptError("no image descriptor")
 

@@ -21,11 +21,23 @@ oracle recomputes the decoded means from the generating formulas —
 the same contract as the PNG/GIF/WAV queries.  General blocks take
 the float IDCT path, covered by pytest round-trip tolerance tests.
 
-Scope (the profile our encoder emits; everything else raises):
-  - SOF0 baseline, 8-bit, grayscale or YCbCr 4:4:4, no restart
-    intervals, no progressive (``JPEGUnsupportedError`` → PIL tier);
+Scope (everything else raises):
+  - SOF0 baseline AND SOF2 progressive (spectral selection +
+    successive approximation, EOB runs — r8 verdict item 7:
+    progressive is the common web profile), 8-bit, grayscale or
+    YCbCr 4:4:4, no restart intervals (``JPEGUnsupportedError`` →
+    PIL tier);
   - structurally broken payloads raise ``JPEGCorruptError``
     (sentinel tier), mirroring the PNG/GIF/WAV kernels.
+
+Progressive decoding routes every scan into one zigzag coefficient
+array per component and shares the baseline reconstruction
+(dequant → exact-integer DC fast path / float IDCT), so the
+certification contracts hold for progressive files too.  The
+encoder's ``progressive=True`` emits a libjpeg-style scan script
+(DC Al=1 + refinement, split-spectrum AC at Al=2 with two
+refinement rounds) producing the identical quantized coefficients —
+the round-trip pins the whole progressive path without needing PIL.
 
 Huffman tables are the public ITU-T T.81 Annex K typical tables.
 """
@@ -218,20 +230,210 @@ def _cmat():
 
 # ---------------------------------------------------------------- encode
 
+def _quantize_plane_blocks(plane, qv, c, bw, bh):
+    """FDCT + quantize every 8x8 block of one component plane.
+
+    Returns an int64 array of shape (bh*bw, 64) in ZIGZAG order.
+    Edge blocks replicate the last row/column (keeps block mean ==
+    pixel mean, the DC certification contract)."""
+    out = _np.zeros((bh * bw, 64), dtype=_np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            ys = slice(by * 8, by * 8 + 8)
+            xs = slice(bx * 8, bx * 8 + 8)
+            blk = plane[ys, xs]
+            if blk.shape != (8, 8):
+                blk = _np.pad(
+                    blk,
+                    ((0, 8 - blk.shape[0]), (0, 8 - blk.shape[1])),
+                    mode="edge",
+                )
+            coeff = c @ (blk - 128.0) @ c.T
+            # round half away from zero (numpy round is half-even)
+            quant = _np.sign(coeff) * _np.floor(_np.abs(coeff) / qv + 0.5)
+            out[by * bw + bx] = quant.reshape(64)[ZIGZAG].astype(_np.int64)
+    return out
+
+
+def _put_dc_diff(w, diff, dc_enc):
+    size = _category(diff)
+    code, ln = dc_enc[size]
+    w.put(code, ln)
+    if size:
+        mag = diff if diff >= 0 else diff + (1 << size) - 1
+        w.put(mag, size)
+
+
+def _emit_baseline_scan(zzs, dc_enc, ac_enc):
+    """Sequential scan: all components interleaved, full band."""
+    w = _BitWriter()
+    pred = [0] * len(zzs)
+    for bi in range(zzs[0].shape[0]):
+        for ci, zzc in enumerate(zzs):
+            zz = zzc[bi]
+            dc = int(zz[0])
+            _put_dc_diff(w, dc - pred[ci], dc_enc)
+            pred[ci] = dc
+            last_nz = 0
+            for i in range(1, 64):
+                if zz[i]:
+                    last_nz = i
+            run = 0
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                size = _category(v)
+                code, ln = ac_enc[(run << 4) | size]
+                w.put(code, ln)
+                mag = v if v >= 0 else v + (1 << size) - 1
+                w.put(mag, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_enc[0x00]  # EOB
+                w.put(code, ln)
+    return w.flush()
+
+
+def _emit_dc_first(zzs, al, dc_enc):
+    """Progressive DC scan, all components interleaved, Ah=0.
+
+    The DC coefficient uses the ARITHMETIC shift (T.81 G.1.2.1):
+    diffs are coded on ``dc >> al``."""
+    w = _BitWriter()
+    pred = [0] * len(zzs)
+    for bi in range(zzs[0].shape[0]):
+        for ci, zzc in enumerate(zzs):
+            v = int(zzc[bi][0]) >> al
+            _put_dc_diff(w, v - pred[ci], dc_enc)
+            pred[ci] = v
+    return w.flush()
+
+
+def _emit_dc_refine(zzs, al):
+    """Progressive DC refinement: one raw bit per block per component."""
+    w = _BitWriter()
+    for bi in range(zzs[0].shape[0]):
+        for zzc in zzs:
+            w.put((int(zzc[bi][0]) >> al) & 1, 1)
+    return w.flush()
+
+
+def _emit_ac_first(zzc, ss, se, al, ac_enc):
+    """Progressive AC first pass (Ah=0) for ONE component.
+
+    AC uses the MAGNITUDE shift: v = sign(c)*(|c| >> al).  EOB runs
+    are not accumulated across blocks (always EOB0) so the fixed
+    Annex K tables suffice — EOBn>0 symbols (0x10..0xE0) are absent
+    from the sequential table; the DECODER still handles them for
+    real-world progressive files."""
+    w = _BitWriter()
+    for bi in range(zzc.shape[0]):
+        zz = zzc[bi]
+        last_nz = 0
+        for k in range(ss, se + 1):
+            if abs(int(zz[k])) >> al:
+                last_nz = k
+        run = 0
+        for k in range(ss, last_nz + 1):
+            a = abs(int(zz[k])) >> al
+            if a == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                w.put(code, ln)
+                run -= 16
+            size = _category(a)
+            code, ln = ac_enc[(run << 4) | size]
+            w.put(code, ln)
+            v = a if int(zz[k]) > 0 else -a
+            mag = v if v >= 0 else v + (1 << size) - 1
+            w.put(mag, size)
+            run = 0
+        if last_nz < se or last_nz == 0:
+            code, ln = ac_enc[0x00]  # EOB0
+            w.put(code, ln)
+    return w.flush()
+
+
+def _emit_ac_refine(zzc, ss, se, al, ac_enc):
+    """Progressive AC refinement (Ah=Al+1) for ONE component.
+
+    Mirrors the decoder's walk exactly (T.81 G.1.2.3): newly
+    significant coefficients (|c|>>al == 1) are coded as (run-of-
+    zero-history, 1) + sign; already-significant coefficients emit
+    one correction bit ((|c|>>al)&1) at the position the decoder's
+    advance loop passes them; a trailing EOB0 flushes correction
+    bits for the remainder of the band."""
+    w = _BitWriter()
+    for bi in range(zzc.shape[0]):
+        zz = zzc[bi]
+
+        def sh(k):
+            return abs(int(zz[k])) >> al
+
+        newpos = [k for k in range(ss, se + 1) if sh(k) == 1]
+        k = ss
+        for p in newpos:
+            zeros = sum(1 for j in range(k, p) if sh(j) == 0)
+            while zeros > 15:
+                code, ln = ac_enc[0xF0]  # ZRL: skip 16 zero-history
+                w.put(code, ln)
+                cnt = 16
+                while cnt > 0:
+                    if sh(k) > 1:
+                        w.put(sh(k) & 1, 1)
+                    else:
+                        cnt -= 1
+                    k += 1
+                zeros -= 16
+            code, ln = ac_enc[(zeros << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if int(zz[p]) > 0 else 0, 1)  # sign precedes advance
+            while k < p:
+                if sh(k) > 1:
+                    w.put(sh(k) & 1, 1)
+                k += 1
+            k = p + 1
+        if k <= se:
+            code, ln = ac_enc[0x00]  # EOB0 + band-tail correction bits
+            w.put(code, ln)
+            while k <= se:
+                if sh(k) > 1:
+                    w.put(sh(k) & 1, 1)
+                k += 1
+    return w.flush()
+
+
 def jpeg_encode(
     width: int,
     height: int,
     pixels: bytes,
     channels: int = 1,
     qtable: list[int] | None = None,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode 8-bit pixels into a baseline JPEG.
+    """Encode 8-bit pixels into a baseline (SOF0) or progressive
+    (SOF2) JPEG.
 
     ``pixels`` is row-major gray (``channels=1``) or interleaved RGB
     (``channels=3``, converted to YCbCr 4:4:4).  Width/height need not
     be multiples of 8 (edge blocks replicate the last row/column).
     ``qtable`` is one 64-entry natural-order quant table used for all
     components (default ``DEFAULT_QTABLE``: exact-DC contract).
+    ``progressive=True`` emits the libjpeg-style scan script —
+    DC first (Al=1), per-component AC 1-5 / 6-63 at Al=2, two AC
+    refinement rounds, DC refinement — exercising spectral selection
+    AND successive approximation on both DC and AC; the quantized
+    coefficients are identical to the baseline encoding, so
+    ``decode(encode(x, progressive=True)) ==
+    decode(encode(x, progressive=False))`` bit-exactly.
     """
     if _np is None:  # pragma: no cover
         raise JPEGUnsupportedError("jpeg codec requires numpy")
@@ -264,63 +466,10 @@ def jpeg_encode(
     bh = (height + 7) // 8
     qv = _np.array(q, dtype=_np.float64).reshape(8, 8)
     c = _cmat()
+    zzs = [_quantize_plane_blocks(p, qv, c, bw, bh) for p in planes]
 
     dc_enc, _ = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_enc, _ = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
-    w = _BitWriter()
-    pred = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, plane in enumerate(planes):
-                # edge replication keeps the block mean = pixel mean
-                ys = slice(by * 8, by * 8 + 8)
-                xs = slice(bx * 8, bx * 8 + 8)
-                blk = plane[ys, xs]
-                if blk.shape != (8, 8):
-                    blk = _np.pad(
-                        blk,
-                        ((0, 8 - blk.shape[0]), (0, 8 - blk.shape[1])),
-                        mode="edge",
-                    )
-                coeff = c @ (blk - 128.0) @ c.T
-                # round half away from zero (numpy round is half-even)
-                quant = _np.sign(coeff) * _np.floor(
-                    _np.abs(coeff) / qv + 0.5
-                )
-                zz = quant.reshape(64)[ZIGZAG].astype(_np.int64)
-                dc = int(zz[0])
-                diff = dc - pred[ci]
-                pred[ci] = dc
-                size = _category(diff)
-                code, ln = dc_enc[size]
-                w.put(code, ln)
-                if size:
-                    mag = diff if diff >= 0 else diff + (1 << size) - 1
-                    w.put(mag, size)
-                run = 0
-                last_nz = 0
-                for i in range(1, 64):
-                    if zz[i]:
-                        last_nz = i
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_enc[0xF0]  # ZRL
-                        w.put(code, ln)
-                        run -= 16
-                    size = _category(v)
-                    code, ln = ac_enc[(run << 4) | size]
-                    w.put(code, ln)
-                    mag = v if v >= 0 else v + (1 << size) - 1
-                    w.put(mag, size)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_enc[0x00]  # EOB
-                    w.put(code, ln)
-    scan = w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -331,7 +480,7 @@ def jpeg_encode(
         struct.pack(">BBB", i + 1, 0x11, 0) for i in range(n_comp)
     )
     sof = seg(
-        0xFFC0,
+        0xFFC2 if progressive else 0xFFC0,
         struct.pack(">BHHB", 8, height, width, n_comp) + sof_comps,
     )
     dht = seg(
@@ -339,18 +488,199 @@ def jpeg_encode(
         bytes([0x00]) + bytes(_DC_LUM_BITS) + bytes(_DC_LUM_VALS)
         + bytes([0x10]) + bytes(_AC_LUM_BITS) + bytes(_AC_LUM_VALS),
     )
-    sos_comps = b"".join(struct.pack(">BB", i + 1, 0x00) for i in range(n_comp))
-    sos = seg(0xFFDA, bytes([n_comp]) + sos_comps + bytes([0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += struct.pack(">BB", cid, 0x00)
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    out = b"\xff\xd8" + dqt + sof + dht
+    if not progressive:
+        out += sos(list(range(1, n_comp + 1)), 0, 63, 0, 0)
+        out += _emit_baseline_scan(zzs, dc_enc, ac_enc)
+        return out + b"\xff\xd9"
+
+    all_ids = list(range(1, n_comp + 1))
+    # DC first: interleaved, successive approximation Al=1
+    out += sos(all_ids, 0, 0, 0, 1) + _emit_dc_first(zzs, 1, dc_enc)
+    # AC first passes at Al=2, per component, split spectrum
+    for ci, zzc in enumerate(zzs):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([ci + 1], ss, se, 0, 2)
+            out += _emit_ac_first(zzc, ss, se, 2, ac_enc)
+    # AC refinements Al=2->1->0
+    for ah, al in ((2, 1), (1, 0)):
+        for ci, zzc in enumerate(zzs):
+            for ss, se in ((1, 5), (6, 63)):
+                out += sos([ci + 1], ss, se, ah, al)
+                out += _emit_ac_refine(zzc, ss, se, al, ac_enc)
+    # DC refinement last (raw bits)
+    out += sos(all_ids, 0, 0, 1, 0) + _emit_dc_refine(zzs, 0)
+    return out + b"\xff\xd9"
 
 
 # ---------------------------------------------------------------- decode
 
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index of the marker terminating the entropy segment at start."""
+    i = start
+    n = len(payload)
+    while i < n:
+        if payload[i] == 0xFF:
+            if i + 1 >= n:
+                raise JPEGCorruptError("dangling 0xFF at end of scan")
+            nxt = payload[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise JPEGUnsupportedError("restart intervals")
+            return i
+        i += 1
+    raise JPEGCorruptError("unterminated entropy stream")
+
+
+def _decode_dc_scan(reader, coeffs, in_scan, huff_dec, ah, al, nblocks):
+    """Progressive DC scan (Ss=Se=0), all scan components interleaved."""
+    if ah == 0:
+        pred = [0] * len(in_scan)
+        for bi in range(nblocks):
+            for si, (ci, td, _ta) in enumerate(in_scan):
+                if (0, td) not in huff_dec:
+                    raise JPEGCorruptError("missing Huffman table")
+                size = reader.huff(huff_dec[(0, td)])
+                diff = _extend(reader.bits(size), size) if size else 0
+                pred[si] += diff
+                coeffs[ci][bi, 0] = pred[si] << al
+    else:
+        p1 = 1 << al
+        for bi in range(nblocks):
+            for ci, _td, _ta in in_scan:
+                if reader.bit():
+                    coeffs[ci][bi, 0] = int(coeffs[ci][bi, 0]) | p1
+
+
+def _decode_ac_first(reader, zzc, ss, se, al, ac_dec, nblocks):
+    """Progressive AC first pass (Ah=0), single component."""
+    eobrun = 0
+    for bi in range(nblocks):
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        zz = zzc[bi]
+        k = ss
+        while k <= se:
+            rs = reader.huff(ac_dec)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                break
+            k += r
+            if k > se:
+                raise JPEGCorruptError("AC run past band end")
+            zz[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+
+def _decode_ac_refine(reader, zzc, ss, se, al, ac_dec, nblocks):
+    """Progressive AC refinement (Ah=Al+1), single component —
+    T.81 G.1.2.3 / the libjpeg decode_mcu_AC_refine structure:
+    (run, 1) symbols place newly-significant +-1<<Al coefficients,
+    already-significant coefficients passed by the advance read one
+    correction bit, EOBn covers this block plus n-1 more."""
+    p1 = 1 << al
+    eobrun = 0
+    for bi in range(nblocks):
+        zz = zzc[bi]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.huff(ac_dec)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    # ZRL: advance past 16 zero-history coefficients
+                elif s == 1:
+                    val = p1 if reader.bit() else -p1
+                else:
+                    raise JPEGCorruptError("refinement size > 1")
+                while k <= se:
+                    c = int(zz[k])
+                    if c != 0:
+                        if reader.bit() and (c & p1) == 0:
+                            zz[k] = c + (p1 if c >= 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if reader.bit() and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else -p1)
+                k += 1
+            eobrun -= 1
+
+
+def _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, nblocks):
+    """Sequential scan: all components interleaved, full band."""
+    pred = [0] * len(in_scan)
+    for bi in range(nblocks):
+        for si, (ci, td, ta) in enumerate(in_scan):
+            if (0, td) not in huff_dec or (1, ta) not in huff_dec:
+                raise JPEGCorruptError("missing Huffman table")
+            dc_dec = huff_dec[(0, td)]
+            ac_dec = huff_dec[(1, ta)]
+            zz = coeffs[ci][bi]
+            size = reader.huff(dc_dec)
+            diff = _extend(reader.bits(size), size) if size else 0
+            pred[si] += diff
+            zz[0] = pred[si]
+            k = 1
+            while k < 64:
+                rs = reader.huff(ac_dec)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise JPEGCorruptError("AC run past block end")
+                sz = rs & 0x0F
+                zz[k] = _extend(reader.bits(sz), sz)
+                k += 1
+
+
 @corrupt_guard(JPEGCorruptError, JPEGUnsupportedError)
 def jpeg_decode_planes(payload: bytes):
-    """Decode a baseline JPEG → ``(width, height, [plane, ...])``
-    where each plane is a full-resolution numpy uint8 array (YCbCr
-    for 3-component images, gray for 1)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG →
+    ``(width, height, [plane, ...])`` where each plane is a
+    full-resolution numpy uint8 array (YCbCr for 3-component images,
+    gray for 1).
+
+    Both modes decode scans into one zigzag-order coefficient array
+    per component, then share the reconstruction loop (dequant →
+    DC-only exact-integer fast path / float IDCT) — so the bit-exact
+    certification contract of the fast path covers progressive files
+    too."""
     if _np is None:  # pragma: no cover
         raise JPEGUnsupportedError("jpeg codec requires numpy")
     if not is_jpeg(payload):
@@ -360,15 +690,24 @@ def jpeg_decode_planes(payload: bytes):
     qtables: dict[int, list[int]] = {}
     huff_dec: dict[tuple[int, int], dict] = {}
     width = height = None
-    comps = None  # list of (id, h, v, tq)
-    scan_comps = None
-    scan_start = None
-    while pos + 4 <= n:
+    comps = None  # list of (cid, tq)
+    progressive = False
+    coeffs = None  # per comp: int32 (bh*bw, 64), zigzag order
+    bw = bh = nblocks = 0
+    saw_scan = False
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise JPEGCorruptError(f"expected marker at {pos}")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            raise JPEGCorruptError("unexpected standalone marker")
+        if pos + 4 > n:
+            raise JPEGCorruptError("truncated segment header")
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
         if len(body) != length - 2:
@@ -391,7 +730,10 @@ def jpeg_decode_planes(payload: bytes):
                 _, dec = _canonical_codes(bits, vals)
                 huff_dec[(tc, th)] = dec
                 i += 17 + cnt
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if comps is not None:
+                raise JPEGCorruptError("multiple SOF markers")
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise JPEGUnsupportedError(f"precision {prec}")
@@ -401,80 +743,86 @@ def jpeg_decode_planes(payload: bytes):
                 if hv != 0x11:
                     raise JPEGUnsupportedError("subsampled JPEG (not 4:4:4)")
                 comps.append((cid, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            bw = (width + 7) // 8
+            bh = (height + 7) // 8
+            nblocks = bw * bh
+            coeffs = [
+                _np.zeros((nblocks, 64), dtype=_np.int32) for _ in comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise JPEGUnsupportedError(f"SOF 0x{marker:02x} (not baseline)")
+            raise JPEGUnsupportedError(f"SOF 0x{marker:02x} (not baseline/progressive)")
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack_from(">H", body, 0)
             if ri:
                 raise JPEGUnsupportedError("restart intervals")
         elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise JPEGCorruptError("no SOF before SOS")
             ns = body[0]
-            scan_comps = []
+            cid_index = {cid: i for i, (cid, _tq) in enumerate(comps)}
+            in_scan = []
             for si in range(ns):
                 cs, tt = body[1 + 2 * si], body[2 + 2 * si]
-                scan_comps.append((cs, tt >> 4, tt & 0x0F))
+                if cs not in cid_index:
+                    raise JPEGCorruptError(f"scan component {cs} not in SOF")
+                in_scan.append((cid_index[cs], tt >> 4, tt & 0x0F))
+            ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             scan_start = pos + 2 + length
-            break
+            end = _entropy_end(payload, scan_start)
+            reader = _BitReader(payload[scan_start:end])
+            if not progressive:
+                if len(in_scan) != len(comps):
+                    raise JPEGUnsupportedError("multi-scan sequential JPEG")
+                for (ci, _td, _ta), (cid, _tq) in zip(in_scan, comps):
+                    if comps[ci][0] != cid:
+                        raise JPEGUnsupportedError(
+                            "scan order differs from SOF order"
+                        )
+                _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, nblocks)
+            elif ss_ == 0:  # DC scan
+                if se_ != 0:
+                    raise JPEGCorruptError("DC scan with Se != 0")
+                _decode_dc_scan(reader, coeffs, in_scan, huff_dec, ah, al, nblocks)
+            else:  # AC scan: exactly one component per T.81
+                if ns != 1:
+                    raise JPEGCorruptError("interleaved progressive AC scan")
+                if se_ > 63 or ss_ > se_:
+                    raise JPEGCorruptError("bad spectral band")
+                ci, _td, ta = in_scan[0]
+                if (1, ta) not in huff_dec:
+                    raise JPEGCorruptError("missing Huffman table")
+                if ah == 0:
+                    _decode_ac_first(
+                        reader, coeffs[ci], ss_, se_, al, huff_dec[(1, ta)], nblocks
+                    )
+                else:
+                    _decode_ac_refine(
+                        reader, coeffs[ci], ss_, se_, al, huff_dec[(1, ta)], nblocks
+                    )
+            saw_scan = True
+            pos = end
+            continue
         pos += 2 + length
     if width is None or comps is None:
-        raise JPEGCorruptError("no SOF before SOS")
-    if scan_start is None or scan_comps is None:
+        raise JPEGCorruptError("no SOF marker")
+    if not saw_scan:
         raise JPEGCorruptError("no SOS marker")
-    if len(scan_comps) != len(comps):
-        raise JPEGUnsupportedError("multi-scan JPEG")
 
-    # entropy data runs to EOI
-    end = payload.rfind(b"\xff\xd9")
-    if end < scan_start:
-        raise JPEGCorruptError("no EOI marker")
-    reader = _BitReader(payload[scan_start:end])
-
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
+    # shared reconstruction: dequant -> (exact DC fast path | float IDCT)
     c = _cmat()
-    planes = [
-        _np.empty((bh * 8, bw * 8), dtype=_np.uint8) for _ in comps
-    ]
-    pred = [0] * len(comps)
-    comp_q = []
-    comp_dc = []
-    comp_ac = []
-    for (cid, tq), (scs, td, ta) in zip(comps, scan_comps):
-        if scs != cid:
-            raise JPEGUnsupportedError("scan order differs from SOF order")
+    zz_idx = _np.array(ZIGZAG)
+    planes = []
+    for (cid, tq), zzc in zip(comps, coeffs):
         if tq not in qtables:
             raise JPEGCorruptError(f"missing quant table {tq}")
-        if (0, td) not in huff_dec or (1, ta) not in huff_dec:
-            raise JPEGCorruptError("missing Huffman table")
-        comp_q.append(_np.array(qtables[tq], dtype=_np.int64))
-        comp_dc.append(huff_dec[(0, td)])
-        comp_ac.append(huff_dec[(1, ta)])
-
-    zz_idx = _np.array(ZIGZAG)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(len(comps)):
-                zz = _np.zeros(64, dtype=_np.int64)
-                size = reader.huff(comp_dc[ci])
-                diff = _extend(reader.bits(size), size) if size else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.huff(comp_ac[ci])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        raise JPEGCorruptError("AC run past block end")
-                    sz = rs & 0x0F
-                    zz[k] = _extend(reader.bits(sz), sz)
-                    k += 1
-                deq = zz * comp_q[ci]
+        qarr = _np.array(qtables[tq], dtype=_np.int64)
+        plane = _np.empty((bh * 8, bw * 8), dtype=_np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                zz = zzc[by * bw + bx].astype(_np.int64)
+                deq = zz * qarr
                 if not deq[1:].any():
                     # DC-only fast path: exact integer reconstruction
                     # (IDCT of a DC-only block is the constant dc/8)
@@ -490,8 +838,9 @@ def jpeg_decode_planes(payload: bytes):
                     f = nat.reshape(8, 8)
                     sp = c.T @ f @ c + 128.0
                     blk = _np.clip(_np.floor(sp + 0.5), 0, 255).astype(_np.uint8)
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-    return width, height, [p[:height, :width] for p in planes]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        planes.append(plane[:height, :width])
+    return width, height, planes
 
 
 def jpeg_decode(payload: bytes) -> tuple[int, int, float]:

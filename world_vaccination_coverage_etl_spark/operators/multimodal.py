@@ -177,7 +177,7 @@ def decode_image_batch(
                         return 0, 0, 0.0
                     except JPEGUnsupportedError:
                         raise NotImplementedError(
-                            "non-baseline JPEG decode (progressive, "
+                            "out-of-profile JPEG decode (4:2:0-"
                             "subsampled, restart intervals) requires PIL, "
                             "not present in this environment"
                         ) from None

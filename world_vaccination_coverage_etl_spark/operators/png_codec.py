@@ -14,7 +14,10 @@ other formats (JPEG etc.).
 
 Scope (baseline PNG, the overwhelmingly common profile):
   - bit depth 8; color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA); no interlace.
+    4 (gray+alpha), 6 (RGBA); progressive Adam7 interlace decoded
+    for real since r9 (7 independently-filtered sub-images, public
+    spec pass table; the encoder's ``interlace=True`` emits it for
+    round-trip certification).
   - Anything outside that raises ``PNGUnsupportedError`` (callers fall
     back to PIL); structurally broken payloads raise
     ``PNGCorruptError`` (callers degrade to the NULL-payload sentinel,
@@ -77,29 +80,25 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def png_encode(
-    width: int,
-    height: int,
-    pixels: bytes,
-    color_type: int = 0,
-    row_filters: list[int] | None = None,
-) -> bytes:
-    """Encode raw 8-bit pixels into a baseline PNG.
+def _adam7_passes(width: int, height: int):
+    """The 7 (x0, y0, dx, dy) sub-image layouts of PNG Adam7
+    interlacing (public spec table), with computed pass dims."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        yield x0, y0, dx, dy, pw, ph
 
-    ``pixels`` is the row-major raw sample stream (``width * height *
-    channels`` bytes).  ``row_filters`` optionally fixes the filter
-    type (0-4) applied to each scanline — deterministic filtering is
-    what lets an oracle predict the exact byte stream; default all 0.
-    """
-    ch = _CHANNELS.get(color_type)
-    if ch is None or color_type == 3:
-        raise PNGUnsupportedError(f"encoder does not emit color type {color_type}")
-    rl = width * ch  # raw bytes per row
-    if len(pixels) != rl * height:
-        raise ValueError(f"need {rl * height} pixel bytes, got {len(pixels)}")
-    filters = row_filters or [0] * height
-    if len(filters) != height:
-        raise ValueError("row_filters length must equal height")
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _filter_rows(pixels: bytes, height: int, rl: int, ch: int,
+                 filters: list[int]) -> bytearray:
+    """Apply per-row PNG filters; returns the scanline stream
+    (filter byte + filtered row, per row)."""
     raw = bytearray()
     prior = bytes(rl)
     for y in range(height):
@@ -124,13 +123,109 @@ def png_encode(
                 raise ValueError(f"filter type {f} out of range 0-4")
             raw.append(v & 0xFF)
         prior = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def png_encode(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 0,
+    row_filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode raw 8-bit pixels into a baseline PNG.
+
+    ``pixels`` is the row-major raw sample stream (``width * height *
+    channels`` bytes).  ``row_filters`` optionally fixes the filter
+    type (0-4) applied to each scanline — deterministic filtering is
+    what lets an oracle predict the exact byte stream; default all 0.
+    ``interlace=True`` emits Adam7: seven independently-filtered
+    sub-images (row_filters then applies per extracted pass row, in
+    pass order).
+    """
+    ch = _CHANNELS.get(color_type)
+    if ch is None or color_type == 3:
+        raise PNGUnsupportedError(f"encoder does not emit color type {color_type}")
+    rl = width * ch  # raw bytes per row
+    if len(pixels) != rl * height:
+        raise ValueError(f"need {rl * height} pixel bytes, got {len(pixels)}")
+    if not interlace:
+        filters = row_filters or [0] * height
+        if len(filters) != height:
+            raise ValueError("row_filters length must equal height")
+        raw = _filter_rows(pixels, height, rl, ch, filters)
+    else:
+        total_rows = sum(
+            ph for _x0, _y0, _dx, _dy, pw, ph in _adam7_passes(width, height)
+            if pw and ph
+        )
+        filters = row_filters or [0] * total_rows
+        if len(filters) != total_rows:
+            raise ValueError(
+                f"row_filters length must equal total pass rows ({total_rows})"
+            )
+        raw = bytearray()
+        fi = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            if pw == 0 or ph == 0:
+                continue  # empty passes contribute no scanlines
+            sub = bytearray()
+            for y in range(y0, height, dy):
+                row = pixels[y * rl : (y + 1) * rl]
+                for x in range(x0, width, dx):
+                    sub += row[x * ch : (x + 1) * ch]
+            raw += _filter_rows(
+                bytes(sub), ph, pw * ch, ch, filters[fi : fi + ph]
+            )
+            fi += ph
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _chunk(b"IEND", b"")
     )
+
+
+def _deinterlace_adam7(raw: bytes, width: int, height: int, ch: int,
+                       unfilter) -> bytes:
+    """Reassemble the 7 Adam7 sub-images into row-major samples.
+
+    Each non-empty pass is an independently-filtered image (its own
+    scanline stream); empty passes contribute no bytes at all."""
+    if _np is not None:
+        img = _np.zeros((height, width, ch), dtype=_np.uint8)
+    else:
+        img = bytearray(width * height * ch)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+        if pw == 0 or ph == 0:
+            continue
+        prl = pw * ch
+        need = (prl + 1) * ph
+        sub = raw[pos : pos + need]
+        if len(sub) != need:
+            raise PNGCorruptError(
+                f"interlaced scanline stream truncated in pass "
+                f"({x0},{y0},{dx},{dy})"
+            )
+        pos += need
+        flat = unfilter(sub, ph, prl, ch)
+        if _np is not None:
+            arr = _np.frombuffer(flat, dtype=_np.uint8).reshape(ph, pw, ch)
+            img[y0::dy, x0::dx, :] = arr
+        else:
+            for py in range(ph):
+                for px_i in range(pw):
+                    src = (py * pw + px_i) * ch
+                    dst = ((y0 + py * dy) * width + (x0 + px_i * dx)) * ch
+                    img[dst : dst + ch] = flat[src : src + ch]
+    if pos != len(raw):
+        raise PNGCorruptError("trailing bytes after final Adam7 pass")
+    return img.tobytes() if _np is not None else bytes(img)
 
 
 @corrupt_guard(PNGCorruptError, PNGUnsupportedError)
@@ -173,7 +268,7 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise PNGCorruptError("no IHDR chunk")
     if not idat:
         raise PNGCorruptError("no IDAT data")
-    if bit_depth != 8 or interlace != 0 or color_type not in _CHANNELS:
+    if bit_depth != 8 or interlace not in (0, 1) or color_type not in _CHANNELS:
         raise PNGUnsupportedError(
             f"outside baseline profile: depth={bit_depth} "
             f"color_type={color_type} interlace={interlace}"
@@ -186,12 +281,16 @@ def png_decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise PNGCorruptError(f"IDAT inflate failed: {exc}") from None
     ch = _CHANNELS[color_type]
     rl = width * ch
-    if len(raw) != (rl + 1) * height:
-        raise PNGCorruptError(
-            f"scanline stream is {len(raw)} bytes, expected {(rl + 1) * height}"
-        )
     unfilter = _unfilter_np if _np is not None else _unfilter_scalar
-    out = unfilter(raw, height, rl, ch)
+    if interlace == 1:
+        out = _deinterlace_adam7(raw, width, height, ch, unfilter)
+    else:
+        if len(raw) != (rl + 1) * height:
+            raise PNGCorruptError(
+                f"scanline stream is {len(raw)} bytes, "
+                f"expected {(rl + 1) * height}"
+            )
+        out = unfilter(raw, height, rl, ch)
     if color_type == 3:
         if plte is None:
             raise PNGCorruptError("palette image without PLTE")

@@ -49,61 +49,11 @@ from ._core import QueryDef  # noqa: F401
 # re-running the audit.
 
 _CERT_EARLY = [
-    "multimodal_decode_fake",
-    "multimodal_decode_wav",
-    "multimodal_decode_gif",
-    "multimodal_decode_jpeg",
-    "multimodal_sample_video",
-    "embedding_covariance",
+    "multimodal_decode_jpeg_ac",
+    "multimodal_decode_progressive",
 ]
 
-# middle (unlisted; leads next round's window):
-
 _CERT_LATE = [
-    "word_frequencies",
-    "agg_mean_ci_t",
-    "agg_welch_pvalue",
-    "agg_rollup",
-    "agg_cube",
-    "pivot_wide",
-    "join_broadcast_dim",
-    "join_semi",
-    "join_anti",
-    "q1_pricing_summary",
-    "q3_top_revenue",
-    "q5_region_revenue",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "udf_country_flag",
-    "streaming_dedup_events",
-    "streaming_enrich_nation",
-    "doc_repetition_stats",
-    "doc_pii_scrub",
-    "doc_chunk_windows",
-    "split_counts",
-    "det_sample_ids",
-    "stratified_sample_docs",
-    "mixture_sample_docs",
-    "pack_token_bins_docs",
-    "kmeans_clusters",
-    "exact_dedup_keep",
-    "exact_dedup_groups",
-    "minhash_near_dup",
-    "ngram_jaccard_block_lang",
-    "curation_pipeline",
-    "cosine_topk",
-    "cosine_topk_lsh",
-    "knn_allpairs_small",
-    "knn_blocked_lsh",
-    "embedding_dup_pairs",
-    "multimodal_metadata",
-    "filter_eq2",
-    "dim_index",
-    "agg_unique_vals",
-    "filter_membership",
-    "filter_range_year",
-    "filter_window_range",
     "cast_coerce",
     "filter_dropna",
     "proj_prefix_rename",
@@ -247,6 +197,56 @@ _CERT_LATE = [
     "clustering_coeff_dup_graph",
     "pagerank_dup_graph",
     "substring_dup_spans",
+    "filter_eq2",
+    "dim_index",
+    "agg_unique_vals",
+    "filter_membership",
+    "filter_range_year",
+    "filter_window_range",
+    "agg_mean_ci_t",
+    "agg_welch_pvalue",
+    "agg_rollup",
+    "agg_cube",
+    "pivot_wide",
+    "join_broadcast_dim",
+    "join_semi",
+    "join_anti",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "udf_country_flag",
+    "streaming_dedup_events",
+    "streaming_enrich_nation",
+    "word_frequencies",
+    "doc_repetition_stats",
+    "doc_pii_scrub",
+    "doc_chunk_windows",
+    "split_counts",
+    "det_sample_ids",
+    "stratified_sample_docs",
+    "mixture_sample_docs",
+    "pack_token_bins_docs",
+    "kmeans_clusters",
+    "exact_dedup_keep",
+    "exact_dedup_groups",
+    "minhash_near_dup",
+    "ngram_jaccard_block_lang",
+    "curation_pipeline",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "knn_allpairs_small",
+    "knn_blocked_lsh",
+    "embedding_dup_pairs",
+    "multimodal_metadata",
+    "multimodal_decode_fake",
+    "multimodal_decode_wav",
+    "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_sample_video",
+    "embedding_covariance",
 ]
 
 def _rotated(registry: dict[str, QueryDef]) -> dict[str, QueryDef]:
