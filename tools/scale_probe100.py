@@ -73,6 +73,28 @@ PROBE = [
     ("multimodal_decode_wav", False),
     ("multimodal_decode_jpeg", False),
     ("multimodal_sample_video", False),
+    # r9 additions (r8 verdict item 4): every batch query >= 1 s at
+    # sf0.1 that only had sf1 stress rows
+    ("dup_cluster_sizes", True),
+    ("q2_min_cost_supplier", False),
+    ("fuzzy_entity_clusters", False),
+    ("dup_graph_triangles", False),
+    ("profile_orders_columns", False),
+    ("decontaminated_corpus", False),
+    ("q5_region_revenue", False),
+    ("doc_unigram_logprob", False),
+    ("agg_cube", False),
+    ("clustering_coeff_dup_graph", False),
+    ("agg_grouping_sets", False),
+    ("q7_volume_shipping", False),
+    ("q8_market_share", False),
+    ("agg_rollup", False),
+    ("doc_pii_scrub", False),
+    ("approx_quantiles_value", False),
+    ("q20_dominant_promo_supplier", False),
+    # r9 re-plans re-probed: large-star/small-star CC
+    ("multimodal_decode_progressive", False),
+    ("multimodal_decode_jpeg_ac", False),
 ]
 
 

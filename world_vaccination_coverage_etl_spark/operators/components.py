@@ -110,32 +110,35 @@ def connected_components(
     )
     e = stage(e, staging_dir, "cc_edges_0")
 
-    for it in range(max_iter + 1):
-        # star-forest test: converged iff no parent id is also a child
-        # id AND every child has exactly one parent (edges (2,18),(7,18)
-        # — a path through 18 — pass the first test alone).  Both are
-        # early-exit limit(1) probes; only scalars reach the driver.
-        parent_is_child = (
-            e.select("u")
-            .join(e.select(F.col("v").alias("u")), on="u", how="left_semi")
-            .limit(1)
-            .count()
-        )
-        multi_parent = (
-            e.groupBy("v")
-            .agg(F.count(F.lit(1)).alias("np"))
-            .filter(F.col("np") > 1)
-            .limit(1)
-            .count()
-        )
-        if parent_is_child == 0 and multi_parent == 0:
-            break
-        if it == max_iter:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} rounds"
-            )
+    for it in range(max_iter):
         e = stage(
             _small_star(_large_star(e)), staging_dir, f"cc_edges_{(it % 2) + 1}"
+        )
+        # star-forest test: converged iff no parent id is also a child
+        # id AND every child has exactly one parent (edges (2,18),(7,18)
+        # — a path through 18 — pass the first test alone).  Both
+        # violation probes ride one unionAll + limit(1) action, so a
+        # round costs a single scheduling-latency scalar job; probing
+        # AFTER the round (not before the first) saves a probe per call
+        # — a star round on an already-star input is a no-op anyway.
+        violation = (
+            e.select("u")
+            .join(e.select(F.col("v").alias("u")), on="u", how="left_semi")
+            .select(F.lit(1).alias("x"))
+            .unionAll(
+                e.groupBy("v")
+                .agg(F.count(F.lit(1)).alias("np"))
+                .filter(F.col("np") > 1)
+                .select(F.lit(1).alias("x"))
+            )
+            .limit(1)
+            .count()
+        )
+        if violation == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
 
     # final edge set is a star forest (child v → root u = component min);
