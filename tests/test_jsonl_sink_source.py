@@ -23,6 +23,16 @@ def _read(spark, path, ddl):
     return spark.read.format("jsonl_manifest").schema(ddl).load(path)
 
 
+def _id_batch(*ids):
+    """One Arrow RecordBatch for direct Arrow-writer write() calls
+    (the write contract is Iterator[RecordBatch] since the sink moved
+    to DataSourceStreamArrowWriter)."""
+    import pyarrow as pa
+
+    return iter([pa.record_batch({"id": pa.array(list(ids), pa.int64())})])
+
+
+
 def test_round_trip_with_types(spark, tmp_path):
     p = str(tmp_path / "t1")
     df = spark.range(0, 100).select(
@@ -193,7 +203,7 @@ def test_stream_writer_replayed_batch_is_dropped(spark, tmp_path):
     os.makedirs(table)
     schema = StructType.fromDDL("id long")
     w = JsonlStreamWriter({"path": table, "stream_id": "s1"}, schema)
-    msg = w.write(iter([(1,), (2,)]))
+    msg = w.write(_id_batch(1, 2))
     w.commit([msg], batchId=0)
     man1 = json.load(open(os.path.join(table, MANIFEST)))
     assert sum(f["n_rows"] for f in man1["files"]) == 2
@@ -201,7 +211,7 @@ def test_stream_writer_replayed_batch_is_dropped(spark, tmp_path):
     # replay of batch 0 (crash between sink commit and checkpoint
     # advance): staged again, but commit drops it wholesale
     w2 = JsonlStreamWriter({"path": table, "stream_id": "s1"}, schema)
-    msg2 = w2.write(iter([(1,), (2,)]))
+    msg2 = w2.write(_id_batch(1, 2))
     w2.commit([msg2], batchId=0)
     man2 = json.load(open(os.path.join(table, MANIFEST)))
     assert man2 == man1  # unchanged: no new files, no new version
@@ -211,7 +221,7 @@ def test_stream_writer_replayed_batch_is_dropped(spark, tmp_path):
 
     # a DIFFERENT stream_id is its own ledger: its batch 0 commits
     w3 = JsonlStreamWriter({"path": table, "stream_id": "other"}, schema)
-    msg3 = w3.write(iter([(9,)]))
+    msg3 = w3.write(_id_batch(9))
     w3.commit([msg3], batchId=0)
     man3 = json.load(open(os.path.join(table, MANIFEST)))
     assert sum(f["n_rows"] for f in man3["files"]) == 3
@@ -229,10 +239,10 @@ def test_stream_writer_abort_cleans_staging_only(spark, tmp_path):
     os.makedirs(table)
     schema = StructType.fromDDL("id long")
     w = JsonlStreamWriter({"path": table}, schema)
-    msg = w.write(iter([(1,)]))
+    msg = w.write(_id_batch(1))
     w.commit([msg], batchId=0)
     w2 = JsonlStreamWriter({"path": table}, schema)
-    w2.write(iter([(2,)]))
+    w2.write(_id_batch(2))
     w2.abort([], batchId=1)
     assert not os.path.exists(
         os.path.join(table, "_staging", "stream-default")
@@ -270,7 +280,7 @@ def test_concurrent_stream_commits_lose_nothing(tmp_path):
                 {"path": table, "stream_id": stream_id}, schema
             )
             for b in range(10):
-                msg = w.write(iter([(base + b,)]))
+                msg = w.write(_id_batch(base + b))
                 w.commit([msg], batchId=b)
         except Exception as e:  # pragma: no cover - failure detail
             errors.append(e)

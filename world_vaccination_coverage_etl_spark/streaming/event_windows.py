@@ -192,12 +192,17 @@ def streaming_sessionize_state(
         last_us, n_sessions = state.get if state.exists else (None, 0)
         frames = [pdf for pdf in pdf_iter if len(pdf)]
         if frames:
+            import numpy as np
+
             allpdf = pd.concat(frames).sort_values(["ts_us", "event_id"])
-            for ts_us in allpdf["ts_us"]:
-                ts_us = int(ts_us)
-                if last_us is None or ts_us - last_us > gap_us:
-                    n_sessions += 1
-                last_us = ts_us
+            # vectorized gap scan: sessions opened inside this batch are
+            # the >gap successive diffs; the batch's first event opens
+            # one more unless it continues the carried-over session
+            arr = allpdf["ts_us"].to_numpy(dtype="int64")
+            n_sessions += int((np.diff(arr) > gap_us).sum())
+            if last_us is None or int(arr[0]) - last_us > gap_us:
+                n_sessions += 1
+            last_us = int(arr[-1])
             state.update((last_us, n_sessions))
         yield pd.DataFrame({"user_id": [user_id], "n_sessions": [n_sessions]})
 
