@@ -1,0 +1,113 @@
+"""Record the BASELINE.md per-query table at current HEAD.
+
+Rule (r8 verdict item 2): best-of-2 per query (bench.py's rule), plus
+one extra pass for the sub-second cohort — queries whose best-of-2
+minimum lands under 1 s are overhead-dominated and host-noisy, so they
+get best-of-3.  The table this emits is what ``bench.py`` normalizes
+against (tools/bench_compare.load_baseline_md parses ``| name | sec |``
+rows), so the recording and comparison rules must stay in sync.
+
+Provenance recorded alongside the table: date, HEAD commit, load
+average at start/end, and the sub-second cohort size.  Run this ONLY
+on a quiet host (check ``vmstat``/loadavg first) — the point of the
+re-record is that raw 2x means "plan regressed" again, not "host
+drifted".
+
+Usage::
+
+    python tools/record_baseline.py            # prints the markdown block
+    python tools/record_baseline.py --out F    # also writes it to F
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from world_vaccination_coverage_etl_spark.queries import REGISTRY  # noqa: E402
+from world_vaccination_coverage_etl_spark.session import get_spark  # noqa: E402
+
+
+def _loadavg() -> str:
+    with open("/proc/loadavg") as fh:
+        return " ".join(fh.read().split()[:3])
+
+
+def main() -> int:
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+        capture_output=True, text=True,
+    ).stdout.strip()
+    load_start = _loadavg()
+    spark = get_spark("record_baseline")
+    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    def timed(name: str) -> float:
+        spark._jvm.System.gc()
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    per_query: dict[str, float] = {}
+    t_wall = time.time()
+    for name in REGISTRY:
+        best = min(timed(name), timed(name))
+        if best < 1.0:  # sub-second cohort: best-of-3
+            best = min(best, timed(name))
+        per_query[name] = round(best, 3)
+        print(f"[record] {name} {per_query[name]}s", file=sys.stderr, flush=True)
+    wall = round(time.time() - t_wall, 1)
+    load_end = _loadavg()
+    total = round(sum(per_query.values()), 3)
+    n_sub = sum(1 for v in per_query.values() if v < 1.0)
+
+    lines = [
+        f"**Total (sum of per-query minima): {total} s for "
+        f"{len(per_query)} queries; wall of all passes {wall} s.**",
+        "",
+        f"Provenance: recorded {time.strftime('%Y-%m-%d')} at HEAD "
+        f"`{head}`, loadavg {load_start} -> {load_end}, "
+        f"{n_sub} sub-second queries took the third pass.",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {q} | {v} |" for q, v in per_query.items()]
+    block = "\n".join(lines)
+    print(block)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(block + "\n")
+    with open(os.path.join(REPO, ".scale", "baseline_record.json"), "w") as fh:
+        json.dump(
+            {
+                "head": head,
+                "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
+                "queries": per_query,
+                "wall_sec": wall,
+            },
+            fh,
+            indent=1,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    os.makedirs(os.path.join(REPO, ".scale"), exist_ok=True)
+    sys.exit(main())
