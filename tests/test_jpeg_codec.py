@@ -120,11 +120,76 @@ def test_unsupported_profile_raises_unsupported():
     extended = good[:i] + b"\xff\xc1" + good[i + 2 :]
     with pytest.raises(JPEGUnsupportedError):
         jpeg_decode(extended)
-    # subsampling: flip the Y component's h/v factors to 0x22
-    sof_body = i + 4
-    sub = good[: sof_body + 7] + b"\x22" + good[sof_body + 8 :]
+    # FRACTIONAL sampling ratios stay unsupported (integer-ratio
+    # subsampling like 4:2:0 decodes for real since r9): flip a color
+    # SOF to Y=2x2 / Cb=3x3 so 3 % 2 != 0
+    color = jpeg_encode(8, 8, bytes(range(64)) * 3, channels=3)
+    j = color.index(b"\xff\xc0") + 4
+    frac = bytearray(color)
+    frac[j + 7] = 0x22  # Y h/v
+    frac[j + 10] = 0x33  # Cb h/v
     with pytest.raises(JPEGUnsupportedError):
-        jpeg_decode(sub)
+        jpeg_decode(bytes(frac))
+
+
+def test_subsampled_block_constant_exact():
+    # R=G=B per-8x8-block-constant pixels: the JFIF transform gives
+    # Y == v exactly and constant-128 chroma, so the full-res Y plane
+    # must round-trip BIT-EXACTLY through the subsampled MCU layout —
+    # including odd dims (MCU padding + crop)
+    for w, h in ((16, 16), (24, 16), (19, 13), (8, 8), (33, 17)):
+        want = np.zeros((h, w), dtype=np.uint8)
+        rgb = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = (20 + (x // 8) * 50 + (y // 8) * 70) % 256
+                want[y, x] = v
+                rgb += bytes((v, v, v))
+        for sub in ("4:2:0", "4:2:2"):
+            blob = jpeg_encode(w, h, bytes(rgb), channels=3, subsampling=sub)
+            gw, gh, planes = jpeg_decode_planes(blob)
+            assert (gw, gh) == (w, h)
+            assert (planes[0] == want).all(), (sub, w, h)
+            # chroma planes upsample back to full resolution, constant 128
+            assert planes[1].shape == (h, w) and (planes[1] == 128).all()
+            assert (planes[2] == 128).all()
+
+
+def test_subsampled_general_color_tolerance():
+    # general pixels through 4:2:0: Y within quantization tolerance of
+    # the JFIF-transformed source (chroma is pooled, Y is not)
+    rng = np.random.RandomState(11)
+    w, h = 24, 16
+    rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    blob = jpeg_encode(w, h, rgb.tobytes(), channels=3, subsampling="4:2:0")
+    gw, gh, planes = jpeg_decode_planes(blob)
+    assert (gw, gh) == (w, h)
+    r, g, b = (rgb[:, :, k].astype(np.float64) for k in range(3))
+    y = np.clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0, 255)
+    # flat AC quantizer 16 -> worst-case block error well under 16
+    assert np.abs(planes[0].astype(np.float64) - y).max() <= 16
+
+
+def test_subsampled_progressive_equals_baseline():
+    rng = np.random.RandomState(13)
+    for w, h in ((16, 16), (19, 13)):
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8).tobytes()
+        base = jpeg_encode(w, h, rgb, channels=3, subsampling="4:2:0")
+        prog = jpeg_encode(
+            w, h, rgb, channels=3, subsampling="4:2:0", progressive=True
+        )
+        pb = jpeg_decode_planes(base)
+        pp = jpeg_decode_planes(prog)
+        assert pb[:2] == pp[:2]
+        for a, b in zip(pb[2], pp[2]):
+            assert (a == b).all()
+
+
+def test_subsampling_encoder_validation():
+    with pytest.raises(ValueError):
+        jpeg_encode(8, 8, bytes(64), channels=1, subsampling="4:2:0")
+    with pytest.raises(ValueError):
+        jpeg_encode(8, 8, bytes(192), channels=3, subsampling="4:1:1")
 
 
 def test_parity_with_pillow():

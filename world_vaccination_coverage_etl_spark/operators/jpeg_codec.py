@@ -25,8 +25,10 @@ Scope (everything else raises):
   - SOF0 baseline AND SOF2 progressive (spectral selection +
     successive approximation, EOB runs — r8 verdict item 7:
     progressive is the common web profile), 8-bit, grayscale or
-    YCbCr 4:4:4, no restart intervals (``JPEGUnsupportedError`` →
-    PIL tier);
+    YCbCr with integer-ratio chroma subsampling (4:4:4, 4:2:2 and
+    the dominant web layout 4:2:0 — r9: generic h/v sampling
+    factors, MCU-interleaved scans, pixel-replication upsampling);
+    no restart intervals (``JPEGUnsupportedError`` → PIL tier);
   - structurally broken payloads raise ``JPEGCorruptError``
     (sentinel tier), mirroring the PNG/GIF/WAV kernels.
 
@@ -228,6 +230,61 @@ def _cmat():
     return _C
 
 
+# ------------------------------------------------------------- geometry
+
+def _geometry(width, height, factors):
+    """Shared encoder/decoder block geometry for sampling ``factors``
+    = [(h, v), ...] per component (T.81 A.1.1/A.2.4).
+
+    Returns ``(mcux, mcuy, geom)`` where ``geom[ci] = (h, v, bwp, bhp,
+    cbw, cbh, cw, ch)``: ``bwp x bhp`` is the MCU-PADDED block grid
+    interleaved scans cover, ``cbw x cbh`` the component's own grid
+    non-interleaved scans cover (a strict subset when padding exists),
+    ``cw x ch`` the component's pixel dims before upsampling.
+    """
+    hmax = max(h for h, _v in factors)
+    vmax = max(v for _h, v in factors)
+    for h, v in factors:
+        if not (1 <= h <= 4 and 1 <= v <= 4):
+            raise JPEGCorruptError(f"sampling factor {h}x{v} out of range")
+        if hmax % h or vmax % v:
+            raise JPEGUnsupportedError(
+                f"fractional chroma ratio {h}x{v} vs {hmax}x{vmax}"
+            )
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    geom = []
+    for h, v in factors:
+        cw = (width * h + hmax - 1) // hmax
+        ch = (height * v + vmax - 1) // vmax
+        geom.append(
+            (h, v, mcux * h, mcuy * v, (cw + 7) // 8, (ch + 7) // 8, cw, ch)
+        )
+    return mcux, mcuy, geom
+
+
+def _interleaved_order(scan_cis, geom, mcux, mcuy):
+    """(si, block_index) sequence of an MCU-interleaved scan."""
+    order = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for si, ci in enumerate(scan_cis):
+                h, v, bwp = geom[ci][0], geom[ci][1], geom[ci][2]
+                for vy in range(v):
+                    for hx in range(h):
+                        order.append(
+                            (si, (my * v + vy) * bwp + mx * h + hx)
+                        )
+    return order
+
+
+def _component_order(ci, geom):
+    """(0, block_index) sequence of a non-interleaved scan: the
+    component's OWN grid in raster order — MCU pad blocks skipped."""
+    _h, _v, bwp, _bhp, cbw, cbh = geom[ci][:6]
+    return [(0, by * bwp + bx) for by in range(cbh) for bx in range(cbw)]
+
+
 # ---------------------------------------------------------------- encode
 
 def _quantize_plane_blocks(plane, qv, c, bw, bh):
@@ -264,67 +321,64 @@ def _put_dc_diff(w, diff, dc_enc):
         w.put(mag, size)
 
 
-def _emit_baseline_scan(zzs, dc_enc, ac_enc):
-    """Sequential scan: all components interleaved, full band."""
+def _emit_baseline_scan(zzs, dc_enc, ac_enc, order):
+    """Sequential scan over an explicit (si, block) order."""
     w = _BitWriter()
     pred = [0] * len(zzs)
-    for bi in range(zzs[0].shape[0]):
-        for ci, zzc in enumerate(zzs):
-            zz = zzc[bi]
-            dc = int(zz[0])
-            _put_dc_diff(w, dc - pred[ci], dc_enc)
-            pred[ci] = dc
-            last_nz = 0
-            for i in range(1, 64):
-                if zz[i]:
-                    last_nz = i
+    for si, bi in order:
+        zz = zzs[si][bi]
+        dc = int(zz[0])
+        _put_dc_diff(w, dc - pred[si], dc_enc)
+        pred[si] = dc
+        last_nz = 0
+        for i in range(1, 64):
+            if zz[i]:
+                last_nz = i
+        run = 0
+        for i in range(1, last_nz + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]  # ZRL
+                w.put(code, ln)
+                run -= 16
+            size = _category(v)
+            code, ln = ac_enc[(run << 4) | size]
+            w.put(code, ln)
+            mag = v if v >= 0 else v + (1 << size) - 1
+            w.put(mag, size)
             run = 0
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_enc[0xF0]  # ZRL
-                    w.put(code, ln)
-                    run -= 16
-                size = _category(v)
-                code, ln = ac_enc[(run << 4) | size]
-                w.put(code, ln)
-                mag = v if v >= 0 else v + (1 << size) - 1
-                w.put(mag, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_enc[0x00]  # EOB
-                w.put(code, ln)
+        if last_nz < 63:
+            code, ln = ac_enc[0x00]  # EOB
+            w.put(code, ln)
     return w.flush()
 
 
-def _emit_dc_first(zzs, al, dc_enc):
-    """Progressive DC scan, all components interleaved, Ah=0.
+def _emit_dc_first(zzs, al, dc_enc, order):
+    """Progressive DC scan over an explicit (si, block) order, Ah=0.
 
     The DC coefficient uses the ARITHMETIC shift (T.81 G.1.2.1):
     diffs are coded on ``dc >> al``."""
     w = _BitWriter()
     pred = [0] * len(zzs)
-    for bi in range(zzs[0].shape[0]):
-        for ci, zzc in enumerate(zzs):
-            v = int(zzc[bi][0]) >> al
-            _put_dc_diff(w, v - pred[ci], dc_enc)
-            pred[ci] = v
+    for si, bi in order:
+        v = int(zzs[si][bi][0]) >> al
+        _put_dc_diff(w, v - pred[si], dc_enc)
+        pred[si] = v
     return w.flush()
 
 
-def _emit_dc_refine(zzs, al):
-    """Progressive DC refinement: one raw bit per block per component."""
+def _emit_dc_refine(zzs, al, order):
+    """Progressive DC refinement: one raw bit per block in order."""
     w = _BitWriter()
-    for bi in range(zzs[0].shape[0]):
-        for zzc in zzs:
-            w.put((int(zzc[bi][0]) >> al) & 1, 1)
+    for si, bi in order:
+        w.put((int(zzs[si][bi][0]) >> al) & 1, 1)
     return w.flush()
 
 
-def _emit_ac_first(zzc, ss, se, al, ac_enc):
+def _emit_ac_first(zzc, ss, se, al, ac_enc, blocks):
     """Progressive AC first pass (Ah=0) for ONE component.
 
     AC uses the MAGNITUDE shift: v = sign(c)*(|c| >> al).  EOB runs
@@ -333,7 +387,7 @@ def _emit_ac_first(zzc, ss, se, al, ac_enc):
     from the sequential table; the DECODER still handles them for
     real-world progressive files."""
     w = _BitWriter()
-    for bi in range(zzc.shape[0]):
+    for bi in blocks:
         zz = zzc[bi]
         last_nz = 0
         for k in range(ss, se + 1):
@@ -362,7 +416,7 @@ def _emit_ac_first(zzc, ss, se, al, ac_enc):
     return w.flush()
 
 
-def _emit_ac_refine(zzc, ss, se, al, ac_enc):
+def _emit_ac_refine(zzc, ss, se, al, ac_enc, blocks):
     """Progressive AC refinement (Ah=Al+1) for ONE component.
 
     Mirrors the decoder's walk exactly (T.81 G.1.2.3): newly
@@ -372,7 +426,7 @@ def _emit_ac_refine(zzc, ss, se, al, ac_enc):
     advance loop passes them; a trailing EOB0 flushes correction
     bits for the remainder of the band."""
     w = _BitWriter()
-    for bi in range(zzc.shape[0]):
+    for bi in blocks:
         zz = zzc[bi]
 
         def sh(k):
@@ -411,6 +465,24 @@ def _emit_ac_refine(zzc, ss, se, al, ac_enc):
     return w.flush()
 
 
+_SUBSAMPLING_FACTORS = {
+    "4:4:4": [(1, 1), (1, 1), (1, 1)],
+    "4:2:2": [(2, 1), (1, 1), (1, 1)],
+    "4:2:0": [(2, 2), (1, 1), (1, 1)],
+}
+
+
+def _downsample(plane, fw, fh):
+    """Mean-pool one chroma plane by integer factors (edge-padded)."""
+    if fw == 1 and fh == 1:
+        return plane
+    ph, pw = (-plane.shape[0]) % fh, (-plane.shape[1]) % fw
+    if ph or pw:
+        plane = _np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    return plane.reshape(hh // fh, fh, ww // fw, fw).mean(axis=(1, 3))
+
+
 def jpeg_encode(
     width: int,
     height: int,
@@ -418,12 +490,13 @@ def jpeg_encode(
     channels: int = 1,
     qtable: list[int] | None = None,
     progressive: bool = False,
+    subsampling: str = "4:4:4",
 ) -> bytes:
     """Encode 8-bit pixels into a baseline (SOF0) or progressive
     (SOF2) JPEG.
 
     ``pixels`` is row-major gray (``channels=1``) or interleaved RGB
-    (``channels=3``, converted to YCbCr 4:4:4).  Width/height need not
+    (``channels=3``, converted to YCbCr).  Width/height need not
     be multiples of 8 (edge blocks replicate the last row/column).
     ``qtable`` is one 64-entry natural-order quant table used for all
     components (default ``DEFAULT_QTABLE``: exact-DC contract).
@@ -434,6 +507,9 @@ def jpeg_encode(
     coefficients are identical to the baseline encoding, so
     ``decode(encode(x, progressive=True)) ==
     decode(encode(x, progressive=False))`` bit-exactly.
+    ``subsampling`` (color only): "4:4:4", "4:2:2" or "4:2:0" —
+    chroma planes mean-pooled by the integer factor, Y stays full
+    resolution, scans interleave h×v blocks per MCU (T.81 A.2.3).
     """
     if _np is None:  # pragma: no cover
         raise JPEGUnsupportedError("jpeg codec requires numpy")
@@ -443,6 +519,10 @@ def jpeg_encode(
         raise ValueError(
             f"need {width * height * channels} pixel bytes, got {len(pixels)}"
         )
+    if subsampling not in _SUBSAMPLING_FACTORS:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING_FACTORS)}")
+    if channels == 1 and subsampling != "4:4:4":
+        raise ValueError("subsampling applies to color images only")
     q = list(qtable or DEFAULT_QTABLE)
     if len(q) != 64 or any(not (1 <= v <= 255) for v in q):
         raise ValueError("qtable must be 64 values in 1..255")
@@ -459,14 +539,25 @@ def jpeg_encode(
         planes = [
             _np.clip(p, 0, 255).astype(_np.float64) for p in (y, cb, cr)
         ]
+        factors = _SUBSAMPLING_FACTORS[subsampling]
     else:
         planes = [arr[:, :, 0].astype(_np.float64)]
+        factors = [(1, 1)]
 
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
+    mcux, mcuy, geom = _geometry(width, height, factors)
+    hmax = max(h for h, _v in factors)
+    vmax = max(v for _h, v in factors)
     qv = _np.array(q, dtype=_np.float64).reshape(8, 8)
     c = _cmat()
-    zzs = [_quantize_plane_blocks(p, qv, c, bw, bh) for p in planes]
+    zzs = []
+    for plane, (h, v, bwp, bhp, _cbw, _cbh, _cw, _ch) in zip(planes, geom):
+        p = _downsample(plane, hmax // h, vmax // v)
+        # pre-pad to the MCU-padded grid with edge replication (keeps
+        # pad-block mean == edge-pixel mean, the DC contract)
+        ph, pw = bhp * 8 - p.shape[0], bwp * 8 - p.shape[1]
+        if ph or pw:
+            p = _np.pad(p, ((0, ph), (0, pw)), mode="edge")
+        zzs.append(_quantize_plane_blocks(p, qv, c, bwp, bhp))
 
     dc_enc, _ = _canonical_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_enc, _ = _canonical_codes(_AC_LUM_BITS, _AC_LUM_VALS)
@@ -477,7 +568,8 @@ def jpeg_encode(
     n_comp = len(planes)
     dqt = seg(0xFFDB, bytes([0x00]) + bytes(q))
     sof_comps = b"".join(
-        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(n_comp)
+        struct.pack(">BBB", i + 1, (factors[i][0] << 4) | factors[i][1], 0)
+        for i in range(n_comp)
     )
     sof = seg(
         0xFFC2 if progressive else 0xFFC0,
@@ -496,28 +588,32 @@ def jpeg_encode(
         body += bytes([ss, se, (ah << 4) | al])
         return seg(0xFFDA, body)
 
+    ilv = _interleaved_order(list(range(n_comp)), geom, mcux, mcuy)
     out = b"\xff\xd8" + dqt + sof + dht
     if not progressive:
         out += sos(list(range(1, n_comp + 1)), 0, 63, 0, 0)
-        out += _emit_baseline_scan(zzs, dc_enc, ac_enc)
+        out += _emit_baseline_scan(zzs, dc_enc, ac_enc, ilv)
         return out + b"\xff\xd9"
 
     all_ids = list(range(1, n_comp + 1))
+    comp_blocks = [
+        [bi for _si, bi in _component_order(ci, geom)] for ci in range(n_comp)
+    ]
     # DC first: interleaved, successive approximation Al=1
-    out += sos(all_ids, 0, 0, 0, 1) + _emit_dc_first(zzs, 1, dc_enc)
+    out += sos(all_ids, 0, 0, 0, 1) + _emit_dc_first(zzs, 1, dc_enc, ilv)
     # AC first passes at Al=2, per component, split spectrum
     for ci, zzc in enumerate(zzs):
         for ss, se in ((1, 5), (6, 63)):
             out += sos([ci + 1], ss, se, 0, 2)
-            out += _emit_ac_first(zzc, ss, se, 2, ac_enc)
+            out += _emit_ac_first(zzc, ss, se, 2, ac_enc, comp_blocks[ci])
     # AC refinements Al=2->1->0
     for ah, al in ((2, 1), (1, 0)):
         for ci, zzc in enumerate(zzs):
             for ss, se in ((1, 5), (6, 63)):
                 out += sos([ci + 1], ss, se, ah, al)
-                out += _emit_ac_refine(zzc, ss, se, al, ac_enc)
+                out += _emit_ac_refine(zzc, ss, se, al, ac_enc, comp_blocks[ci])
     # DC refinement last (raw bits)
-    out += sos(all_ids, 0, 0, 1, 0) + _emit_dc_refine(zzs, 0)
+    out += sos(all_ids, 0, 0, 1, 0) + _emit_dc_refine(zzs, 0, ilv)
     return out + b"\xff\xd9"
 
 
@@ -542,30 +638,30 @@ def _entropy_end(payload: bytes, start: int) -> int:
     raise JPEGCorruptError("unterminated entropy stream")
 
 
-def _decode_dc_scan(reader, coeffs, in_scan, huff_dec, ah, al, nblocks):
-    """Progressive DC scan (Ss=Se=0), all scan components interleaved."""
+def _decode_dc_scan(reader, coeffs, in_scan, huff_dec, ah, al, order):
+    """Progressive DC scan (Ss=Se=0) over an explicit (si, block) order."""
     if ah == 0:
         pred = [0] * len(in_scan)
-        for bi in range(nblocks):
-            for si, (ci, td, _ta) in enumerate(in_scan):
-                if (0, td) not in huff_dec:
-                    raise JPEGCorruptError("missing Huffman table")
-                size = reader.huff(huff_dec[(0, td)])
-                diff = _extend(reader.bits(size), size) if size else 0
-                pred[si] += diff
-                coeffs[ci][bi, 0] = pred[si] << al
+        for si, bi in order:
+            ci, td, _ta = in_scan[si]
+            if (0, td) not in huff_dec:
+                raise JPEGCorruptError("missing Huffman table")
+            size = reader.huff(huff_dec[(0, td)])
+            diff = _extend(reader.bits(size), size) if size else 0
+            pred[si] += diff
+            coeffs[ci][bi, 0] = pred[si] << al
     else:
         p1 = 1 << al
-        for bi in range(nblocks):
-            for ci, _td, _ta in in_scan:
-                if reader.bit():
-                    coeffs[ci][bi, 0] = int(coeffs[ci][bi, 0]) | p1
+        for si, bi in order:
+            ci = in_scan[si][0]
+            if reader.bit():
+                coeffs[ci][bi, 0] = int(coeffs[ci][bi, 0]) | p1
 
 
-def _decode_ac_first(reader, zzc, ss, se, al, ac_dec, nblocks):
+def _decode_ac_first(reader, zzc, ss, se, al, ac_dec, blocks):
     """Progressive AC first pass (Ah=0), single component."""
     eobrun = 0
-    for bi in range(nblocks):
+    for bi in blocks:
         if eobrun > 0:
             eobrun -= 1
             continue
@@ -589,7 +685,7 @@ def _decode_ac_first(reader, zzc, ss, se, al, ac_dec, nblocks):
             k += 1
 
 
-def _decode_ac_refine(reader, zzc, ss, se, al, ac_dec, nblocks):
+def _decode_ac_refine(reader, zzc, ss, se, al, ac_dec, blocks):
     """Progressive AC refinement (Ah=Al+1), single component —
     T.81 G.1.2.3 / the libjpeg decode_mcu_AC_refine structure:
     (run, 1) symbols place newly-significant +-1<<Al coefficients,
@@ -597,7 +693,7 @@ def _decode_ac_refine(reader, zzc, ss, se, al, ac_dec, nblocks):
     correction bit, EOBn covers this block plus n-1 more."""
     p1 = 1 << al
     eobrun = 0
-    for bi in range(nblocks):
+    for bi in blocks:
         zz = zzc[bi]
         k = ss
         if eobrun == 0:
@@ -639,34 +735,34 @@ def _decode_ac_refine(reader, zzc, ss, se, al, ac_dec, nblocks):
             eobrun -= 1
 
 
-def _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, nblocks):
-    """Sequential scan: all components interleaved, full band."""
+def _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, order):
+    """Sequential scan over an explicit (si, block) order, full band."""
     pred = [0] * len(in_scan)
-    for bi in range(nblocks):
-        for si, (ci, td, ta) in enumerate(in_scan):
-            if (0, td) not in huff_dec or (1, ta) not in huff_dec:
-                raise JPEGCorruptError("missing Huffman table")
-            dc_dec = huff_dec[(0, td)]
-            ac_dec = huff_dec[(1, ta)]
-            zz = coeffs[ci][bi]
-            size = reader.huff(dc_dec)
-            diff = _extend(reader.bits(size), size) if size else 0
-            pred[si] += diff
-            zz[0] = pred[si]
-            k = 1
-            while k < 64:
-                rs = reader.huff(ac_dec)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                if k > 63:
-                    raise JPEGCorruptError("AC run past block end")
-                sz = rs & 0x0F
-                zz[k] = _extend(reader.bits(sz), sz)
-                k += 1
+    for si, bi in order:
+        ci, td, ta = in_scan[si]
+        if (0, td) not in huff_dec or (1, ta) not in huff_dec:
+            raise JPEGCorruptError("missing Huffman table")
+        dc_dec = huff_dec[(0, td)]
+        ac_dec = huff_dec[(1, ta)]
+        zz = coeffs[ci][bi]
+        size = reader.huff(dc_dec)
+        diff = _extend(reader.bits(size), size) if size else 0
+        pred[si] += diff
+        zz[0] = pred[si]
+        k = 1
+        while k < 64:
+            rs = reader.huff(ac_dec)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            if k > 63:
+                raise JPEGCorruptError("AC run past block end")
+            sz = rs & 0x0F
+            zz[k] = _extend(reader.bits(sz), sz)
+            k += 1
 
 
 @corrupt_guard(JPEGCorruptError, JPEGUnsupportedError)
@@ -692,8 +788,9 @@ def jpeg_decode_planes(payload: bytes):
     width = height = None
     comps = None  # list of (cid, tq)
     progressive = False
-    coeffs = None  # per comp: int32 (bh*bw, 64), zigzag order
-    bw = bh = nblocks = 0
+    coeffs = None  # per comp: int32 (bhp*bwp, 64), zigzag order
+    mcux = mcuy = 0
+    geom = None  # per comp: (h, v, bwp, bhp, cbw, cbh, cw, ch)
     saw_scan = False
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
@@ -738,16 +835,14 @@ def jpeg_decode_planes(payload: bytes):
             if prec != 8:
                 raise JPEGUnsupportedError(f"precision {prec}")
             comps = []
+            factors = []
             for ci in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
-                if hv != 0x11:
-                    raise JPEGUnsupportedError("subsampled JPEG (not 4:4:4)")
                 comps.append((cid, tq))
-            bw = (width + 7) // 8
-            bh = (height + 7) // 8
-            nblocks = bw * bh
+                factors.append((hv >> 4, hv & 0x0F))
+            mcux, mcuy, geom = _geometry(width, height, factors)
             coeffs = [
-                _np.zeros((nblocks, 64), dtype=_np.int32) for _ in comps
+                _np.zeros((g[2] * g[3], 64), dtype=_np.int32) for g in geom
             ]
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -772,6 +867,15 @@ def jpeg_decode_planes(payload: bytes):
             scan_start = pos + 2 + length
             end = _entropy_end(payload, scan_start)
             reader = _BitReader(payload[scan_start:end])
+            # T.81 A.2: a scan with ns > 1 is MCU-interleaved over the
+            # padded grid; a single-component scan is non-interleaved
+            # over the component's own grid (pad blocks skipped)
+            if ns > 1:
+                order = _interleaved_order(
+                    [ci for ci, _td, _ta in in_scan], geom, mcux, mcuy
+                )
+            else:
+                order = _component_order(in_scan[0][0], geom)
             if not progressive:
                 if len(in_scan) != len(comps):
                     raise JPEGUnsupportedError("multi-scan sequential JPEG")
@@ -780,11 +884,11 @@ def jpeg_decode_planes(payload: bytes):
                         raise JPEGUnsupportedError(
                             "scan order differs from SOF order"
                         )
-                _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, nblocks)
+                _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, order)
             elif ss_ == 0:  # DC scan
                 if se_ != 0:
                     raise JPEGCorruptError("DC scan with Se != 0")
-                _decode_dc_scan(reader, coeffs, in_scan, huff_dec, ah, al, nblocks)
+                _decode_dc_scan(reader, coeffs, in_scan, huff_dec, ah, al, order)
             else:  # AC scan: exactly one component per T.81
                 if ns != 1:
                     raise JPEGCorruptError("interleaved progressive AC scan")
@@ -793,13 +897,14 @@ def jpeg_decode_planes(payload: bytes):
                 ci, _td, ta = in_scan[0]
                 if (1, ta) not in huff_dec:
                     raise JPEGCorruptError("missing Huffman table")
+                blocks = [bi for _si, bi in order]
                 if ah == 0:
                     _decode_ac_first(
-                        reader, coeffs[ci], ss_, se_, al, huff_dec[(1, ta)], nblocks
+                        reader, coeffs[ci], ss_, se_, al, huff_dec[(1, ta)], blocks
                     )
                 else:
                     _decode_ac_refine(
-                        reader, coeffs[ci], ss_, se_, al, huff_dec[(1, ta)], nblocks
+                        reader, coeffs[ci], ss_, se_, al, huff_dec[(1, ta)], blocks
                     )
             saw_scan = True
             pos = end
@@ -813,15 +918,18 @@ def jpeg_decode_planes(payload: bytes):
     # shared reconstruction: dequant -> (exact DC fast path | float IDCT)
     c = _cmat()
     zz_idx = _np.array(ZIGZAG)
+    hmax = max(g[0] for g in geom)
+    vmax = max(g[1] for g in geom)
     planes = []
-    for (cid, tq), zzc in zip(comps, coeffs):
+    for (cid, tq), zzc, g in zip(comps, coeffs, geom):
+        h, v, bwp, _bhp, cbw, cbh, cw, ch = g
         if tq not in qtables:
             raise JPEGCorruptError(f"missing quant table {tq}")
         qarr = _np.array(qtables[tq], dtype=_np.int64)
-        plane = _np.empty((bh * 8, bw * 8), dtype=_np.uint8)
-        for by in range(bh):
-            for bx in range(bw):
-                zz = zzc[by * bw + bx].astype(_np.int64)
+        plane = _np.empty((cbh * 8, cbw * 8), dtype=_np.uint8)
+        for by in range(cbh):
+            for bx in range(cbw):
+                zz = zzc[by * bwp + bx].astype(_np.int64)
                 deq = zz * qarr
                 if not deq[1:].any():
                     # DC-only fast path: exact integer reconstruction
@@ -830,8 +938,10 @@ def jpeg_decode_planes(payload: bytes):
                     # floor(dc/8 + 0.5) == (dc+4) floor-div 8 for all
                     # signs — same half-toward-+inf convention as the
                     # general float-IDCT path below
-                    v = (dc + 4) // 8 + 128
-                    blk = _np.full((8, 8), max(0, min(255, v)), dtype=_np.uint8)
+                    val = (dc + 4) // 8 + 128
+                    blk = _np.full(
+                        (8, 8), max(0, min(255, val)), dtype=_np.uint8
+                    )
                 else:
                     nat = _np.zeros(64, dtype=_np.float64)
                     nat[zz_idx] = deq
@@ -839,6 +949,13 @@ def jpeg_decode_planes(payload: bytes):
                     sp = c.T @ f @ c + 128.0
                     blk = _np.clip(_np.floor(sp + 0.5), 0, 255).astype(_np.uint8)
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        plane = plane[:ch, :cw]
+        # pixel-replication upsample back to full resolution (nearest
+        # neighbor — the metric contract is over the full-res Y plane,
+        # which subsampling never touches)
+        ry, rx = vmax // v, hmax // h
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
         planes.append(plane[:height, :width])
     return width, height, planes
 

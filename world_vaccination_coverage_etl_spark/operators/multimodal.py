@@ -177,9 +177,10 @@ def decode_image_batch(
                         return 0, 0, 0.0
                     except JPEGUnsupportedError:
                         raise NotImplementedError(
-                            "out-of-profile JPEG decode (4:2:0-"
-                            "subsampled, restart intervals) requires PIL, "
-                            "not present in this environment"
+                            "out-of-profile JPEG decode (restart "
+                            "intervals, 12-bit, fractional sampling "
+                            "ratios) requires PIL, not present in this "
+                            "environment"
                         ) from None
                 raise NotImplementedError(
                     "non-PNG/GIF/JPEG media decode requires PIL, not present "

@@ -51,6 +51,7 @@ from ._core import QueryDef  # noqa: F401
 _CERT_EARLY = [
     "multimodal_decode_jpeg_ac",
     "multimodal_decode_progressive",
+    "multimodal_decode_jpeg420",
 ]
 
 _CERT_LATE = [

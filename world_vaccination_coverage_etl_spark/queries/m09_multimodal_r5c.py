@@ -1262,3 +1262,84 @@ def q_multimodal_decode_progressive(spark, sf_dir):
         )
         .orderBy("asset_id")
     )
+
+
+@register(
+    "multimodal_decode_jpeg420",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id,
+             8 * (2 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+      FROM documents),
+    blocks AS (
+      SELECT asset_id, w, h,
+             (asset_id * 13 + (b % (w // 8)) * 7
+              + (b // (w // 8)) * 29) % 256 AS v
+      FROM d, unnest(range(0, (w // 8) * (h // 8))) AS t(b))
+    SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           round(avg(v), 6) AS mean_intensity
+    FROM blocks GROUP BY asset_id, w, h
+    ORDER BY asset_id
+    """,
+    note="REAL chroma-subsampled COLOR JPEG decode, no media library — the "
+    "dominant web layout (4:2:0), r9: generic h/v sampling factors in "
+    "operators/jpeg_codec.py (MCU-interleaved scans over the padded block "
+    "grid, per-component geometry, pixel-replication upsample).  Per doc an "
+    "RGB JPEG is encoded from doc_id alone — dims (8(2+id%3), 8(1+id%2)) so "
+    "the 16x16-MCU grid needs PADDING on most fixtures (w=24 or h=8), "
+    "subsampling rotating 4:2:0 (even ids) / 4:2:2 (odd ids), R=G=B "
+    "constant per 8x8 block at (id*13+bx*7+by*29)%256.  Gray pixels make "
+    "the JFIF transform exact: Y == v bit-exactly (weights sum to 1) and "
+    "chroma constant 128 (quantizes to all-zero), so the full-resolution "
+    "Y plane — which 4:2:0 never subsamples — round-trips EXACTLY through "
+    "the interleaved MCU entropy coding, chroma mean-pooling, pad-block "
+    "coding and crop.  The oracle recomputes dims + Y mean from the "
+    "generating formulas; same certification contract as the other media "
+    "queries.  Row-local mapInPandas both ways, zero shuffle before the "
+    "final sort",
+)
+def q_multimodal_decode_jpeg420(spark, sf_dir):
+    from ..operators.jpeg_codec import jpeg_encode
+    from ..operators.multimodal import decode_image_batch
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h = 8 * (2 + a % 3), 8 * (1 + a % 2)
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                v = ((a * 13 + (xx // 8) * 7 + (yy // 8) * 29) % 256).astype(
+                    np.uint8
+                )
+                rgb = np.repeat(v[:, :, None], 3, axis=2)
+                payloads.append(
+                    jpeg_encode(
+                        w, h, rgb.tobytes(), channels=3,
+                        subsampling="4:2:0" if a % 2 == 0 else "4:2:2",
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": "image/jpeg",
+                    "payload": payloads,
+                }
+            )
+
+    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
+    return (
+        decode_image_batch(assets, fake=False)
+        .select(
+            "asset_id",
+            "width",
+            "height",
+            F.round("mean_intensity", 6).alias("mean_intensity"),
+        )
+        .orderBy("asset_id")
+    )
