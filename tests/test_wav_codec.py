@@ -120,3 +120,112 @@ def test_stray_parse_errors_become_corrupt():
             wav_decode(good[:cut])
         except (WAVCorruptError, WAVUnsupportedError):
             pass
+
+
+# ---------------------------------------------------------- IMA ADPCM (r9)
+
+def test_adpcm_pack_decodes_defined_stream_exactly():
+    from world_vaccination_coverage_etl_spark.operators.wav_codec import (
+        _adpcm_step,
+        adpcm_pack,
+        wav_decode_samples,
+    )
+
+    for channels in (1, 2):
+        spb, nblocks = 9, 3
+        headers = [
+            ((((7 * b + 3 * c + 1) * 611) % 4001) - 2000, (b * 5 + c * 3 + 7) % 89)
+            for b in range(nblocks)
+            for c in range(channels)
+        ]
+        nibs = [
+            (b * 13 + c * 11 + i * 3) % 16
+            for b in range(nblocks)
+            for c in range(channels)
+            for i in range(spb - 1)
+        ]
+        blob = adpcm_pack(11025, channels, headers, nibs, spb)
+        rate, ch, bits, samples = wav_decode_samples(blob)
+        assert (rate, ch, bits) == (11025, channels, 4)
+        # replay the automaton in python and compare frame-interleaved
+        want = []
+        for b in range(nblocks):
+            chan = []
+            for c in range(channels):
+                pred, idx = headers[b * channels + c]
+                s = [pred]
+                for k in range(spb - 1):
+                    pred, idx = _adpcm_step(
+                        pred, idx, nibs[(b * channels + c) * (spb - 1) + k]
+                    )
+                    s.append(pred)
+                chan.append(s)
+            for i in range(spb):
+                for c in range(channels):
+                    want.append(chan[c][i])
+        assert samples == want
+
+
+def test_adpcm_greedy_encoder_tracks_smooth_signal():
+    import math
+
+    from world_vaccination_coverage_etl_spark.operators.wav_codec import (
+        adpcm_encode,
+        wav_decode_samples,
+    )
+
+    # slope-limited signal: the adaptive step can follow it, so the
+    # greedy encoder stays within a small fraction of full scale
+    sig = [int(900 * math.sin(i / 11)) for i in range(45)]
+    blob = adpcm_encode(8000, 1, sig, samples_per_block=9)
+    _rate, _ch, _bits, got = wav_decode_samples(blob)
+    assert len(got) == len(sig)
+    # bounded by the cold-start step-adaptation lag (~step_table ramp),
+    # well under 2% of full scale
+    assert max(abs(a - b) for a, b in zip(sig, got)) <= 160
+
+
+def test_adpcm_clamps_and_step_bounds():
+    from world_vaccination_coverage_etl_spark.operators.wav_codec import (
+        adpcm_pack,
+        wav_decode_samples,
+    )
+
+    # all-maximum nibbles from the top step must clamp at int16 bounds
+    # and the index at 88; all-decrement from index 0 must floor at 0
+    blob = adpcm_pack(8000, 1, [(32000, 88)], [7] * 8, 9)
+    _r, _c, _b, samples = wav_decode_samples(blob)
+    assert max(samples) <= 32767 and samples[-1] == 32767
+    blob = adpcm_pack(8000, 1, [(0, 0)], [8] * 8, 9)
+    _r, _c, _b, samples = wav_decode_samples(blob)
+    assert min(samples) >= -32768
+
+
+def test_adpcm_corrupt_and_unsupported_tiers():
+    import struct
+
+    from world_vaccination_coverage_etl_spark.operators.wav_codec import (
+        WAVCorruptError,
+        WAVUnsupportedError,
+        adpcm_pack,
+        wav_decode,
+    )
+
+    good = adpcm_pack(8000, 1, [(100, 10)], list(range(8)), 9)
+    # step index > 88 in a block header
+    i = good.index(b"data") + 8 + 2
+    bad = good[:i] + bytes([200]) + good[i + 1 :]
+    with pytest.raises(WAVCorruptError):
+        wav_decode(bad)
+    # 3-channel ADPCM: unsupported tier
+    j = good.index(b"fmt ") + 8
+    fmt = bytearray(good)
+    struct.pack_into("<H", fmt, j + 2, 3)
+    with pytest.raises(WAVUnsupportedError):
+        wav_decode(bytes(fmt))
+    # truncation fuzz stays inside the two-tier contract
+    for cut in range(4, len(good)):
+        try:
+            wav_decode(good[:cut])
+        except (WAVCorruptError, WAVUnsupportedError):
+            pass

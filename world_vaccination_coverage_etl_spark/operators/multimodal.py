@@ -222,9 +222,11 @@ def decode_audio_batch(
     sum_abs, peak).
 
     PCM WAV decodes for real EVERYWHERE through the pure-stdlib codec
-    (``operators/wav_codec.py`` — RIFF chunk walk, 8/16-bit PCM);
-    structurally corrupt WAVs degrade to the all-zero sentinel row
-    (mirroring the image kernel's corrupt-PNG tier); compressed audio
+    (``operators/wav_codec.py`` — RIFF chunk walk, 8/16-bit PCM), and
+    since r9 so does COMPRESSED IMA ADPCM (format tag 0x11: block
+    headers + 4-bit step-table automaton, mono/stereo); structurally
+    corrupt WAVs degrade to the all-zero sentinel row (mirroring the
+    image kernel's corrupt-PNG tier); non-RIFF compressed audio
     (MP3, Opus, ...) raises ``NotImplementedError`` per payload — no
     audio library ships in this environment, and pretending otherwise
     would un-real the decode surface.

@@ -10,10 +10,20 @@ from the generating formulas: a green hash certifies
 ``decode(encode(x)) == x`` through the byte pipeline.
 
 Scope: uncompressed PCM (format tag 1), 8-bit unsigned or 16-bit
-signed little-endian, any channel count / sample rate.  Anything else
-(float PCM, ADPCM, extensible) raises ``WAVUnsupportedError``;
+signed little-endian, any channel count / sample rate; and COMPRESSED
+IMA ADPCM (format tag 0x11, the RIFF spec's DVI/IMA profile — r9:
+the first compressed-audio tier, 4-bit block-coded with the public
+89-entry step table) in mono or stereo.  Anything else (float PCM,
+MS-ADPCM, MP3/Opus, extensible) raises ``WAVUnsupportedError``;
 structurally broken payloads raise ``WAVCorruptError`` — the same
 two-tier error contract the image kernel maps to sentinel / raise.
+
+The ADPCM decode is a pure-integer automaton (predictor + step-index
+walk), so decoded stats are exact and a SQL oracle can replay the
+same automaton with a recursive CTE — ``adpcm_pack`` exists so
+registry fixtures can DEFINE the nibble stream and certify the
+decoder bit-exactly despite the format being lossy for general
+signals (the JPEG exact-DC lesson applied to audio).
 
 All decoded statistics are INTEGERS (frame count, Σ|sample|, peak),
 so certification is exact and layout-independent by construction —
@@ -76,6 +86,185 @@ def wav_encode(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# IMA/DVI ADPCM tables (public: IMA Digital Audio Focus Group 1992 /
+# Microsoft RIFF spec, format tag 0x0011)
+ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (pred, index) x nibble -> new state."""
+    step = ADPCM_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + ADPCM_INDEX[nibble & 7]))
+    return pred, index
+
+
+def adpcm_pack(
+    sample_rate: int,
+    channels: int,
+    headers: list[tuple[int, int]],
+    nibbles: list[int],
+    samples_per_block: int,
+) -> bytes:
+    """Pack an EXPLICIT nibble stream into an IMA ADPCM WAV.
+
+    ``headers`` is one ``(first_sample, step_index)`` per block per
+    channel, block-major then channel-major; ``nibbles`` the 4-bit
+    codes (0-15) per block per channel, ``samples_per_block - 1`` each
+    (data nibbles per channel round up to a multiple of 8 — the 4-byte
+    channel word — with zero padding the DECODER IGNORES beyond the
+    sample count).  Fixtures use this to define the decoded signal
+    exactly: the decode automaton is deterministic integer math, so an
+    oracle can replay it.
+    """
+    if channels not in (1, 2):
+        raise ValueError("IMA ADPCM packer supports mono/stereo")
+    if (samples_per_block - 1) % 8:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    npb = samples_per_block - 1  # data nibbles per channel per block
+    n_blocks = len(headers) // channels
+    if len(headers) != n_blocks * channels or len(nibbles) != n_blocks * channels * npb:
+        raise ValueError("headers/nibbles length mismatch")
+    block_align = channels * (4 + npb // 2)
+    body = bytearray()
+    k = 0
+    for b in range(n_blocks):
+        for c in range(channels):
+            first, idx = headers[b * channels + c]
+            if not (0 <= idx <= 88):
+                raise ValueError("step index out of range")
+            body += struct.pack("<hBB", first, idx, 0)
+        # channel-interleaved 4-byte words: 8 nibbles ch0, 8 nibbles ch1, ...
+        chans = [
+            nibbles[(b * channels + c) * npb : (b * channels + c + 1) * npb]
+            for c in range(channels)
+        ]
+        for g in range(npb // 8):
+            for c in range(channels):
+                grp = chans[c][g * 8 : g * 8 + 8]
+                for lo, hi in zip(grp[0::2], grp[1::2]):
+                    body.append((lo & 0x0F) | ((hi & 0x0F) << 4))
+        k += 1
+    n_frames = n_blocks * samples_per_block
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, channels, sample_rate,
+        (sample_rate * block_align + samples_per_block - 1) // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    out = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
+    )
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+def adpcm_encode(
+    sample_rate: int,
+    channels: int,
+    samples: list[int],
+    samples_per_block: int = 9,
+) -> bytes:
+    """Greedy IMA ADPCM encoder (the canonical quantizer): lossy for
+    general signals — pytest covers it with tolerance round-trips;
+    exact fixtures use ``adpcm_pack``."""
+    if len(samples) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    n_frames = len(samples) // channels
+    npb = samples_per_block - 1
+    if n_frames % samples_per_block:
+        raise ValueError("frames must be a multiple of samples_per_block")
+    headers: list[tuple[int, int]] = []
+    nibbles: list[int] = []
+    index = [0] * channels
+    for b in range(n_frames // samples_per_block):
+        base = b * samples_per_block
+        for c in range(channels):
+            first = samples[base * channels + c]
+            headers.append((first, index[c]))
+            pred = first
+            for i in range(npb):
+                want = samples[(base + 1 + i) * channels + c]
+                step = ADPCM_STEPS[index[c]]
+                delta = want - pred
+                nib = 8 if delta < 0 else 0
+                delta = abs(delta)
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                pred, index[c] = _adpcm_step(pred, index[c], nib)
+                nibbles.append(nib)
+    return adpcm_pack(sample_rate, channels, headers, nibbles, samples_per_block)
+
+
+def _adpcm_decode_data(
+    data: bytes, channels: int, block_align: int, samples_per_block: int
+) -> list[int]:
+    """Decode IMA ADPCM data chunk -> interleaved int16 samples."""
+    npb = samples_per_block - 1
+    need_words = (npb + 7) // 8  # 4-byte words per channel
+    if block_align != channels * (4 + need_words * 4):
+        raise WAVCorruptError(
+            f"block align {block_align} inconsistent with "
+            f"{samples_per_block} samples/block x {channels} ch"
+        )
+    out: list[int] = []
+    n_blocks = len(data) // block_align
+    for b in range(n_blocks):
+        pos = b * block_align
+        pred = [0] * channels
+        idx = [0] * channels
+        frame0 = []
+        for c in range(channels):
+            first, sidx, _rsv = struct.unpack_from("<hBB", data, pos)
+            pos += 4
+            if sidx > 88:
+                raise WAVCorruptError(f"step index {sidx} > 88")
+            pred[c], idx[c] = first, sidx
+            frame0.append(first)
+        out.extend(frame0)
+        # decode per channel, then re-interleave frame-major
+        chan_samples = [[] for _ in range(channels)]
+        for _g in range(need_words):
+            for c in range(channels):
+                word = data[pos : pos + 4]
+                pos += 4
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        if len(chan_samples[c]) >= npb:
+                            continue  # pad nibbles beyond sample count
+                        pred[c], idx[c] = _adpcm_step(pred[c], idx[c], nib)
+                        chan_samples[c].append(pred[c])
+        for i in range(npb):
+            for c in range(channels):
+                out.append(chan_samples[c][i])
+    return out
+
+
 @corrupt_guard(WAVCorruptError, WAVUnsupportedError)
 def wav_decode_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
     """Decode a PCM WAV → ``(sample_rate, channels, bits, samples)``.
@@ -89,6 +278,7 @@ def wav_decode_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
     pos, n = 12, len(payload)
     fmt = None
     data = None
+    samples_per_block = 0
     while pos + 8 <= n:
         ctype = payload[pos : pos + 4]
         (length,) = struct.unpack_from("<I", payload, pos + 4)
@@ -99,6 +289,12 @@ def wav_decode_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
             if length < 16:
                 raise WAVCorruptError("fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", payload, start)
+            if fmt[0] == 0x11:  # IMA ADPCM: cbSize + wSamplesPerBlock
+                if length < 20:
+                    raise WAVCorruptError("ADPCM fmt missing extension")
+                (samples_per_block,) = struct.unpack_from(
+                    "<H", payload, start + 18
+                )
         elif ctype == b"data":
             data = payload[start : start + length]
         pos = start + length + (length & 1)  # chunks are word-aligned
@@ -106,13 +302,27 @@ def wav_decode_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
         raise WAVCorruptError("no fmt chunk")
     if data is None:
         raise WAVCorruptError("no data chunk")
-    audio_format, channels, sample_rate, _brate, _balign, bits = fmt
-    if audio_format != 1 or bits not in (8, 16):
-        raise WAVUnsupportedError(
-            f"outside PCM-8/16 baseline: format={audio_format} bits={bits}"
-        )
+    audio_format, channels, sample_rate, _brate, balign, bits = fmt
     if channels == 0 or sample_rate == 0:
         raise WAVCorruptError("zero channels or sample rate")
+    if audio_format == 0x11:  # IMA ADPCM (r9 compressed-audio tier)
+        if bits != 4:
+            raise WAVUnsupportedError(f"IMA ADPCM with {bits}-bit codes")
+        if channels not in (1, 2):
+            raise WAVUnsupportedError("IMA ADPCM beyond stereo")
+        if samples_per_block < 1 or (samples_per_block - 1) % 8:
+            raise WAVCorruptError(
+                f"bad ADPCM samples/block {samples_per_block}"
+            )
+        samples = _adpcm_decode_data(
+            data, channels, balign, samples_per_block
+        )
+        return sample_rate, channels, 4, samples
+    if audio_format != 1 or bits not in (8, 16):
+        raise WAVUnsupportedError(
+            f"outside PCM-8/16/IMA-ADPCM profile: "
+            f"format={audio_format} bits={bits}"
+        )
     width = bits // 8
     usable = len(data) - (len(data) % (width * channels))
     count = usable // width

@@ -52,6 +52,7 @@ _CERT_EARLY = [
     "multimodal_decode_jpeg_ac",
     "multimodal_decode_progressive",
     "multimodal_decode_jpeg420",
+    "multimodal_decode_adpcm",
 ]
 
 _CERT_LATE = [

@@ -1343,3 +1343,113 @@ def q_multimodal_decode_jpeg420(spark, sf_dir):
         )
         .orderBy("asset_id")
     )
+
+
+_ADPCM_STEP_SQL = (
+    "list_value(7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,"
+    "45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,"
+    "253,279,307,337,371,408,449,494,544,598,658,724,796,876,963,1060,"
+    "1166,1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,"
+    "4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,"
+    "12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,32767)"
+)
+
+
+@register(
+    "multimodal_decode_adpcm",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id AS asset_id,
+             8000 + (doc_id % 3) * 2000 AS sample_rate,
+             1 + doc_id % 2 AS channels
+      FROM documents),
+    chain AS (
+      SELECT asset_id, sample_rate, channels, c, b, 0 AS i,
+             CAST(((asset_id * 31 + c * 17 + b * 97) % 4001) - 2000
+                  AS BIGINT) AS pred,
+             CAST((asset_id + 3 * c + 5 * b) % 89 AS BIGINT) AS idx
+      FROM d,
+           unnest(range(0, channels)) AS tc(c),
+           unnest(range(0, 2)) AS tb(b)
+      UNION ALL
+      SELECT asset_id, sample_rate, channels, c, b, i + 1,
+        greatest(-32768, least(32767,
+          pred + CASE WHEN (nib & 8) != 0 THEN -diff ELSE diff END)),
+        greatest(0, least(88, idx + list_value(-1,-1,-1,-1,2,4,6,8)[(nib & 7) + 1]))
+      FROM (
+        SELECT asset_id, sample_rate, channels, c, b, i, pred, idx,
+               (asset_id * 7 + c * 11 + b * 13 + i * 3) % 16 AS nib,
+               {{step_sql}}[idx + 1] AS step
+        FROM chain WHERE i < 8),
+        LATERAL (SELECT (step >> 3)
+          + CASE WHEN (nib & 4) != 0 THEN step ELSE 0 END
+          + CASE WHEN (nib & 2) != 0 THEN step >> 1 ELSE 0 END
+          + CASE WHEN (nib & 1) != 0 THEN step >> 2 ELSE 0 END AS diff)
+    )
+    SELECT asset_id, CAST(sample_rate AS INT) AS sample_rate,
+           CAST(channels AS INT) AS channels,
+           CAST(18 AS BIGINT) AS n_frames,
+           CAST(sum(abs(pred)) AS BIGINT) AS sum_abs,
+           CAST(max(abs(pred)) AS INT) AS peak
+    FROM chain GROUP BY asset_id, sample_rate, channels
+    ORDER BY asset_id
+    """.replace("{step_sql}", _ADPCM_STEP_SQL),
+    note="REAL compressed-audio decode, no media library — IMA ADPCM (WAV "
+    "format tag 0x11, the RIFF spec's 4-bit block-coded profile), r9: the "
+    "first compressed tier after r8's PCM.  Per doc the fixture DEFINES the "
+    "nibble stream from doc_id alone (2 blocks x 9 samples/block, mono for "
+    "even ids / STEREO for odd with channel-interleaved 4-byte words, "
+    "per-block header sample/step-index from modular formulas) and "
+    "adpcm_pack writes it byte-for-byte; decode_audio_batch then runs the "
+    "real decoder: RIFF walk, fmt-extension parse, block headers, nibble "
+    "unpacking, the 89-entry step-table automaton with clamps.  Because "
+    "the decode automaton is pure integer math, the ORACLE REPLAYS IT in "
+    "SQL — a recursive CTE carrying (pred, idx) through the same "
+    "shift/clamp algebra — so a green hash certifies the decoder "
+    "state-for-state despite ADPCM being lossy for general signals (the "
+    "JPEG exact-DC certification lesson applied to audio).  Greedy-encoder "
+    "round-trips are pytest-tolerance covered.  Row-local mapInPandas both "
+    "ways, zero shuffle before the final sort",
+)
+def q_multimodal_decode_adpcm(spark, sf_dir):
+    from ..operators.multimodal import decode_audio_batch
+    from ..operators.wav_codec import adpcm_pack
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                rate = 8000 + (a % 3) * 2000
+                ch = 1 + a % 2
+                headers = [
+                    (((a * 31 + c * 17 + b * 97) % 4001) - 2000,
+                     (a + 3 * c + 5 * b) % 89)
+                    for b in range(2)
+                    for c in range(ch)
+                ]
+                nibs = [
+                    (a * 7 + c * 11 + b * 13 + i * 3) % 16
+                    for b in range(2)
+                    for c in range(ch)
+                    for i in range(8)
+                ]
+                payloads.append(adpcm_pack(rate, ch, headers, nibs, 9))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                }
+            )
+
+    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
+    return (
+        decode_audio_batch(assets)
+        .select("asset_id", "sample_rate", "channels", "n_frames", "sum_abs", "peak")
+        .orderBy("asset_id")
+    )
