@@ -294,19 +294,23 @@ def sample_video_batch(
     n_sampled, luma_sum, luma_peak).
 
     Y4M (uncompressed YUV4MPEG2) decodes for real EVERYWHERE through
-    the pure-stdlib codec (``operators/y4m_codec.py``); frames
-    ``0, k, 2k, ...`` are kept — the every-k-th-frame sampling a
-    training-data pipeline runs — and reduced to exact INTEGER luma
-    statistics, so the certification hash is layout-independent by
-    construction.  Structurally corrupt streams degrade to the
-    all-zero sentinel row; compressed video (H.264, VP9, ...) raises
-    ``NotImplementedError`` per payload — no video library ships in
-    this environment.  Row-local ``mapInPandas``; payloads never
-    shuffle, and sampling drops (k−1)/k of the pixel volume BEFORE
-    any downstream feature step.
+    the pure-stdlib codec (``operators/y4m_codec.py``), and since r9
+    so do AVI CONTAINERS carrying MJPEG video
+    (``operators/avi_codec.py`` — RIFF walk, hdrl/movi parse,
+    per-sampled-frame JPEG decode; frames NOT sampled are never
+    entropy-decoded); frames ``0, k, 2k, ...`` are kept — the
+    every-k-th-frame sampling a training-data pipeline runs — and
+    reduced to exact INTEGER luma statistics, so the certification
+    hash is layout-independent by construction.  Structurally corrupt
+    streams degrade to the all-zero sentinel row; other compressed
+    video (H.264, VP9, ...) raises ``NotImplementedError`` per
+    payload — no video library ships in this environment.  Row-local
+    ``mapInPandas``; payloads never shuffle, and sampling drops
+    (k−1)/k of the pixel volume BEFORE any downstream feature step.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi_codec import AVICorruptError, avi_sample_stats, is_avi
         from .y4m_codec import Y4MCorruptError, is_y4m, y4m_sample_stats
 
         def decode(payload: bytes) -> tuple[int, int, int, int, int, int]:
@@ -318,6 +322,12 @@ def sample_video_batch(
                 # Y4MUnsupportedError (interlaced, exotic chroma)
                 # propagates: a valid stream this codec cannot read
                 # must not decode to a sentinel that looks like data
+            if is_avi(payload):
+                try:
+                    return avi_sample_stats(payload, every_k=every_k)
+                except AVICorruptError:
+                    return 0, 0, 0, 0, 0, 0
+                # AVIUnsupportedError (non-MJPEG codec) propagates
             raise NotImplementedError(
                 "compressed video decode requires a codec library, none "
                 "present in this environment"

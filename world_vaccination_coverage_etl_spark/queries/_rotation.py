@@ -53,6 +53,7 @@ _CERT_EARLY = [
     "multimodal_decode_progressive",
     "multimodal_decode_jpeg420",
     "multimodal_decode_adpcm",
+    "multimodal_sample_avi",
 ]
 
 _CERT_LATE = [

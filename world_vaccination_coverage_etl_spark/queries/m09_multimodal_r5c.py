@@ -1453,3 +1453,84 @@ def q_multimodal_decode_adpcm(spark, sf_dir):
         .select("asset_id", "sample_rate", "channels", "n_frames", "sum_abs", "peak")
         .orderBy("asset_id")
     )
+
+
+@register(
+    "multimodal_sample_avi",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id, 8 * (1 + doc_id % 2) AS w, 8 AS h,
+             3 + doc_id % 4 AS nf
+      FROM documents),
+    px AS (
+      SELECT asset_id, w, h, nf,
+             (asset_id * 13 + f * 31 + b * 7) % 256 AS v
+      FROM d,
+           unnest(range(0, nf)) AS tf(f),
+           unnest(range(0, w // 8)) AS tb(b)
+      WHERE f % 2 = 0)
+    SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(sum(v * 64) AS BIGINT) AS luma_sum,
+           CAST(max(v) AS INT) AS luma_peak
+    FROM px GROUP BY asset_id, w, h, nf
+    ORDER BY asset_id
+    """,
+    note="REAL video-CONTAINER decode, no media library — AVI carrying "
+    "MJPEG (operators/avi_codec.py), r9: after r8's uncompressed Y4M this "
+    "is the compressed-container tier a crawl actually ships.  Per doc an "
+    "AVI is encoded from doc_id alone — dims (8(1+id%2), 8), 3+id%4 frames, "
+    "each frame a block-constant baseline JPEG at (id*13+f*31+bx*7)%256 "
+    "(the exact-DC certification contract) — then sample_video_batch "
+    "every_k=2 runs the real path: RIFF chunk walk, hdrl/strl codec "
+    "validation, movi frame extraction, and JPEG decode of ONLY the "
+    "sampled frames (unsampled chunks are sliced past, never "
+    "entropy-decoded — the cost shape frame sampling must have at 100 TB). "
+    "Stats are exact integers; the oracle recomputes them from the "
+    "generating formulas (each constant block contributes 64v).  Row-local "
+    "mapInPandas both ways, zero shuffle before the final sort",
+)
+def q_multimodal_sample_avi(spark, sf_dir):
+    from ..operators.multimodal import sample_video_batch
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.avi_codec import avi_encode_mjpeg
+        from ..operators.jpeg_codec import jpeg_encode
+
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h = 8 * (1 + a % 2), 8
+                nf = 3 + a % 4
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                frames = []
+                for f in range(nf):
+                    v = ((a * 13 + f * 31 + (xx // 8) * 7) % 256).astype(
+                        np.uint8
+                    )
+                    frames.append(jpeg_encode(w, h, v.tobytes(), channels=1))
+                payloads.append(avi_encode_mjpeg(w, h, frames))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": "video/x-msvideo",
+                    "payload": payloads,
+                }
+            )
+
+    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
+    return (
+        sample_video_batch(assets, every_k=2)
+        .select(
+            "asset_id", "width", "height", "n_frames", "n_sampled",
+            "luma_sum", "luma_peak",
+        )
+        .orderBy("asset_id")
+    )
