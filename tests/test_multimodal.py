@@ -131,3 +131,85 @@ def test_binaryfile_source_ingest_path(spark, tmp_path):
         F.col("length") < 100
     )
     assert small.count() == 1
+
+
+# ------------------------------------------------------------- resize (r9)
+
+def test_resize_nearest_floor_mapping_all_formats(spark):
+    import numpy as np
+
+    from world_vaccination_coverage_etl_spark.operators.gif_codec import (
+        gif_encode,
+    )
+    from world_vaccination_coverage_etl_spark.operators.jpeg_codec import (
+        jpeg_encode,
+    )
+    from world_vaccination_coverage_etl_spark.operators.multimodal import (
+        resize_image_batch,
+    )
+    from world_vaccination_coverage_etl_spark.operators.png_codec import (
+        png_encode,
+    )
+
+    # one source per format, all decoding to a KNOWN luma plane:
+    # gray PNG (exact), gray palette GIF (palette i -> (i,i,i), luma
+    # == index), block-constant JPEG (exact DC path)
+    w, h = 6, 5
+    plane = (np.arange(w * h, dtype=np.int64).reshape(h, w) * 7 % 256).astype(
+        np.uint8
+    )
+    png = png_encode(w, h, plane.tobytes(), color_type=0)
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    gif = gif_encode(w, h, plane.tobytes(), pal)
+    jblk = np.full((8, 8), 99, dtype=np.uint8)
+    jpg = jpeg_encode(8, 8, jblk.tobytes(), channels=1)
+
+    df = spark.createDataFrame(
+        [
+            (1, "image/png", bytearray(png)),
+            (2, "image/gif", bytearray(gif)),
+            (3, "image/jpeg", bytearray(jpg)),
+            (4, "image/png", bytearray(b"\x89PNG\r\n\x1a\nbroken")),
+            (5, "image/png", None),
+        ],
+        "asset_id long, mime string, payload binary",
+    )
+    out_w, out_h = 4, 3
+    rows = {
+        r["asset_id"]: r
+        for r in resize_image_batch(df, out_w=out_w, out_h=out_h).collect()
+    }
+    yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    want = plane[yi][:, xi]
+    for aid in (1, 2):  # PNG and GIF decode the same plane
+        assert rows[aid]["src_width"] == w and rows[aid]["src_height"] == h
+        assert rows[aid]["luma_sum"] == int(want.astype(np.int64).sum())
+        assert rows[aid]["luma_peak"] == int(want.max())
+    assert rows[3]["luma_sum"] == 99 * out_w * out_h  # constant block
+    for aid in (4, 5):  # corrupt + NULL degrade to the sentinel
+        assert rows[aid]["src_width"] == 0 and rows[aid]["luma_sum"] == 0
+
+
+def test_resize_identity_and_upscale(spark):
+    import numpy as np
+
+    from world_vaccination_coverage_etl_spark.operators.multimodal import (
+        resize_image_batch,
+    )
+    from world_vaccination_coverage_etl_spark.operators.png_codec import (
+        png_encode,
+    )
+
+    w, h = 3, 2
+    plane = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(png_encode(w, h, plane.tobytes(), color_type=0)))],
+        "asset_id long, mime string, payload binary",
+    )
+    # identity resize reproduces the plane's stats
+    r = resize_image_batch(df, out_w=3, out_h=2).collect()[0]
+    assert (r["luma_sum"], r["luma_peak"]) == (210, 60)
+    # 2x nearest upscale replicates every pixel 4x
+    r = resize_image_batch(df, out_w=6, out_h=4).collect()[0]
+    assert (r["luma_sum"], r["luma_peak"]) == (840, 60)

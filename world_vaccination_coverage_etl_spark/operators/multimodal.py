@@ -358,6 +358,139 @@ def sample_video_batch(
     return df.mapInPandas(kernel, schema=_VIDEO_FIELDS)
 
 
+_RESIZED_FIELDS = (
+    "asset_id long, src_width int, src_height int, width int, "
+    "height int, luma_sum long, luma_peak int"
+)
+
+
+def _decode_luma_plane(payload: bytes):
+    """Decode an image payload → ``(w, h, luma)`` with luma a 2-D
+    numpy uint8 array under the repo-wide integer convention
+    ``(19595 R + 38470 G + 7471 B) >> 16`` (Pillow parity) — gray
+    sources pass through.  Raises the format's error classes."""
+    import numpy as np
+
+    from .gif_codec import gif_decode_pixels, is_gif
+    from .jpeg_codec import is_jpeg, jpeg_decode_planes
+    from .png_codec import is_png, png_decode_pixels
+
+    def rgb_to_luma(arr):  # (h, w, 3) uint8 -> (h, w) uint8
+        a = arr.astype(np.int64)
+        return (
+            (19595 * a[:, :, 0] + 38470 * a[:, :, 1] + 7471 * a[:, :, 2])
+            >> 16
+        ).astype(np.uint8)
+
+    try:
+        import PIL  # noqa: F401
+
+        pil_ok = True
+    except ImportError:
+        pil_ok = False
+    if pil_ok:
+        import io
+
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                gray = im.convert("L")
+                w, h = gray.size
+                return w, h, np.asarray(gray, dtype=np.uint8).reshape(h, w)
+        except Exception:  # same sentinel behavior as _pil_decode
+            return 0, 0, np.zeros((0, 0), dtype=np.uint8)
+    if is_png(payload):
+        w, h, ch, px = png_decode_pixels(payload)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+        return w, h, (arr[:, :, 0] if ch == 1 else rgb_to_luma(arr))
+    if is_gif(payload):
+        w, h, idx, pal = gif_decode_pixels(payload)
+        pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        rgb = pal_arr[np.frombuffer(idx, dtype=np.uint8)].reshape(h, w, 3)
+        return w, h, rgb_to_luma(rgb)
+    if is_jpeg(payload):
+        w, h, planes = jpeg_decode_planes(payload)
+        return w, h, planes[0]  # Y IS the luma
+    raise NotImplementedError(
+        "non-PNG/GIF/JPEG resize requires PIL, not present in this "
+        "environment"
+    )
+
+
+def resize_image_batch(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    id_col: str = "asset_id",
+    mime_col: str = "mime",
+) -> DataFrame:
+    """Resize binary images to ``out_w x out_h`` (nearest neighbor) →
+    exact integer stats of the resized luma plane.
+
+    The training-data-pipeline resize step (thumbnail / model-input
+    normalization): decode via the tiered codec path (PIL's C decoder
+    when importable, the stdlib PNG/GIF/JPEG codecs otherwise), take
+    the integer luma, and sample with the FLOOR mapping
+    ``src = dst * src_dim // out_dim`` — pure integer index
+    arithmetic, so the operation is bit-reproducible from any engine
+    and a SQL oracle can replay it (the certification contract of the
+    whole media surface).  Emits ``(src dims, out dims, luma_sum,
+    luma_peak)`` over the RESIZED plane.
+
+    Corrupt payloads (and NULLs) degrade to the all-zero sentinel
+    row; valid-but-exotic formats raise per payload, mirroring
+    ``decode_image_batch``.  Row-local ``mapInPandas``: payloads never
+    shuffle, and the resized volume — not the source volume — is what
+    any downstream step sees.
+    """
+    if out_w < 1 or out_h < 1:
+        raise ValueError("target dims must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .gif_codec import GIFCorruptError
+        from .jpeg_codec import JPEGCorruptError
+        from .png_codec import PNGCorruptError
+
+        zero = (0, 0, 0, 0, 0, 0)
+
+        def one(payload) -> tuple[int, int, int, int, int, int]:
+            if payload is None:
+                return zero
+            try:
+                w, h, luma = _decode_luma_plane(bytes(payload))
+            except (PNGCorruptError, GIFCorruptError, JPEGCorruptError):
+                return zero
+            if w == 0 or h == 0:
+                return zero
+            yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+            xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+            resized = luma[yi][:, xi]
+            return (
+                w, h, out_w, out_h,
+                int(resized.astype(np.int64).sum()), int(resized.max()),
+            )
+
+        for pdf in batches:
+            decoded = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col],
+                    "src_width": [d[0] for d in decoded],
+                    "src_height": [d[1] for d in decoded],
+                    "width": [d[2] for d in decoded],
+                    "height": [d[3] for d in decoded],
+                    "luma_sum": [d[4] for d in decoded],
+                    "luma_peak": [d[5] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=_RESIZED_FIELDS)
+
+
 def extract_features(
     df: DataFrame,
     payload_col: str = "payload",

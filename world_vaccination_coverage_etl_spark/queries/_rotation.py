@@ -54,6 +54,7 @@ _CERT_EARLY = [
     "multimodal_decode_jpeg420",
     "multimodal_decode_adpcm",
     "multimodal_sample_avi",
+    "multimodal_resize_image",
 ]
 
 _CERT_LATE = [

@@ -1534,3 +1534,70 @@ def q_multimodal_sample_avi(spark, sf_dir):
         )
         .orderBy("asset_id")
     )
+
+
+@register(
+    "multimodal_resize_image",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+      FROM documents),
+    px AS (
+      SELECT asset_id, w, h,
+             (asset_id * 7
+              + (((p // 4) * h // 3) * w + ((p % 4) * w // 4)) * 13) % 256
+             AS v
+      FROM d, unnest(range(0, 12)) AS t(p))
+    SELECT asset_id, CAST(w AS INT) AS src_width, CAST(h AS INT) AS src_height,
+           CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS luma_sum, CAST(max(v) AS INT) AS luma_peak
+    FROM px GROUP BY asset_id, w, h
+    ORDER BY asset_id
+    """,
+    note="REAL image RESIZE — the training-pipeline thumbnail / model-input "
+    "normalization step (r9; decode/feature/frame-sample existed, resize "
+    "was the missing leg of the multimodal brief).  Per doc a gray "
+    "baseline PNG is encoded from doc_id alone — dims (3+id%6, 2+id%5), "
+    "pixel i = (id*7+i*13)%256 — and resize_image_batch maps it to a fixed "
+    "4x3 with NEAREST-NEIGHBOR floor indexing (src = dst*src_dim//out_dim): "
+    "pure integer index arithmetic over the decoded plane, so the oracle "
+    "replays the exact mapping in SQL and the hash certifies "
+    "decode+resize end-to-end.  Fixtures mix up- and down-scaling (w spans "
+    "3..8 against target 4, h spans 2..6 against 3).  Exact integer stats "
+    "over the RESIZED plane; row-local mapInPandas, zero shuffle before "
+    "the final sort",
+)
+def q_multimodal_resize_image(spark, sf_dir):
+    from ..operators.multimodal import resize_image_batch
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+
+    def enc(batches):
+        import pandas as pd
+
+        from ..operators.png_codec import png_encode
+
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h = 3 + a % 6, 2 + a % 5
+                px = bytes((a * 7 + i * 13) % 256 for i in range(w * h))
+                payloads.append(png_encode(w, h, px, color_type=0))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
+    return (
+        resize_image_batch(assets, out_w=4, out_h=3)
+        .select(
+            "asset_id", "src_width", "src_height", "width", "height",
+            "luma_sum", "luma_peak",
+        )
+        .orderBy("asset_id")
+    )
