@@ -422,3 +422,91 @@ def test_progressive_truncation_fuzz_stays_in_tier():
             jpeg_decode_planes(good[:cut])
         except (JPEGCorruptError, JPEGUnsupportedError):
             pass
+
+
+def test_restart_interval_roundtrip_all_modes():
+    """DRI/RSTn (T.81 E.1.2): the restart-marked stream must decode
+    to EXACTLY the same planes as the unmarked encoding, across
+    baseline/progressive, gray/color, every subsampling, and
+    intervals that do / do not divide the MCU count evenly."""
+    rng = np.random.default_rng(7)
+    cases = [(40, 24, 1), (40, 24, 3), (23, 17, 3)]
+    for w, h, ch in cases:
+        px = rng.integers(0, 256, size=h * w * ch, dtype=np.uint8).tobytes()
+        for prog in (False, True):
+            subs = ["4:4:4"] if ch == 1 else ["4:4:4", "4:2:0", "4:2:2"]
+            for sub in subs:
+                base = jpeg_encode(
+                    w, h, px, channels=ch, progressive=prog, subsampling=sub
+                )
+                _, _, p0 = jpeg_decode_planes(base)
+                for ri in (1, 3, 7):
+                    enc = jpeg_encode(
+                        w, h, px, channels=ch, progressive=prog,
+                        subsampling=sub, restart_interval=ri,
+                    )
+                    assert b"\xff\xdd" in enc and enc != base
+                    _, _, p = jpeg_decode_planes(enc)
+                    for a, b in zip(p, p0):
+                        assert np.array_equal(a, b), (w, h, ch, prog, sub, ri)
+
+
+def test_restart_markers_cycle_past_rst7():
+    """>8 restart groups: marker index wraps 0..7 (m & 7)."""
+    w, h = 8 * 12, 8  # 12 MCUs, ri=1 -> 11 markers, wraps past RST7
+    px = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+    enc = jpeg_encode(w, h, px, restart_interval=1)
+    assert enc.count(b"\xff\xd0") >= 1 and b"\xff\xd1" in enc
+    base = jpeg_encode(w, h, px)
+    assert np.array_equal(
+        jpeg_decode_planes(enc)[2][0], jpeg_decode_planes(base)[2][0]
+    )
+
+
+def test_restart_dc_prediction_resets():
+    """A constant image's DC diffs are nonzero only at group starts;
+    with ri=1 every block re-codes the full DC — the streams differ
+    but both reconstruct the constant exactly (exact-DC contract)."""
+    w = h = 32
+    px = bytes([200]) * (w * h)
+    enc = jpeg_encode(w, h, px, restart_interval=1)
+    width, height, planes = jpeg_decode_planes(enc)
+    assert (width, height) == (w, h)
+    assert np.array_equal(planes[0], np.full((h, w), 200, dtype=np.uint8))
+
+
+def test_rst_without_dri_is_corrupt():
+    px = bytes(range(256))
+    enc = jpeg_encode(16, 16, px, restart_interval=1)
+    i = enc.index(b"\xff\xdd")
+    stripped = enc[:i] + enc[i + 6 :]  # drop the 6-byte DRI segment
+    with pytest.raises(JPEGCorruptError):
+        jpeg_decode_planes(stripped)
+
+
+def test_wrong_rst_index_is_corrupt():
+    px = bytes(range(256))
+    enc = bytearray(jpeg_encode(16, 16, px, restart_interval=1))
+    i = enc.index(b"\xff\xd0")
+    enc[i + 1] = 0xD5  # out-of-sequence restart marker
+    with pytest.raises(JPEGCorruptError):
+        jpeg_decode_planes(bytes(enc))
+
+
+def test_restart_truncation_fuzz_stays_in_tier():
+    good = jpeg_encode(
+        24, 16, bytes((i * 11) % 256 for i in range(24 * 16)),
+        restart_interval=2,
+    )
+    for cut in range(2, len(good)):
+        try:
+            jpeg_decode_planes(good[:cut])
+        except (JPEGCorruptError, JPEGUnsupportedError):
+            pass
+
+
+def test_restart_interval_encoder_validation():
+    with pytest.raises(ValueError):
+        jpeg_encode(8, 8, bytes(64), restart_interval=-1)
+    with pytest.raises(ValueError):
+        jpeg_encode(8, 8, bytes(64), restart_interval=0x10000)

@@ -17,6 +17,9 @@ Usage::
 
     python tools/record_baseline.py            # prints the markdown block
     python tools/record_baseline.py --out F    # also writes it to F
+    python tools/record_baseline.py --only a,b # rows for NEW queries only
+                                               # (append to BASELINE.md by
+                                               # hand; merges the json)
 """
 
 from __future__ import annotations
@@ -43,6 +46,12 @@ def main() -> int:
     out_path = None
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        missing = only - set(REGISTRY)
+        if missing:
+            raise SystemExit(f"unknown queries: {sorted(missing)}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     head = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
@@ -64,7 +73,7 @@ def main() -> int:
 
     per_query: dict[str, float] = {}
     t_wall = time.time()
-    for name in REGISTRY:
+    for name in REGISTRY if only is None else [n for n in REGISTRY if n in only]:
         best = min(timed(name), timed(name))
         if best < 1.0:  # sub-second cohort: best-of-3
             best = min(best, timed(name))
@@ -92,19 +101,28 @@ def main() -> int:
     if out_path:
         with open(out_path, "w") as fh:
             fh.write(block + "\n")
-    with open(os.path.join(REPO, ".scale", "baseline_record.json"), "w") as fh:
-        json.dump(
-            {
-                "head": head,
-                "date": time.strftime("%Y-%m-%d %H:%M:%S"),
-                "loadavg_start": load_start,
-                "loadavg_end": load_end,
-                "queries": per_query,
-                "wall_sec": wall,
-            },
-            fh,
-            indent=1,
+    jpath = os.path.join(REPO, ".scale", "baseline_record.json")
+    rec = {
+        "head": head,
+        "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "queries": per_query,
+        "wall_sec": wall,
+    }
+    if only is not None and os.path.exists(jpath):
+        # incremental rows merge into the full record; provenance of
+        # the full table stays the full run's
+        prior = json.load(open(jpath))
+        prior["queries"].update(per_query)
+        prior.setdefault("incremental", []).append(
+            {k: rec[k] for k in ("head", "date", "loadavg_start",
+                                 "loadavg_end")}
+            | {"queries": sorted(per_query)}
         )
+        rec = prior
+    with open(jpath, "w") as fh:
+        json.dump(rec, fh, indent=1)
     return 0
 
 

@@ -27,8 +27,10 @@ Scope (everything else raises):
     progressive is the common web profile), 8-bit, grayscale or
     YCbCr with integer-ratio chroma subsampling (4:4:4, 4:2:2 and
     the dominant web layout 4:2:0 — r9: generic h/v sampling
-    factors, MCU-interleaved scans, pixel-replication upsampling);
-    no restart intervals (``JPEGUnsupportedError`` → PIL tier);
+    factors, MCU-interleaved scans, pixel-replication upsampling),
+    restart intervals (DRI/RSTn, T.81 E.1.2 — r9: the error-
+    resilience layer real web encoders ship; DC prediction and EOB
+    runs reset, the bit stream byte-aligns at every marker);
   - structurally broken payloads raise ``JPEGCorruptError``
     (sentinel tier), mirroring the PNG/GIF/WAV kernels.
 
@@ -148,6 +150,14 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padded) and emit RSTm — markers are never
+        byte-stuffed, so they bypass put()."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes((0xFF, 0xD0 + (m & 7)))
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -189,6 +199,20 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise JPEGCorruptError("invalid Huffman code")
+
+    def sync_restart(self, m: int) -> None:
+        """Discard pad bits and consume the expected RSTm marker
+        (T.81 E.1.2: restarts byte-align the entropy stream)."""
+        self.n = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (m & 7)
+        ):
+            raise JPEGCorruptError(
+                f"expected RST{m & 7} at entropy byte {self.pos}"
+            )
+        self.pos += 2
 
 
 def _extend(v: int, size: int) -> int:
@@ -285,6 +309,16 @@ def _component_order(ci, geom):
     return [(0, by * bwp + bx) for by in range(cbh) for bx in range(cbw)]
 
 
+def _restart_groups(order, entries_per_mcu, ri):
+    """Split a scan's block order into restart intervals (T.81 E.1.2:
+    ``ri`` MCUs between RST markers; one group when ri == 0).  DC
+    prediction and EOB runs reset at each boundary."""
+    if not ri:
+        return [order]
+    step = entries_per_mcu * ri
+    return [order[i : i + step] for i in range(0, len(order), step)]
+
+
 # ---------------------------------------------------------------- encode
 
 def _quantize_plane_blocks(plane, qv, c, bw, bh):
@@ -321,64 +355,73 @@ def _put_dc_diff(w, diff, dc_enc):
         w.put(mag, size)
 
 
-def _emit_baseline_scan(zzs, dc_enc, ac_enc, order):
-    """Sequential scan over an explicit (si, block) order."""
+def _emit_baseline_scan(zzs, dc_enc, ac_enc, groups):
+    """Sequential scan over restart groups of (si, block) entries."""
     w = _BitWriter()
-    pred = [0] * len(zzs)
-    for si, bi in order:
-        zz = zzs[si][bi]
-        dc = int(zz[0])
-        _put_dc_diff(w, dc - pred[si], dc_enc)
-        pred[si] = dc
-        last_nz = 0
-        for i in range(1, 64):
-            if zz[i]:
-                last_nz = i
-        run = 0
-        for i in range(1, last_nz + 1):
-            v = int(zz[i])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_enc[0xF0]  # ZRL
-                w.put(code, ln)
-                run -= 16
-            size = _category(v)
-            code, ln = ac_enc[(run << 4) | size]
-            w.put(code, ln)
-            mag = v if v >= 0 else v + (1 << size) - 1
-            w.put(mag, size)
+    for gi, order in enumerate(groups):
+        if gi:
+            w.restart((gi - 1) & 7)
+        pred = [0] * len(zzs)
+        for si, bi in order:
+            zz = zzs[si][bi]
+            dc = int(zz[0])
+            _put_dc_diff(w, dc - pred[si], dc_enc)
+            pred[si] = dc
+            last_nz = 0
+            for i in range(1, 64):
+                if zz[i]:
+                    last_nz = i
             run = 0
-        if last_nz < 63:
-            code, ln = ac_enc[0x00]  # EOB
-            w.put(code, ln)
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                size = _category(v)
+                code, ln = ac_enc[(run << 4) | size]
+                w.put(code, ln)
+                mag = v if v >= 0 else v + (1 << size) - 1
+                w.put(mag, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_enc[0x00]  # EOB
+                w.put(code, ln)
     return w.flush()
 
 
-def _emit_dc_first(zzs, al, dc_enc, order):
-    """Progressive DC scan over an explicit (si, block) order, Ah=0.
+def _emit_dc_first(zzs, al, dc_enc, groups):
+    """Progressive DC scan over restart groups, Ah=0.
 
     The DC coefficient uses the ARITHMETIC shift (T.81 G.1.2.1):
     diffs are coded on ``dc >> al``."""
     w = _BitWriter()
-    pred = [0] * len(zzs)
-    for si, bi in order:
-        v = int(zzs[si][bi][0]) >> al
-        _put_dc_diff(w, v - pred[si], dc_enc)
-        pred[si] = v
+    for gi, order in enumerate(groups):
+        if gi:
+            w.restart((gi - 1) & 7)
+        pred = [0] * len(zzs)
+        for si, bi in order:
+            v = int(zzs[si][bi][0]) >> al
+            _put_dc_diff(w, v - pred[si], dc_enc)
+            pred[si] = v
     return w.flush()
 
 
-def _emit_dc_refine(zzs, al, order):
+def _emit_dc_refine(zzs, al, groups):
     """Progressive DC refinement: one raw bit per block in order."""
     w = _BitWriter()
-    for si, bi in order:
-        w.put((int(zzs[si][bi][0]) >> al) & 1, 1)
+    for gi, order in enumerate(groups):
+        if gi:
+            w.restart((gi - 1) & 7)
+        for si, bi in order:
+            w.put((int(zzs[si][bi][0]) >> al) & 1, 1)
     return w.flush()
 
 
-def _emit_ac_first(zzc, ss, se, al, ac_enc, blocks):
+def _emit_ac_first(zzc, ss, se, al, ac_enc, groups):
     """Progressive AC first pass (Ah=0) for ONE component.
 
     AC uses the MAGNITUDE shift: v = sign(c)*(|c| >> al).  EOB runs
@@ -387,45 +430,39 @@ def _emit_ac_first(zzc, ss, se, al, ac_enc, blocks):
     from the sequential table; the DECODER still handles them for
     real-world progressive files."""
     w = _BitWriter()
-    for bi in blocks:
-        zz = zzc[bi]
-        last_nz = 0
-        for k in range(ss, se + 1):
-            if abs(int(zz[k])) >> al:
-                last_nz = k
-        run = 0
-        for k in range(ss, last_nz + 1):
-            a = abs(int(zz[k])) >> al
-            if a == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_enc[0xF0]
-                w.put(code, ln)
-                run -= 16
-            size = _category(a)
-            code, ln = ac_enc[(run << 4) | size]
-            w.put(code, ln)
-            v = a if int(zz[k]) > 0 else -a
-            mag = v if v >= 0 else v + (1 << size) - 1
-            w.put(mag, size)
+    for gi, blocks in enumerate(groups):
+        if gi:
+            w.restart((gi - 1) & 7)
+        for bi in blocks:
+            zz = zzc[bi]
+            last_nz = 0
+            for k in range(ss, se + 1):
+                if abs(int(zz[k])) >> al:
+                    last_nz = k
             run = 0
-        if last_nz < se or last_nz == 0:
-            code, ln = ac_enc[0x00]  # EOB0
-            w.put(code, ln)
+            for k in range(ss, last_nz + 1):
+                a = abs(int(zz[k])) >> al
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]
+                    w.put(code, ln)
+                    run -= 16
+                size = _category(a)
+                code, ln = ac_enc[(run << 4) | size]
+                w.put(code, ln)
+                v = a if int(zz[k]) > 0 else -a
+                mag = v if v >= 0 else v + (1 << size) - 1
+                w.put(mag, size)
+                run = 0
+            if last_nz < se or last_nz == 0:
+                code, ln = ac_enc[0x00]  # EOB0
+                w.put(code, ln)
     return w.flush()
 
 
-def _emit_ac_refine(zzc, ss, se, al, ac_enc, blocks):
-    """Progressive AC refinement (Ah=Al+1) for ONE component.
-
-    Mirrors the decoder's walk exactly (T.81 G.1.2.3): newly
-    significant coefficients (|c|>>al == 1) are coded as (run-of-
-    zero-history, 1) + sign; already-significant coefficients emit
-    one correction bit ((|c|>>al)&1) at the position the decoder's
-    advance loop passes them; a trailing EOB0 flushes correction
-    bits for the remainder of the band."""
-    w = _BitWriter()
+def _emit_ac_refine_one(w, zzc, ss, se, al, ac_enc, blocks):
     for bi in blocks:
         zz = zzc[bi]
 
@@ -462,6 +499,22 @@ def _emit_ac_refine(zzc, ss, se, al, ac_enc, blocks):
                 if sh(k) > 1:
                     w.put(sh(k) & 1, 1)
                 k += 1
+
+
+def _emit_ac_refine(zzc, ss, se, al, ac_enc, groups):
+    """Progressive AC refinement (Ah=Al+1) for ONE component.
+
+    Mirrors the decoder's walk exactly (T.81 G.1.2.3): newly
+    significant coefficients (|c|>>al == 1) are coded as (run-of-
+    zero-history, 1) + sign; already-significant coefficients emit
+    one correction bit ((|c|>>al)&1) at the position the decoder's
+    advance loop passes them; a trailing EOB0 flushes correction
+    bits for the remainder of the band."""
+    w = _BitWriter()
+    for gi, blocks in enumerate(groups):
+        if gi:
+            w.restart((gi - 1) & 7)
+        _emit_ac_refine_one(w, zzc, ss, se, al, ac_enc, blocks)
     return w.flush()
 
 
@@ -491,6 +544,7 @@ def jpeg_encode(
     qtable: list[int] | None = None,
     progressive: bool = False,
     subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode 8-bit pixels into a baseline (SOF0) or progressive
     (SOF2) JPEG.
@@ -510,6 +564,10 @@ def jpeg_encode(
     ``subsampling`` (color only): "4:4:4", "4:2:2" or "4:2:0" —
     chroma planes mean-pooled by the integer factor, Y stays full
     resolution, scans interleave h×v blocks per MCU (T.81 A.2.3).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs in EVERY scan (baseline and progressive),
+    resetting DC prediction / EOB runs at each marker — the
+    error-resilience layer real web encoders ship.
     """
     if _np is None:  # pragma: no cover
         raise JPEGUnsupportedError("jpeg codec requires numpy")
@@ -588,39 +646,54 @@ def jpeg_encode(
         body += bytes([ss, se, (ah << 4) | al])
         return seg(0xFFDA, body)
 
+    ri = int(restart_interval)
+    if ri < 0 or ri > 0xFFFF:
+        raise ValueError("restart_interval must be in 0..65535")
     ilv = _interleaved_order(list(range(n_comp)), geom, mcux, mcuy)
+    epm = sum(h * v for h, v, *_rest in geom)  # scan entries per MCU
+    ilv_g = _restart_groups(ilv, epm, ri)
     out = b"\xff\xd8" + dqt + sof + dht
+    if ri:
+        out += seg(0xFFDD, struct.pack(">H", ri))
     if not progressive:
         out += sos(list(range(1, n_comp + 1)), 0, 63, 0, 0)
-        out += _emit_baseline_scan(zzs, dc_enc, ac_enc, ilv)
+        out += _emit_baseline_scan(zzs, dc_enc, ac_enc, ilv_g)
         return out + b"\xff\xd9"
 
     all_ids = list(range(1, n_comp + 1))
-    comp_blocks = [
-        [bi for _si, bi in _component_order(ci, geom)] for ci in range(n_comp)
+    # non-interleaved scans: one block == one MCU (T.81 A.2.1)
+    comp_g = [
+        _restart_groups(
+            [bi for _si, bi in _component_order(ci, geom)], 1, ri
+        )
+        for ci in range(n_comp)
     ]
     # DC first: interleaved, successive approximation Al=1
-    out += sos(all_ids, 0, 0, 0, 1) + _emit_dc_first(zzs, 1, dc_enc, ilv)
+    out += sos(all_ids, 0, 0, 0, 1) + _emit_dc_first(zzs, 1, dc_enc, ilv_g)
     # AC first passes at Al=2, per component, split spectrum
     for ci, zzc in enumerate(zzs):
         for ss, se in ((1, 5), (6, 63)):
             out += sos([ci + 1], ss, se, 0, 2)
-            out += _emit_ac_first(zzc, ss, se, 2, ac_enc, comp_blocks[ci])
+            out += _emit_ac_first(zzc, ss, se, 2, ac_enc, comp_g[ci])
     # AC refinements Al=2->1->0
     for ah, al in ((2, 1), (1, 0)):
         for ci, zzc in enumerate(zzs):
             for ss, se in ((1, 5), (6, 63)):
                 out += sos([ci + 1], ss, se, ah, al)
-                out += _emit_ac_refine(zzc, ss, se, al, ac_enc, comp_blocks[ci])
+                out += _emit_ac_refine(zzc, ss, se, al, ac_enc, comp_g[ci])
     # DC refinement last (raw bits)
-    out += sos(all_ids, 0, 0, 1, 0) + _emit_dc_refine(zzs, 0, ilv)
+    out += sos(all_ids, 0, 0, 1, 0) + _emit_dc_refine(zzs, 0, ilv_g)
     return out + b"\xff\xd9"
 
 
 # ---------------------------------------------------------------- decode
 
-def _entropy_end(payload: bytes, start: int) -> int:
-    """Index of the marker terminating the entropy segment at start."""
+def _entropy_end(payload: bytes, start: int, ri: int) -> int:
+    """Index of the marker terminating the entropy segment at start.
+
+    RSTn markers are PART of the segment when a restart interval is
+    active (T.81 E.1.2); without a DRI they are corrupt, not a
+    terminator."""
     i = start
     n = len(payload)
     while i < n:
@@ -632,65 +705,84 @@ def _entropy_end(payload: bytes, start: int) -> int:
                 i += 2
                 continue
             if 0xD0 <= nxt <= 0xD7:
-                raise JPEGUnsupportedError("restart intervals")
+                if not ri:
+                    raise JPEGCorruptError("RST marker without DRI")
+                i += 2
+                continue
             return i
         i += 1
     raise JPEGCorruptError("unterminated entropy stream")
 
 
-def _decode_dc_scan(reader, coeffs, in_scan, huff_dec, ah, al, order):
-    """Progressive DC scan (Ss=Se=0) over an explicit (si, block) order."""
-    if ah == 0:
-        pred = [0] * len(in_scan)
-        for si, bi in order:
-            ci, td, _ta = in_scan[si]
-            if (0, td) not in huff_dec:
-                raise JPEGCorruptError("missing Huffman table")
-            size = reader.huff(huff_dec[(0, td)])
-            diff = _extend(reader.bits(size), size) if size else 0
-            pred[si] += diff
-            coeffs[ci][bi, 0] = pred[si] << al
-    else:
-        p1 = 1 << al
-        for si, bi in order:
-            ci = in_scan[si][0]
-            if reader.bit():
-                coeffs[ci][bi, 0] = int(coeffs[ci][bi, 0]) | p1
+def _decode_dc_scan(reader, coeffs, in_scan, huff_dec, ah, al, groups):
+    """Progressive DC scan (Ss=Se=0) over restart groups of
+    (si, block) entries; DC prediction resets at each RST."""
+    for gi, order in enumerate(groups):
+        if gi:
+            reader.sync_restart(gi - 1)
+        if ah == 0:
+            pred = [0] * len(in_scan)
+            for si, bi in order:
+                ci, td, _ta = in_scan[si]
+                if (0, td) not in huff_dec:
+                    raise JPEGCorruptError("missing Huffman table")
+                size = reader.huff(huff_dec[(0, td)])
+                diff = _extend(reader.bits(size), size) if size else 0
+                pred[si] += diff
+                coeffs[ci][bi, 0] = pred[si] << al
+        else:
+            p1 = 1 << al
+            for si, bi in order:
+                ci = in_scan[si][0]
+                if reader.bit():
+                    coeffs[ci][bi, 0] = int(coeffs[ci][bi, 0]) | p1
 
 
-def _decode_ac_first(reader, zzc, ss, se, al, ac_dec, blocks):
-    """Progressive AC first pass (Ah=0), single component."""
-    eobrun = 0
-    for bi in blocks:
-        if eobrun > 0:
-            eobrun -= 1
-            continue
-        zz = zzc[bi]
-        k = ss
-        while k <= se:
-            rs = reader.huff(ac_dec)
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:  # ZRL
-                    k += 16
-                    continue
-                eobrun = (1 << r) - 1
-                if r:
-                    eobrun += reader.bits(r)
-                break
-            k += r
-            if k > se:
-                raise JPEGCorruptError("AC run past band end")
-            zz[k] = _extend(reader.bits(s), s) << al
-            k += 1
+def _decode_ac_first(reader, zzc, ss, se, al, ac_dec, groups):
+    """Progressive AC first pass (Ah=0), single component.  EOB runs
+    cannot cross a restart boundary (T.81 E.1.2)."""
+    for gi, blocks in enumerate(groups):
+        if gi:
+            reader.sync_restart(gi - 1)
+        eobrun = 0
+        for bi in blocks:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            zz = zzc[bi]
+            k = ss
+            while k <= se:
+                rs = reader.huff(ac_dec)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise JPEGCorruptError("AC run past band end")
+                zz[k] = _extend(reader.bits(s), s) << al
+                k += 1
 
 
-def _decode_ac_refine(reader, zzc, ss, se, al, ac_dec, blocks):
+def _decode_ac_refine(reader, zzc, ss, se, al, ac_dec, groups):
     """Progressive AC refinement (Ah=Al+1), single component —
     T.81 G.1.2.3 / the libjpeg decode_mcu_AC_refine structure:
     (run, 1) symbols place newly-significant +-1<<Al coefficients,
     already-significant coefficients passed by the advance read one
-    correction bit, EOBn covers this block plus n-1 more."""
+    correction bit, EOBn covers this block plus n-1 more.  EOB runs
+    reset at restart boundaries."""
+    for gi, blocks in enumerate(groups):
+        if gi:
+            reader.sync_restart(gi - 1)
+        _decode_ac_refine_group(reader, zzc, ss, se, al, ac_dec, blocks)
+
+
+def _decode_ac_refine_group(reader, zzc, ss, se, al, ac_dec, blocks):
     p1 = 1 << al
     eobrun = 0
     for bi in blocks:
@@ -735,34 +827,38 @@ def _decode_ac_refine(reader, zzc, ss, se, al, ac_dec, blocks):
             eobrun -= 1
 
 
-def _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, order):
-    """Sequential scan over an explicit (si, block) order, full band."""
-    pred = [0] * len(in_scan)
-    for si, bi in order:
-        ci, td, ta = in_scan[si]
-        if (0, td) not in huff_dec or (1, ta) not in huff_dec:
-            raise JPEGCorruptError("missing Huffman table")
-        dc_dec = huff_dec[(0, td)]
-        ac_dec = huff_dec[(1, ta)]
-        zz = coeffs[ci][bi]
-        size = reader.huff(dc_dec)
-        diff = _extend(reader.bits(size), size) if size else 0
-        pred[si] += diff
-        zz[0] = pred[si]
-        k = 1
-        while k < 64:
-            rs = reader.huff(ac_dec)
-            if rs == 0x00:  # EOB
-                break
-            if rs == 0xF0:  # ZRL
-                k += 16
-                continue
-            k += rs >> 4
-            if k > 63:
-                raise JPEGCorruptError("AC run past block end")
-            sz = rs & 0x0F
-            zz[k] = _extend(reader.bits(sz), sz)
-            k += 1
+def _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, groups):
+    """Sequential scan over restart groups of (si, block) entries,
+    full band; DC prediction resets at each RST."""
+    for gi, order in enumerate(groups):
+        if gi:
+            reader.sync_restart(gi - 1)
+        pred = [0] * len(in_scan)
+        for si, bi in order:
+            ci, td, ta = in_scan[si]
+            if (0, td) not in huff_dec or (1, ta) not in huff_dec:
+                raise JPEGCorruptError("missing Huffman table")
+            dc_dec = huff_dec[(0, td)]
+            ac_dec = huff_dec[(1, ta)]
+            zz = coeffs[ci][bi]
+            size = reader.huff(dc_dec)
+            diff = _extend(reader.bits(size), size) if size else 0
+            pred[si] += diff
+            zz[0] = pred[si]
+            k = 1
+            while k < 64:
+                rs = reader.huff(ac_dec)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise JPEGCorruptError("AC run past block end")
+                sz = rs & 0x0F
+                zz[k] = _extend(reader.bits(sz), sz)
+                k += 1
 
 
 @corrupt_guard(JPEGCorruptError, JPEGUnsupportedError)
@@ -791,6 +887,7 @@ def jpeg_decode_planes(payload: bytes):
     coeffs = None  # per comp: int32 (bhp*bwp, 64), zigzag order
     mcux = mcuy = 0
     geom = None  # per comp: (h, v, bwp, bhp, cbw, cbh, cw, ch)
+    ri = 0  # restart interval in MCUs; 0 = none (DRI may retune it)
     saw_scan = False
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
@@ -848,9 +945,9 @@ def jpeg_decode_planes(payload: bytes):
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JPEGUnsupportedError(f"SOF 0x{marker:02x} (not baseline/progressive)")
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JPEGCorruptError("truncated DRI")
             (ri,) = struct.unpack_from(">H", body, 0)
-            if ri:
-                raise JPEGUnsupportedError("restart intervals")
         elif marker == 0xDA:  # SOS
             if comps is None:
                 raise JPEGCorruptError("no SOF before SOS")
@@ -865,17 +962,23 @@ def jpeg_decode_planes(payload: bytes):
             ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
             ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             scan_start = pos + 2 + length
-            end = _entropy_end(payload, scan_start)
+            end = _entropy_end(payload, scan_start, ri)
             reader = _BitReader(payload[scan_start:end])
             # T.81 A.2: a scan with ns > 1 is MCU-interleaved over the
             # padded grid; a single-component scan is non-interleaved
-            # over the component's own grid (pad blocks skipped)
+            # over the component's own grid (pad blocks skipped, one
+            # block per MCU for restart accounting)
             if ns > 1:
                 order = _interleaved_order(
                     [ci for ci, _td, _ta in in_scan], geom, mcux, mcuy
                 )
+                epm = sum(
+                    geom[ci][0] * geom[ci][1] for ci, _td, _ta in in_scan
+                )
             else:
                 order = _component_order(in_scan[0][0], geom)
+                epm = 1
+            groups = _restart_groups(order, epm, ri)
             if not progressive:
                 if len(in_scan) != len(comps):
                     raise JPEGUnsupportedError("multi-scan sequential JPEG")
@@ -884,11 +987,11 @@ def jpeg_decode_planes(payload: bytes):
                         raise JPEGUnsupportedError(
                             "scan order differs from SOF order"
                         )
-                _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, order)
+                _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, groups)
             elif ss_ == 0:  # DC scan
                 if se_ != 0:
                     raise JPEGCorruptError("DC scan with Se != 0")
-                _decode_dc_scan(reader, coeffs, in_scan, huff_dec, ah, al, order)
+                _decode_dc_scan(reader, coeffs, in_scan, huff_dec, ah, al, groups)
             else:  # AC scan: exactly one component per T.81
                 if ns != 1:
                     raise JPEGCorruptError("interleaved progressive AC scan")
@@ -897,14 +1000,14 @@ def jpeg_decode_planes(payload: bytes):
                 ci, _td, ta = in_scan[0]
                 if (1, ta) not in huff_dec:
                     raise JPEGCorruptError("missing Huffman table")
-                blocks = [bi for _si, bi in order]
+                bgroups = [[bi for _si, bi in g] for g in groups]
                 if ah == 0:
                     _decode_ac_first(
-                        reader, coeffs[ci], ss_, se_, al, huff_dec[(1, ta)], blocks
+                        reader, coeffs[ci], ss_, se_, al, huff_dec[(1, ta)], bgroups
                     )
                 else:
                     _decode_ac_refine(
-                        reader, coeffs[ci], ss_, se_, al, huff_dec[(1, ta)], blocks
+                        reader, coeffs[ci], ss_, se_, al, huff_dec[(1, ta)], bgroups
                     )
             saw_scan = True
             pos = end

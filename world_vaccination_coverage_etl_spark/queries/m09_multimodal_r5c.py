@@ -1287,7 +1287,9 @@ def q_multimodal_decode_progressive(spark, sf_dir):
     "grid, per-component geometry, pixel-replication upsample).  Per doc an "
     "RGB JPEG is encoded from doc_id alone — dims (8(2+id%3), 8(1+id%2)) so "
     "the 16x16-MCU grid needs PADDING on most fixtures (w=24 or h=8), "
-    "subsampling rotating 4:2:0 (even ids) / 4:2:2 (odd ids), R=G=B "
+    "subsampling rotating 4:2:0 (even ids) / 4:2:2 (odd ids), restart "
+    "intervals rotating off/RST-every-MCU ((id%4)//2 — DC prediction "
+    "resets and the entropy stream byte-aligns at each marker), R=G=B "
     "constant per 8x8 block at (id*13+bx*7+by*29)%256.  Gray pixels make "
     "the JFIF transform exact: Y == v bit-exactly (weights sum to 1) and "
     "chroma constant 128 (quantizes to all-zero), so the full-resolution "
@@ -1322,6 +1324,11 @@ def q_multimodal_decode_jpeg420(spark, sf_dir):
                     jpeg_encode(
                         w, h, rgb.tobytes(), channels=3,
                         subsampling="4:2:0" if a % 2 == 0 else "4:2:2",
+                        # rotate DRI/RSTn through the corpus (r9: T.81
+                        # E.1.2 restart intervals); markers reset DC
+                        # prediction + byte-align, decoded planes are
+                        # identical, so the oracle is unchanged
+                        restart_interval=(a % 4) // 2,
                     )
                 )
             yield pd.DataFrame(
