@@ -295,9 +295,10 @@ def sample_video_batch(
 
     Y4M (uncompressed YUV4MPEG2) decodes for real EVERYWHERE through
     the pure-stdlib codec (``operators/y4m_codec.py``), and since r9
-    so do AVI CONTAINERS carrying MJPEG video
-    (``operators/avi_codec.py`` — RIFF walk, hdrl/movi parse,
-    per-sampled-frame JPEG decode; frames NOT sampled are never
+    so do AVI and MP4 CONTAINERS carrying MJPEG video
+    (``operators/avi_codec.py`` — RIFF walk, hdrl/movi parse — and
+    ``operators/mp4_codec.py`` — ISO BMFF box walk, stsd/stsz/stsc/
+    stco sample tables; in both, frames NOT sampled are never
     entropy-decoded); frames ``0, k, 2k, ...`` are kept — the
     every-k-th-frame sampling a training-data pipeline runs — and
     reduced to exact INTEGER luma statistics, so the certification
@@ -311,6 +312,7 @@ def sample_video_batch(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avi_codec import AVICorruptError, avi_sample_stats, is_avi
+        from .mp4_codec import MP4CorruptError, is_mp4, mp4_sample_stats
         from .y4m_codec import Y4MCorruptError, is_y4m, y4m_sample_stats
 
         def decode(payload: bytes) -> tuple[int, int, int, int, int, int]:
@@ -328,6 +330,12 @@ def sample_video_batch(
                 except AVICorruptError:
                     return 0, 0, 0, 0, 0, 0
                 # AVIUnsupportedError (non-MJPEG codec) propagates
+            if is_mp4(payload):
+                try:
+                    return mp4_sample_stats(payload, every_k=every_k)
+                except MP4CorruptError:
+                    return 0, 0, 0, 0, 0, 0
+                # MP4UnsupportedError (avc1/hvc1/vp09/...) propagates
             raise NotImplementedError(
                 "compressed video decode requires a codec library, none "
                 "present in this environment"

@@ -1544,6 +1544,89 @@ def q_multimodal_sample_avi(spark, sf_dir):
 
 
 @register(
+    "multimodal_sample_mp4",
+    """
+    WITH d AS (
+      SELECT doc_id AS asset_id, 8 * (1 + doc_id % 2) AS w, 8 AS h,
+             2 + doc_id % 5 AS nf
+      FROM documents),
+    px AS (
+      SELECT asset_id, w, h, nf,
+             (asset_id * 17 + f * 29 + b * 11) % 256 AS v
+      FROM d,
+           unnest(range(0, nf)) AS tf(f),
+           unnest(range(0, w // 8)) AS tb(b)
+      WHERE f % 3 = 0)
+    SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST((nf + 2) // 3 AS BIGINT) AS n_sampled,
+           CAST(sum(v * 64) AS BIGINT) AS luma_sum,
+           CAST(max(v) AS INT) AS luma_peak
+    FROM px GROUP BY asset_id, w, h, nf
+    ORDER BY asset_id
+    """,
+    note="REAL ISO-BMFF (MP4) container decode, no media library — the "
+    "web's other container family after AVI (operators/mp4_codec.py, "
+    "ISO/IEC 14496-12): box tree walk, moov/trak handler probe, "
+    "stsd/stsz/stsc/stco sample tables, absolute sample spans in mdat.  "
+    "Per doc an MP4 is encoded from doc_id alone — dims (8(1+id%2), 8), "
+    "2+id%5 Motion-JPEG samples packed TWO PER CHUNK so the stsc/stco "
+    "run-length arithmetic is exercised for real, each sample a "
+    "block-constant baseline JPEG at (id*17+f*29+bx*11)%256 (the exact-DC "
+    "certification contract) — then sample_video_batch every_k=3 decodes "
+    "ONLY samples 0,3,6,... (unsampled spans are sliced by table "
+    "arithmetic, never entropy-decoded — the cost shape frame sampling "
+    "must have at 100 TB).  Stats are exact integers; the oracle "
+    "recomputes them "
+    "from the generating formulas (each constant block contributes 64v).  "
+    "Row-local mapInPandas both ways, zero shuffle before the final sort",
+)
+def q_multimodal_sample_mp4(spark, sf_dir):
+    from ..operators.multimodal import sample_video_batch
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.jpeg_codec import jpeg_encode
+        from ..operators.mp4_codec import mp4_encode_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            for a in pdf["asset_id"]:
+                a = int(a)
+                w, h = 8 * (1 + a % 2), 8
+                nf = 2 + a % 5
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                frames = []
+                for f in range(nf):
+                    v = ((a * 17 + f * 29 + (xx // 8) * 11) % 256).astype(
+                        np.uint8
+                    )
+                    frames.append(jpeg_encode(w, h, v.tobytes(), channels=1))
+                payloads.append(mp4_encode_mjpeg(w, h, frames))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime": "video/mp4",
+                    "payload": payloads,
+                }
+            )
+
+    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
+    return (
+        sample_video_batch(assets, every_k=3)
+        .select(
+            "asset_id", "width", "height", "n_frames", "n_sampled",
+            "luma_sum", "luma_peak",
+        )
+        .orderBy("asset_id")
+    )
+
+
+@register(
     "multimodal_resize_image",
     """
     WITH d AS (
