@@ -110,6 +110,12 @@ PROBE = [
     # r9 re-plans re-probed: large-star/small-star CC
     ("multimodal_decode_progressive", False),
     ("multimodal_decode_jpeg_ac", False),
+    # late-r9 media queries >= 1 s at sf0.1 (row-local, zero shuffle)
+    ("multimodal_decode_jpeg420", False),
+    ("multimodal_decode_adpcm", False),
+    ("multimodal_sample_avi", False),
+    ("multimodal_resize_image", False),
+    ("multimodal_sample_mp4", False),
 ]
 
 
