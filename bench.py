@@ -86,11 +86,12 @@ def main() -> int:
         "n_queries": len(per_query),
     }
     # host-normalized comparison vs the recorded BASELINE.md table
-    # (r6 verdict item 5): host factor = median ratio over the 20
-    # cheapest baseline queries (plan-identical, overhead-dominated —
-    # their drift is the machine, not the plans); the worst-5
-    # normalized ratios separate "plan slower" from "host slower"
-    # mechanically in the driver-captured tail.
+    # (r6 verdict item 5; cohort broadened late-r9): host factor =
+    # median ratio over the ENTIRE sub-second baseline cohort
+    # (plan-identical, overhead-dominated — their drift is the
+    # machine, not the plans; ~146 votes, so a single real regression
+    # cannot move it); the worst-5 normalized ratios separate "plan
+    # slower" from "host slower" mechanically in the captured tail.
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from bench_compare import host_factor, load_baseline_md

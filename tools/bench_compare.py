@@ -7,14 +7,19 @@ hand: estimate the host ratio as the median per-query ratio, then flag
 queries whose ratio deviates from that baseline by more than a
 threshold in either direction.
 
-Host factor (r6 verdict item 5): the median is taken over the
-TRIVIAL-query subset — the N cheapest queries in the OLD run.  A
-cheap query's cost is scan + fixed overhead with a plan that never
-changes round-to-round, so its drift IS the host; expensive queries
-are exactly the ones whose plans change and must not vote on the
-normalization.  (Two consecutive rounds showed uniform ~1.1-1.3x
-drift on plan-identical cheap queries; an all-query median lets a
-broad real regression masquerade as host drift.)
+Host factor (r6 verdict item 5; cohort broadened late-r9 per the r8
+verdict's caveat): the median is taken over the SUB-SECOND baseline
+cohort — every query whose OLD-run/recorded time is under 1 s
+(~146 of 200 in the r9 table), falling back to the 20 cheapest when
+the cohort is thin.  A sub-second query's cost is scan + fixed
+overhead with a plan that never changes round-to-round, so its drift
+IS the host; the expensive plan-bearing queries still do not vote.
+The old 20-cheapest cohort was dominated by pure job-launch overhead
+and under-tracked compute-shaped host drift (r8 verdict what's-wrong
+item 2 predicted exactly this; measured late-r9: cheapest-20 median
+1.198 while the broad cohort showed sub-second compute queries at
+2-2.7x on an unchanged plan).  A ~146-vote median is also HARDER for
+a real regression to masquerade in than a 20-vote one.
 
 Usage::
 
@@ -32,7 +37,8 @@ import re
 import statistics
 import sys
 
-N_TRIVIAL = 20  # host factor votes: the N cheapest old-run queries
+N_TRIVIAL = 20     # fallback votes: the N cheapest old-run queries
+SUB_SECOND = 1.0   # primary cohort: every old-run query under this
 
 
 def load_baseline_md(path: str) -> dict[str, float]:
@@ -48,12 +54,16 @@ def load_baseline_md(path: str) -> dict[str, float]:
 def host_factor(
     old: dict[str, float], new: dict[str, float], n_trivial: int = N_TRIVIAL
 ) -> float:
-    """Median new/old ratio over the n cheapest old-run queries."""
+    """Median new/old ratio over the sub-second old-run cohort
+    (fallback: the n cheapest old-run queries when the cohort is
+    thinner than 2*n — e.g. a tiny ad-hoc comparison file)."""
     common = [q for q in old if q in new and old[q] > 0]
-    trivial = sorted(common, key=lambda q: old[q])[:n_trivial]
-    if not trivial:
+    cohort = [q for q in common if old[q] < SUB_SECOND]
+    if len(cohort) < 2 * n_trivial:
+        cohort = sorted(common, key=lambda q: old[q])[:n_trivial]
+    if not cohort:
         return 1.0
-    return statistics.median(new[q] / old[q] for q in trivial)
+    return statistics.median(new[q] / old[q] for q in cohort)
 
 
 def load(path: str) -> dict[str, float]:
@@ -95,7 +105,7 @@ def main() -> int:
     ratios = {q: new[q] / old[q] for q in common if old[q] > 0}
     host = host_factor(old, new)
     print(
-        f"common={len(common)}  host_ratio(median of {N_TRIVIAL} cheapest)="
+        f"common={len(common)}  host_ratio(sub-second-cohort median)="
         f"{host:.3f}  all-query median={statistics.median(ratios.values()):.3f}  "
         f"new_only={sorted(set(new) - set(old))}"
     )
