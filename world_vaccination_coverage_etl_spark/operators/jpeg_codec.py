@@ -159,60 +159,132 @@ class _BitWriter:
         self.out += bytes((0xFF, 0xD0 + (m & 7)))
 
 
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(dec_dict, flat lookup table) for one DHT code set, cached by
+    CONTENT — ``tab[next16bits] = (symbol << 5) | code_length``
+    (−1 = invalid).
+
+    One list lookup replaces up to 16 per-bit dict probes per symbol
+    — the stdlib tier's entropy decode is the measured hot path (r8
+    verdict what's-wrong #4).  Every payload in a fixture corpus
+    carries the same Annex K tables, so the 65536-entry table builds
+    once per worker, not once per image (numpy slice fill + one
+    ``tolist`` so the per-symbol hot path indexes a plain list).
+    """
+    key = (bytes(bits), bytes(vals))
+    cached = _DHT_CACHE.get(key)
+    if cached is None:
+        _enc, dec = _canonical_codes(bits, vals)
+        tab = _np.full(65536, -1, dtype=_np.int32)
+        for (ln, code), sym in dec.items():
+            start = code << (16 - ln)
+            tab[start : start + (1 << (16 - ln))] = (sym << 5) | ln
+        cached = (dec, tab.tolist())
+        _DHT_CACHE[key] = cached
+    return cached
+
+
+_DHT_CACHE: dict[tuple[bytes, bytes], tuple] = {}
+
+
 class _BitReader:
+    """MSB-first bit reader over a scan's entropy segment.
+
+    The segment is destuffed (0xFF00 → 0xFF) and split on RSTn
+    markers UP FRONT, so the hot path is pure windowed integer reads:
+    ``bits(k)`` is one ``int.from_bytes`` and ``huff`` one cached
+    table lookup instead of per-bit loops.  Peeks past a subsegment's
+    end see 1-padding (the spec's pad convention); CONSUMING past the
+    end raises the Corrupt tier, preserving truncation detection.
+    """
+
     def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
+        segs: list[bytes] = []
+        marks: list[int] = []  # RST index between segs[i] and segs[i+1]
+        cur = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            b = data[i]
+            if b == 0xFF:
+                if i + 1 >= n:
+                    raise JPEGCorruptError("dangling 0xFF in stream")
+                nxt = data[i + 1]
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segs.append(bytes(cur))
+                    marks.append(nxt - 0xD0)
+                    cur = bytearray()
+                    i += 2
+                    continue
+                raise JPEGCorruptError(f"marker 0xFF{nxt:02x} in scan")
+            cur.append(b)
+            i += 1
+        segs.append(bytes(cur))
+        self.segs = segs
+        self.marks = marks
+        self._load(0)
+
+    def _load(self, si: int) -> None:
+        self.si = si
+        buf = self.segs[si]
+        self.buf = buf
+        self.nbits = len(buf) * 8
+        self.pos = 0  # bit position within the subsegment
+        self._ext = buf + b"\xff\xff\xff\xff"  # peek slack (pad bits)
 
     def bit(self) -> int:
-        while self.n == 0:
-            if self.pos >= len(self.data):
-                raise JPEGCorruptError("entropy stream truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                if self.pos >= len(self.data):
-                    raise JPEGCorruptError("dangling 0xFF in stream")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # stuffed byte
-                else:
-                    raise JPEGCorruptError(f"marker 0xFF{nxt:02x} in scan")
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        pos = self.pos
+        if pos >= self.nbits:
+            raise JPEGCorruptError("entropy stream truncated")
+        self.pos = pos + 1
+        return (self.buf[pos >> 3] >> (7 - (pos & 7))) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        if k == 0:
+            return 0
+        pos = self.pos
+        if pos + k > self.nbits:
+            raise JPEGCorruptError("entropy stream truncated")
+        byte = pos >> 3
+        off = pos & 7
+        need = (off + k + 7) >> 3
+        w = int.from_bytes(self._ext[byte : byte + need], "big")
+        self.pos = pos + k
+        return (w >> (need * 8 - off - k)) & ((1 << k) - 1)
 
-    def huff(self, dec: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = dec.get((ln, code))
-            if sym is not None:
-                return sym
-        raise JPEGCorruptError("invalid Huffman code")
+    def huff(self, ht) -> int:
+        """Decode one symbol from a ``(dec_dict, table)`` pair built
+        by ``_huff_decoder``."""
+        pos = self.pos
+        byte = pos >> 3
+        off = pos & 7
+        w = int.from_bytes(self._ext[byte : byte + 4], "big")
+        entry = ht[1][(w >> (16 - off)) & 0xFFFF]
+        if entry < 0:
+            raise JPEGCorruptError("invalid Huffman code")
+        ln = entry & 31
+        if pos + ln > self.nbits:
+            raise JPEGCorruptError("entropy stream truncated")
+        self.pos = pos + ln
+        return entry >> 5
 
     def sync_restart(self, m: int) -> None:
-        """Discard pad bits and consume the expected RSTm marker
-        (T.81 E.1.2: restarts byte-align the entropy stream)."""
-        self.n = 0
-        if (
-            self.pos + 2 > len(self.data)
-            or self.data[self.pos] != 0xFF
-            or self.data[self.pos + 1] != 0xD0 + (m & 7)
-        ):
+        """Advance past the expected RSTm marker into the next
+        subsegment (T.81 E.1.2: restarts byte-align the stream).
+        Only pad bits (< 8) may remain unconsumed before a marker."""
+        nxt = self.si + 1
+        if nxt >= len(self.segs):
+            raise JPEGCorruptError(f"expected RST{m & 7}, none left")
+        if self.marks[self.si] != (m & 7):
             raise JPEGCorruptError(
-                f"expected RST{m & 7} at entropy byte {self.pos}"
+                f"expected RST{m & 7}, found RST{self.marks[self.si]}"
             )
-        self.pos += 2
+        if self.nbits - self.pos >= 8:
+            raise JPEGCorruptError("unconsumed entropy data before RST")
+        self._load(nxt)
 
 
 def _extend(v: int, size: int) -> int:
@@ -829,25 +901,57 @@ def _decode_ac_refine_group(reader, zzc, ss, se, al, ac_dec, blocks):
 
 def _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, groups):
     """Sequential scan over restart groups of (si, block) entries,
-    full band; DC prediction resets at each RST."""
+    full band; DC prediction resets at each RST.
+
+    The symbol loop is INLINED over the reader's destuffed buffer
+    (locals, no per-symbol method calls): at ~60 symbols per noisy
+    block a 512x512 photo is ~250k symbols, and per-symbol Python
+    call overhead was the measured majority of decode time.  Bounds:
+    peeks past the buffer see 1-padding; consumption past ``nbits``
+    is checked once per block (the block loop is bounded at 64
+    iterations regardless, so a corrupt stream cannot spin)."""
+    from_bytes = int.from_bytes
     for gi, order in enumerate(groups):
         if gi:
             reader.sync_restart(gi - 1)
+        ext = reader._ext
+        nbits = reader.nbits
+        pos = reader.pos
         pred = [0] * len(in_scan)
         for si, bi in order:
             ci, td, ta = in_scan[si]
             if (0, td) not in huff_dec or (1, ta) not in huff_dec:
                 raise JPEGCorruptError("missing Huffman table")
-            dc_dec = huff_dec[(0, td)]
-            ac_dec = huff_dec[(1, ta)]
+            dc_tab = huff_dec[(0, td)][1]
+            ac_tab = huff_dec[(1, ta)][1]
             zz = coeffs[ci][bi]
-            size = reader.huff(dc_dec)
-            diff = _extend(reader.bits(size), size) if size else 0
-            pred[si] += diff
+            # DC: one table lookup + one windowed magnitude read
+            w = (from_bytes(ext[pos >> 3 : (pos >> 3) + 4], "big")
+                 >> (16 - (pos & 7))) & 0xFFFF
+            e = dc_tab[w]
+            if e < 0:
+                raise JPEGCorruptError("invalid Huffman code")
+            pos += e & 31
+            size = e >> 5
+            if size:
+                byte = pos >> 3
+                off = pos & 7
+                need = (off + size + 7) >> 3
+                mag = (from_bytes(ext[byte : byte + need], "big")
+                       >> (need * 8 - off - size)) & ((1 << size) - 1)
+                pos += size
+                diff = mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+                pred[si] += diff
             zz[0] = pred[si]
             k = 1
             while k < 64:
-                rs = reader.huff(ac_dec)
+                w = (from_bytes(ext[pos >> 3 : (pos >> 3) + 4], "big")
+                     >> (16 - (pos & 7))) & 0xFFFF
+                e = ac_tab[w]
+                if e < 0:
+                    raise JPEGCorruptError("invalid Huffman code")
+                pos += e & 31
+                rs = e >> 5
                 if rs == 0x00:  # EOB
                     break
                 if rs == 0xF0:  # ZRL
@@ -857,8 +961,18 @@ def _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, groups):
                 if k > 63:
                     raise JPEGCorruptError("AC run past block end")
                 sz = rs & 0x0F
-                zz[k] = _extend(reader.bits(sz), sz)
+                if sz:  # size-0 non-EOB/ZRL symbols leave a zero (spec-undefined)
+                    byte = pos >> 3
+                    off = pos & 7
+                    need = (off + sz + 7) >> 3
+                    mag = (from_bytes(ext[byte : byte + need], "big")
+                           >> (need * 8 - off - sz)) & ((1 << sz) - 1)
+                    pos += sz
+                    zz[k] = mag if mag >= (1 << (sz - 1)) else mag - (1 << sz) + 1
                 k += 1
+            if pos > nbits:
+                raise JPEGCorruptError("entropy stream truncated")
+        reader.pos = pos
 
 
 @corrupt_guard(JPEGCorruptError, JPEGUnsupportedError)
@@ -921,8 +1035,7 @@ def jpeg_decode_planes(payload: bytes):
                 bits = list(body[i + 1 : i + 17])
                 cnt = sum(bits)
                 vals = list(body[i + 17 : i + 17 + cnt])
-                _, dec = _canonical_codes(bits, vals)
-                huff_dec[(tc, th)] = dec
+                huff_dec[(tc, th)] = _huff_decoder(bits, vals)
                 i += 17 + cnt
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if comps is not None:
@@ -1029,29 +1142,40 @@ def jpeg_decode_planes(payload: bytes):
         if tq not in qtables:
             raise JPEGCorruptError(f"missing quant table {tq}")
         qarr = _np.array(qtables[tq], dtype=_np.int64)
-        plane = _np.empty((cbh * 8, cbw * 8), dtype=_np.uint8)
-        for by in range(cbh):
-            for bx in range(cbw):
-                zz = zzc[by * bwp + bx].astype(_np.int64)
-                deq = zz * qarr
-                if not deq[1:].any():
-                    # DC-only fast path: exact integer reconstruction
-                    # (IDCT of a DC-only block is the constant dc/8)
-                    dc = int(deq[0])
-                    # floor(dc/8 + 0.5) == (dc+4) floor-div 8 for all
-                    # signs — same half-toward-+inf convention as the
-                    # general float-IDCT path below
-                    val = (dc + 4) // 8 + 128
-                    blk = _np.full(
-                        (8, 8), max(0, min(255, val)), dtype=_np.uint8
-                    )
-                else:
-                    nat = _np.zeros(64, dtype=_np.float64)
-                    nat[zz_idx] = deq
-                    f = nat.reshape(8, 8)
-                    sp = c.T @ f @ c + 128.0
-                    blk = _np.clip(_np.floor(sp + 0.5), 0, 255).astype(_np.uint8)
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        # reconstruction is vectorized ACROSS BLOCKS (late-r9: the
+        # per-block Python loop was half the decode cost of a real
+        # photo); the numeric contracts are bit-identical to the
+        # per-block forms — integer ops are elementwise, and stacked
+        # matmul runs the same per-slice 8x8 products as `cT @ f @ c`
+        bidx = (
+            _np.arange(cbh)[:, None] * bwp + _np.arange(cbw)[None, :]
+        ).ravel()
+        deq = zzc[bidx].astype(_np.int64) * qarr  # (nblocks, 64)
+        nblk = deq.shape[0]
+        out = _np.empty((nblk, 8, 8), dtype=_np.uint8)
+        dconly = ~deq[:, 1:].any(axis=1)
+        if dconly.any():
+            # DC-only fast path: exact integer reconstruction (IDCT
+            # of a DC-only block is the constant dc/8); floor(dc/8 +
+            # 0.5) == (dc+4) floor-div 8 for all signs — same
+            # half-toward-+inf convention as the float path below
+            vals = (deq[dconly, 0] + 4) // 8 + 128
+            out[dconly] = _np.clip(vals, 0, 255).astype(_np.uint8)[
+                :, None, None
+            ]
+        rest = ~dconly
+        if rest.any():
+            nat = _np.zeros((int(rest.sum()), 64), dtype=_np.float64)
+            nat[:, zz_idx] = deq[rest]
+            sp = c.T @ nat.reshape(-1, 8, 8) @ c + 128.0
+            out[rest] = _np.clip(_np.floor(sp + 0.5), 0, 255).astype(
+                _np.uint8
+            )
+        plane = (
+            out.reshape(cbh, cbw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(cbh * 8, cbw * 8)
+        )
         plane = plane[:ch, :cw]
         # pixel-replication upsample back to full resolution (nearest
         # neighbor — the metric contract is over the full-res Y plane,
