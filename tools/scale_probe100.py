@@ -153,6 +153,16 @@ def main() -> int:
             rec[f"{key}_s"] = round(time.monotonic() - t0, 3)
             if want_rows:
                 rec[f"{key}_rows"] = fn(spark, sf_dir).count()
+            # session-storage hygiene: heavy sf10 queries localCheckpoint
+            # multi-GB intermediates; left persistent across a 6-query
+            # probe session they starved a later broadcast build
+            # (dup_graph_triangles OOM'd in-session, passed alone).  A
+            # 1000-executor cluster never shares one JVM like this —
+            # release between probes so each measures ITS plan.
+            spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            spark._jvm.System.gc()
         rec["time_ratio"] = round(rec["sf10_s"] / max(rec["sf01_s"], 1e-9), 1)
         if want_rows:
             rec["rows_ratio"] = round(
