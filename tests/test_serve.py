@@ -83,3 +83,66 @@ def test_dashboard_missing_series_404(served):
 def test_dashboard_requires_params(served):
     status, _ = _get(served + "/dashboard")
     assert status == 400
+
+
+def test_interactive_series_html_fragment():
+    """The plotly-parity surface (reference streamlit_app.py:254-308):
+    static SVG marks identical to _svg_chart, embedded JSON data, and
+    the vanilla-JS hover/zoom/pan/reset handlers."""
+    import json
+
+    from world_vaccination_coverage_etl_spark.functions.chart import (
+        _svg_chart,
+        interactive_series_html,
+    )
+
+    pts = [(2000, 80.0), (2001, 85.5), (2002, 70.25)]
+    wins = [(2000, 2001, "#1f77b4"), (2001, 2002, "#ff7f0e")]
+    frag = interactive_series_html(
+        pts, "A <Title> & more", campaign_year=2001, windows=wins
+    )
+    # every static mark of the non-interactive renderer is present
+    static = _svg_chart(
+        [(float(x), float(y)) for x, y in pts],
+        "A <Title> & more", 2001.0, 720, 360, wins,
+    )
+    inner = static[static.index(">") + 1 : static.rindex("</svg>")]
+    assert inner in frag
+    # embedded data round-trips
+    import html as _html
+    import re
+
+    m = re.search(r"data-chart='([^']*)'", frag)
+    cfg = json.loads(_html.unescape(m.group(1)))
+    assert cfg["points"] == [[2000.0, 80.0], [2001.0, 85.5], [2002.0, 70.25]]
+    assert cfg["campaign"] == 2001 and len(cfg["windows"]) == 2
+    assert "&lt;Title&gt;" in cfg["title"]  # escaped before JS innerHTML
+    # the interaction handlers ship
+    for hook in ("mousemove", "wheel", "mousedown", "dblclick", "hovtx"):
+        assert hook in frag
+    # empty series still guarded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interactive_series_html([])
+
+
+def test_dashboard_embeds_interactive_chart(tmp_path):
+    from types import SimpleNamespace
+
+    from world_vaccination_coverage_etl_spark.functions.dashboard import (
+        render_dashboard_html,
+    )
+
+    stats = SimpleNamespace(
+        avg_before=80.0, avg_after=85.0, diff_pp=5.0, p_value=0.01,
+        n_before=5, n_after=5, significance="significant increase",
+        ci_lo_before=78.0, ci_hi_before=82.0, ci_lo_after=83.0,
+        ci_hi_after=87.0, sem_before=1.0, sem_after=1.0,
+    )
+    body = render_dashboard_html(
+        "Testland", "DTP3", [(y, 80.0 + y % 5) for y in range(1998, 2008)],
+        stats, start_year=2003, pre_years=5, post_years=4,
+    )
+    assert "data-chart=" in body and "<script>" in body
+    assert "dblclick" in body  # zoom-reset handler shipped

@@ -23,7 +23,7 @@ import datetime as dt
 import html
 from collections.abc import Sequence
 
-from .chart import _svg_chart
+from .chart import interactive_series_html
 from .narrative import policy_brief
 
 _BEFORE_COLOR = "#2c6fbb"
@@ -138,7 +138,7 @@ def render_dashboard_html(
         stats.avg_before, stats.avg_after, stats.diff_pp, stats.p_value,
         stats.n_before, stats.n_after,
     )
-    line_svg = _svg_chart(
+    line_svg = interactive_series_html(
         [(float(y), float(c)) for y, c in series_rows],
         f"{country} — {antigen}",
         campaign_year=float(start_year),
