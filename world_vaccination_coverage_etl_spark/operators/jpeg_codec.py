@@ -789,33 +789,68 @@ def _entropy_end(payload: bytes, start: int, ri: int) -> int:
 def _decode_dc_scan(reader, coeffs, in_scan, huff_dec, ah, al, groups):
     """Progressive DC scan (Ss=Se=0) over restart groups of
     (si, block) entries; DC prediction resets at each RST."""
+    from_bytes = int.from_bytes
     for gi, order in enumerate(groups):
         if gi:
             reader.sync_restart(gi - 1)
+        ext = reader._ext
+        nbits = reader.nbits
+        pos = reader.pos
         if ah == 0:
             pred = [0] * len(in_scan)
             for si, bi in order:
                 ci, td, _ta = in_scan[si]
                 if (0, td) not in huff_dec:
                     raise JPEGCorruptError("missing Huffman table")
-                size = reader.huff(huff_dec[(0, td)])
-                diff = _extend(reader.bits(size), size) if size else 0
-                pred[si] += diff
+                dc_tab = huff_dec[(0, td)][1]
+                w = (from_bytes(ext[pos >> 3 : (pos >> 3) + 4], "big")
+                     >> (16 - (pos & 7))) & 0xFFFF
+                e = dc_tab[w]
+                if e < 0:
+                    raise JPEGCorruptError("invalid Huffman code")
+                pos += e & 31
+                size = e >> 5
+                if size:
+                    byte = pos >> 3
+                    off = pos & 7
+                    need = (off + size + 7) >> 3
+                    mag = (from_bytes(ext[byte : byte + need], "big")
+                           >> (need * 8 - off - size)) & ((1 << size) - 1)
+                    pos += size
+                    pred[si] += (
+                        mag if mag >= (1 << (size - 1))
+                        else mag - (1 << size) + 1
+                    )
                 coeffs[ci][bi, 0] = pred[si] << al
+                if pos > nbits:
+                    raise JPEGCorruptError("entropy stream truncated")
         else:
             p1 = 1 << al
             for si, bi in order:
                 ci = in_scan[si][0]
-                if reader.bit():
+                if pos >= nbits:
+                    raise JPEGCorruptError("entropy stream truncated")
+                if (ext[pos >> 3] >> (7 - (pos & 7))) & 1:
                     coeffs[ci][bi, 0] = int(coeffs[ci][bi, 0]) | p1
+                pos += 1
+        reader.pos = pos
 
 
 def _decode_ac_first(reader, zzc, ss, se, al, ac_dec, groups):
     """Progressive AC first pass (Ah=0), single component.  EOB runs
-    cannot cross a restart boundary (T.81 E.1.2)."""
+    cannot cross a restart boundary (T.81 E.1.2).
+
+    Inlined over the reader's destuffed buffer like the baseline scan
+    — this pass carries the bulk of a progressive photo's AC symbols
+    (consumption checked once per block; the band loop is bounded)."""
+    from_bytes = int.from_bytes
+    ac_tab = ac_dec[1]
     for gi, blocks in enumerate(groups):
         if gi:
             reader.sync_restart(gi - 1)
+        ext = reader._ext
+        nbits = reader.nbits
+        pos = reader.pos
         eobrun = 0
         for bi in blocks:
             if eobrun > 0:
@@ -824,7 +859,13 @@ def _decode_ac_first(reader, zzc, ss, se, al, ac_dec, groups):
             zz = zzc[bi]
             k = ss
             while k <= se:
-                rs = reader.huff(ac_dec)
+                w = (from_bytes(ext[pos >> 3 : (pos >> 3) + 4], "big")
+                     >> (16 - (pos & 7))) & 0xFFFF
+                e = ac_tab[w]
+                if e < 0:
+                    raise JPEGCorruptError("invalid Huffman code")
+                pos += e & 31
+                rs = e >> 5
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
                     if r == 15:  # ZRL
@@ -832,13 +873,28 @@ def _decode_ac_first(reader, zzc, ss, se, al, ac_dec, groups):
                         continue
                     eobrun = (1 << r) - 1
                     if r:
-                        eobrun += reader.bits(r)
+                        byte = pos >> 3
+                        off = pos & 7
+                        need = (off + r + 7) >> 3
+                        eobrun += (from_bytes(ext[byte : byte + need], "big")
+                                   >> (need * 8 - off - r)) & ((1 << r) - 1)
+                        pos += r
                     break
                 k += r
                 if k > se:
                     raise JPEGCorruptError("AC run past band end")
-                zz[k] = _extend(reader.bits(s), s) << al
+                byte = pos >> 3
+                off = pos & 7
+                need = (off + s + 7) >> 3
+                mag = (from_bytes(ext[byte : byte + need], "big")
+                       >> (need * 8 - off - s)) & ((1 << s) - 1)
+                pos += s
+                v = mag if mag >= (1 << (s - 1)) else mag - (1 << s) + 1
+                zz[k] = v << al
                 k += 1
+            if pos > nbits:
+                raise JPEGCorruptError("entropy stream truncated")
+        reader.pos = pos
 
 
 def _decode_ac_refine(reader, zzc, ss, se, al, ac_dec, groups):
@@ -855,6 +911,16 @@ def _decode_ac_refine(reader, zzc, ss, se, al, ac_dec, groups):
 
 
 def _decode_ac_refine_group(reader, zzc, ss, se, al, ac_dec, blocks):
+    """One restart group of the refinement walk, inlined over the
+    destuffed buffer (correction bits are the densest bit traffic in
+    a progressive photo — one per already-significant coefficient per
+    round).  Consumption is checked per symbol/bit via ``nbits``; the
+    band walk is bounded at 64 positions per block."""
+    from_bytes = int.from_bytes
+    ac_tab = ac_dec[1]
+    ext = reader._ext
+    nbits = reader.nbits
+    pos = reader.pos
     p1 = 1 << al
     eobrun = 0
     for bi in blocks:
@@ -862,24 +928,44 @@ def _decode_ac_refine_group(reader, zzc, ss, se, al, ac_dec, blocks):
         k = ss
         if eobrun == 0:
             while k <= se:
-                rs = reader.huff(ac_dec)
+                w = (from_bytes(ext[pos >> 3 : (pos >> 3) + 4], "big")
+                     >> (16 - (pos & 7))) & 0xFFFF
+                e = ac_tab[w]
+                if e < 0:
+                    raise JPEGCorruptError("invalid Huffman code")
+                pos += e & 31
+                rs = e >> 5
                 r, s = rs >> 4, rs & 0x0F
                 val = 0
                 if s == 0:
                     if r != 15:
                         eobrun = 1 << r
                         if r:
-                            eobrun += reader.bits(r)
+                            byte = pos >> 3
+                            off = pos & 7
+                            need = (off + r + 7) >> 3
+                            eobrun += (
+                                from_bytes(ext[byte : byte + need], "big")
+                                >> (need * 8 - off - r)
+                            ) & ((1 << r) - 1)
+                            pos += r
                         break
                     # ZRL: advance past 16 zero-history coefficients
                 elif s == 1:
-                    val = p1 if reader.bit() else -p1
+                    val = p1 if (ext[pos >> 3] >> (7 - (pos & 7))) & 1 else -p1
+                    pos += 1
                 else:
                     raise JPEGCorruptError("refinement size > 1")
+                if pos > nbits:
+                    raise JPEGCorruptError("entropy stream truncated")
                 while k <= se:
                     c = int(zz[k])
                     if c != 0:
-                        if reader.bit() and (c & p1) == 0:
+                        if pos >= nbits:
+                            raise JPEGCorruptError("entropy stream truncated")
+                        bitv = (ext[pos >> 3] >> (7 - (pos & 7))) & 1
+                        pos += 1
+                        if bitv and (c & p1) == 0:
                             zz[k] = c + (p1 if c >= 0 else -p1)
                     else:
                         if r == 0:
@@ -893,10 +979,17 @@ def _decode_ac_refine_group(reader, zzc, ss, se, al, ac_dec, blocks):
             while k <= se:
                 c = int(zz[k])
                 if c != 0:
-                    if reader.bit() and (c & p1) == 0:
+                    if pos >= nbits:
+                        raise JPEGCorruptError("entropy stream truncated")
+                    bitv = (ext[pos >> 3] >> (7 - (pos & 7))) & 1
+                    pos += 1
+                    if bitv and (c & p1) == 0:
                         zz[k] = c + (p1 if c >= 0 else -p1)
                 k += 1
             eobrun -= 1
+    if pos > nbits:
+        raise JPEGCorruptError("entropy stream truncated")
+    reader.pos = pos
 
 
 def _decode_baseline_scan(reader, coeffs, in_scan, huff_dec, groups):
