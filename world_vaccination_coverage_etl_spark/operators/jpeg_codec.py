@@ -199,30 +199,34 @@ class _BitReader:
     """
 
     def __init__(self, data: bytes) -> None:
+        # destuff + split by jumping between 0xFF positions (rare in
+        # entropy data) instead of walking every byte in Python
         segs: list[bytes] = []
         marks: list[int] = []  # RST index between segs[i] and segs[i+1]
-        cur = bytearray()
+        cur: list[bytes] = []
         i, n = 0, len(data)
+        find = data.find
         while i < n:
-            b = data[i]
-            if b == 0xFF:
-                if i + 1 >= n:
-                    raise JPEGCorruptError("dangling 0xFF in stream")
-                nxt = data[i + 1]
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    i += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    segs.append(bytes(cur))
-                    marks.append(nxt - 0xD0)
-                    cur = bytearray()
-                    i += 2
-                    continue
-                raise JPEGCorruptError(f"marker 0xFF{nxt:02x} in scan")
-            cur.append(b)
-            i += 1
-        segs.append(bytes(cur))
+            j = find(b"\xff", i)
+            if j < 0:
+                cur.append(data[i:])
+                break
+            if j + 1 >= n:
+                raise JPEGCorruptError("dangling 0xFF in stream")
+            nxt = data[j + 1]
+            if nxt == 0x00:
+                cur.append(data[i : j + 1])  # keep the 0xFF, drop the 0x00
+                i = j + 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                cur.append(data[i:j])
+                segs.append(b"".join(cur))
+                marks.append(nxt - 0xD0)
+                cur = []
+                i = j + 2
+                continue
+            raise JPEGCorruptError(f"marker 0xFF{nxt:02x} in scan")
+        segs.append(b"".join(cur))
         self.segs = segs
         self.marks = marks
         self._load(0)
@@ -765,24 +769,27 @@ def _entropy_end(payload: bytes, start: int, ri: int) -> int:
 
     RSTn markers are PART of the segment when a restart interval is
     active (T.81 E.1.2); without a DRI they are corrupt, not a
-    terminator."""
+    terminator.  Scans by jumping between 0xFF positions rather than
+    walking every byte in Python."""
     i = start
     n = len(payload)
+    find = payload.find
     while i < n:
-        if payload[i] == 0xFF:
-            if i + 1 >= n:
-                raise JPEGCorruptError("dangling 0xFF at end of scan")
-            nxt = payload[i + 1]
-            if nxt == 0x00:
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                if not ri:
-                    raise JPEGCorruptError("RST marker without DRI")
-                i += 2
-                continue
-            return i
-        i += 1
+        i = find(b"\xff", i)
+        if i < 0:
+            break
+        if i + 1 >= n:
+            raise JPEGCorruptError("dangling 0xFF at end of scan")
+        nxt = payload[i + 1]
+        if nxt == 0x00:
+            i += 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:
+            if not ri:
+                raise JPEGCorruptError("RST marker without DRI")
+            i += 2
+            continue
+        return i
     raise JPEGCorruptError("unterminated entropy stream")
 
 
