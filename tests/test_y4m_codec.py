@@ -116,17 +116,28 @@ def test_sample_video_batch_real_y4m(spark):
     assert (rows[2].n_frames, rows[2].luma_sum) == (0, 0)
 
 
-def test_sample_video_batch_non_y4m_raises(spark):
+def test_sample_video_batch_unknown_container_raises(spark):
+    """A container NO stdlib codec claims (Matroska/WebM magic) must
+    raise the NotImplementedError tier, not decode to a sentinel.  A
+    bare ftyp header IS claimed since the r9 MP4 codec — truncated,
+    it degrades to the corrupt-tier sentinel row instead."""
     from world_vaccination_coverage_etl_spark.operators.multimodal import (
         sample_video_batch,
     )
 
     df = spark.createDataFrame(
-        [(0, "video/mp4", bytearray(b"\x00\x00\x00\x18ftypmp42"))],
+        [(0, "video/webm", bytearray(b"\x1aE\xdf\xa3webmjunk"))],
         "asset_id long, mime string, payload binary",
     )
     with pytest.raises(Exception, match="NotImplementedError|codec library"):
         sample_video_batch(df).collect()
+
+    df2 = spark.createDataFrame(
+        [(0, "video/mp4", bytearray(b"\x00\x00\x00\x18ftypmp42"))],
+        "asset_id long, mime string, payload binary",
+    )
+    row = sample_video_batch(df2).collect()[0]
+    assert (row.n_frames, row.luma_sum) == (0, 0)
 
 
 def test_stray_parse_errors_become_corrupt():
