@@ -110,40 +110,83 @@ def connected_components(
     )
     e = stage(e, staging_dir, "cc_edges_0")
 
+    # settled-component parking (late-r9, the second half of the r8
+    # verdict's CC item): after each star round, a component whose
+    # edges already form an ISOLATED star -- root never a child, every
+    # child exactly one parent, no child a parent elsewhere -- can
+    # never change again (components only merge through existing
+    # edges, and none of its members touch any other edge), so its
+    # edges leave the loop.  Dup corpora are MANY small clusters plus
+    # a few deep chains: most of the edge mass parks in the first
+    # round or two, and the remaining O(log height) rounds shuffle
+    # only the unsettled tail instead of re-shuffling ~|V| rows per
+    # round.  Each parked piece is staged once at creation; the loop
+    # ends when the residual is EMPTY (a fully converged residual
+    # parks itself, so emptiness IS the star-forest test -- same
+    # one-scalar-job probe cost as the old violation check).
+    parked = []
     for it in range(max_iter):
+        # stage the star round ONCE; the settled/unsettled split below
+        # consumes it from three plans (bad_root, anti, semi)
         e = stage(
-            _small_star(_large_star(e)), staging_dir, f"cc_edges_{(it % 2) + 1}"
+            _small_star(_large_star(e)), staging_dir, f"cc_star_{(it % 2) + 1}"
         )
-        # star-forest test: converged iff no parent id is also a child
-        # id AND every child has exactly one parent (edges (2,18),(7,18)
-        # — a path through 18 — pass the first test alone).  Both
-        # violation probes ride one unionAll + limit(1) action, so a
-        # round costs a single scheduling-latency scalar job; probing
-        # AFTER the round (not before the first) saves a probe per call
-        # — a star round on an already-star input is a no-op anyway.
-        violation = (
-            e.select("u")
-            .join(e.select(F.col("v").alias("u")), on="u", how="left_semi")
-            .select(F.lit(1).alias("x"))
+        # one node-stat pass finds every UNSETTLED node: appears as
+        # both parent and child (a chain) or as a child twice (an
+        # unmerged sibling pair); a root is bad iff it is bad itself
+        # or any of its children is
+        bad_nodes = (
+            e.select(F.col("u").alias("id"), F.lit(1).alias("p"),
+                     F.lit(0).alias("c"))
             .unionAll(
-                e.groupBy("v")
-                .agg(F.count(F.lit(1)).alias("np"))
-                .filter(F.col("np") > 1)
-                .select(F.lit(1).alias("x"))
+                e.select(F.col("v").alias("id"), F.lit(0).alias("p"),
+                         F.lit(1).alias("c"))
             )
-            .limit(1)
-            .count()
+            .groupBy("id")
+            .agg(F.sum("p").alias("np_"), F.sum("c").alias("nc"))
+            .filter(
+                ((F.col("np_") > 0) & (F.col("nc") > 0)) | (F.col("nc") > 1)
+            )
+            .select("id")
         )
-        if violation == 0:
+        bad_root = (
+            e.join(bad_nodes.select(F.col("id").alias("v")), on="v",
+                   how="left_semi")
+            .select("u")
+            .unionAll(
+                e.join(bad_nodes.select(F.col("id").alias("u")), on="u",
+                       how="left_semi")
+                .select("u")
+            )
+            .distinct()
+        )
+        # root-id list is tiny; cut it so the anti/semi split doesn't
+        # recompute the three semi-joins twice
+        bad_root = stage(bad_root, staging_dir, f"cc_bad_{it % 2}")
+        newly_settled = stage(
+            e.join(bad_root, on="u", how="left_anti"),
+            staging_dir,
+            f"cc_parked_{it}",
+        )
+        parked.append(newly_settled)
+        e = stage(
+            e.join(bad_root, on="u", how="left_semi"),
+            staging_dir,
+            f"cc_edges_{(it % 2) + 1}",
+        )
+        if e.limit(1).count() == 0:
             break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
 
-    # final edge set is a star forest (child v → root u = component min);
-    # groupBy is defensive versus duplicate child rows
-    stars = e.groupBy(F.col("v").alias("node")).agg(
+    # parked pieces are disjoint isolated stars (child v -> root u =
+    # component min); groupBy is defensive versus duplicate child rows
+    allstars = parked[0]
+    for piece in parked[1:]:
+        allstars = allstars.unionAll(piece)
+    stars = allstars.groupBy(F.col("v").alias("node")).agg(
         F.min("u").alias("root")
     )
     return (
