@@ -510,3 +510,22 @@ def test_restart_interval_encoder_validation():
         jpeg_encode(8, 8, bytes(64), restart_interval=-1)
     with pytest.raises(ValueError):
         jpeg_encode(8, 8, bytes(64), restart_interval=0x10000)
+
+
+def test_dht_cache_is_bounded():
+    from world_vaccination_coverage_etl_spark import operators
+    from world_vaccination_coverage_etl_spark.operators import jpeg_codec as jc
+
+    before = dict(jc._DHT_CACHE)
+    try:
+        jc._DHT_CACHE.clear()
+        # many distinct single-symbol table sets — each a unique key
+        for sym in range(jc._DHT_CACHE_MAX + 10):
+            bits = [0] * 16
+            bits[1] = 1  # one 2-bit code
+            jc._huff_decoder(bits, [sym % 256] if sym < 256 else [0])
+            # vary key by bits too so all are distinct
+        assert len(jc._DHT_CACHE) <= jc._DHT_CACHE_MAX
+    finally:
+        jc._DHT_CACHE.clear()
+        jc._DHT_CACHE.update(before)

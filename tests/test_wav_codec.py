@@ -229,3 +229,63 @@ def test_adpcm_corrupt_and_unsupported_tiers():
             wav_decode(good[:cut])
         except (WAVCorruptError, WAVUnsupportedError):
             pass
+
+
+def _splice_fact(blob: bytes, frames: int) -> bytes:
+    """Insert a fact chunk before the data chunk and fix the RIFF size."""
+    import struct
+
+    i = blob.index(b"data")
+    fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", frames)
+    out = blob[:i] + fact + blob[i:]
+    return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+
+def test_adpcm_fact_chunk_truncates_padded_final_block():
+    from world_vaccination_coverage_etl_spark.operators.wav_codec import (
+        WAVCorruptError,
+        adpcm_pack,
+        wav_decode,
+        wav_decode_samples,
+    )
+
+    # one mono block of 9 samples, but the fact chunk says only 5 are
+    # real audio — the 4 trailing pad samples must not be decoded
+    blob = adpcm_pack(8000, 1, [(100, 10)], list(range(8)), 9)
+    _r, _c, _b, full = wav_decode_samples(blob)
+    assert len(full) == 9
+    faked = _splice_fact(blob, 5)
+    _r, _c, _b, cut = wav_decode_samples(faked)
+    assert cut == full[:5]
+    # summary stats follow the truncation
+    _sr, _ch, n_frames, sum_abs, peak = wav_decode(faked)
+    assert n_frames == 5
+    assert sum_abs == sum(abs(s) for s in full[:5])
+    assert peak == max(abs(s) for s in full[:5])
+    # a fact chunk claiming MORE frames than the data holds is corrupt
+    with pytest.raises(WAVCorruptError):
+        wav_decode(_splice_fact(blob, 10))
+
+
+def test_adpcm_partial_trailing_block_is_corrupt():
+    import struct
+
+    from world_vaccination_coverage_etl_spark.operators.wav_codec import (
+        WAVCorruptError,
+        adpcm_pack,
+        wav_decode,
+    )
+
+    blob = adpcm_pack(8000, 1, [(100, 10)], list(range(8)), 9)
+    # stretch the data chunk by 3 bytes: not a whole block any more
+    i = blob.index(b"data")
+    (dlen,) = struct.unpack_from("<I", blob, i + 4)
+    grown = (
+        blob[: i + 4]
+        + struct.pack("<I", dlen + 3)
+        + blob[i + 8 :]
+        + b"\x00\x00\x00"
+    )
+    grown = grown[:4] + struct.pack("<I", len(grown) - 8) + grown[8:]
+    with pytest.raises(WAVCorruptError):
+        wav_decode(grown)

@@ -180,11 +180,18 @@ def _huff_decoder(bits: list[int], vals: list[int]):
             start = code << (16 - ln)
             tab[start : start + (1 << (16 - ln))] = (sym << 5) | ln
         cached = (dec, tab.tolist())
+        # bounded: a corpus with many DISTINCT table sets (each entry
+        # holds a 64Ki lookup array) must not grow worker memory
+        # without eviction — drop the oldest half past the cap
+        if len(_DHT_CACHE) >= _DHT_CACHE_MAX:
+            for old in list(_DHT_CACHE)[: _DHT_CACHE_MAX // 2]:
+                del _DHT_CACHE[old]
         _DHT_CACHE[key] = cached
     return cached
 
 
 _DHT_CACHE: dict[tuple[bytes, bytes], tuple] = {}
+_DHT_CACHE_MAX = 64  # ~16 MiB worst case (64 x 64Ki int32 tables)
 
 
 class _BitReader:

@@ -374,9 +374,20 @@ _RESIZED_FIELDS = (
 
 def _decode_luma_plane(payload: bytes):
     """Decode an image payload → ``(w, h, luma)`` with luma a 2-D
-    numpy uint8 array under the repo-wide integer convention
-    ``(19595 R + 38470 G + 7471 B) >> 16`` (Pillow parity) — gray
-    sources pass through.  Raises the format's error classes."""
+    numpy uint8 array.
+
+    PNG/GIF/JPEG go through the STDLIB decoders in every environment
+    — even when PIL is importable — so the luma is bit-identical
+    everywhere (r9 ADVICE: PIL's RGB→L round-trip of an upsampled
+    JPEG differs from the native Y plane; routing JPEG through our
+    decoder always returns the native Y, and keeping PNG/GIF on the
+    stdlib tier too removes PIL's +0x8000 rounding from the color
+    path).  Color sources use the repo-wide integer convention
+    ``(19595 R + 38470 G + 7471 B) >> 16``; gray sources pass
+    through.  PIL is only consulted for formats the stdlib tier
+    cannot decode (e.g. WebP/TIFF) — a coverage extension, outside
+    the bit-reproducibility claim.  Raises the format's error
+    classes."""
     import numpy as np
 
     from .gif_codec import gif_decode_pixels, is_gif
@@ -390,24 +401,6 @@ def _decode_luma_plane(payload: bytes):
             >> 16
         ).astype(np.uint8)
 
-    try:
-        import PIL  # noqa: F401
-
-        pil_ok = True
-    except ImportError:
-        pil_ok = False
-    if pil_ok:
-        import io
-
-        from PIL import Image
-
-        try:
-            with Image.open(io.BytesIO(payload)) as im:
-                gray = im.convert("L")
-                w, h = gray.size
-                return w, h, np.asarray(gray, dtype=np.uint8).reshape(h, w)
-        except Exception:  # same sentinel behavior as _pil_decode
-            return 0, 0, np.zeros((0, 0), dtype=np.uint8)
     if is_png(payload):
         w, h, ch, px = png_decode_pixels(payload)
         arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
@@ -420,10 +413,22 @@ def _decode_luma_plane(payload: bytes):
     if is_jpeg(payload):
         w, h, planes = jpeg_decode_planes(payload)
         return w, h, planes[0]  # Y IS the luma
-    raise NotImplementedError(
-        "non-PNG/GIF/JPEG resize requires PIL, not present in this "
-        "environment"
-    )
+    try:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            gray = im.convert("L")
+            w, h = gray.size
+            return w, h, np.asarray(gray, dtype=np.uint8).reshape(h, w)
+    except ImportError:
+        raise NotImplementedError(
+            "non-PNG/GIF/JPEG resize requires PIL, not present in "
+            "this environment"
+        ) from None
+    except Exception:  # same sentinel behavior as _pil_decode
+        return 0, 0, np.zeros((0, 0), dtype=np.uint8)
 
 
 def resize_image_batch(

@@ -233,6 +233,13 @@ def _adpcm_decode_data(
             f"{samples_per_block} samples/block x {channels} ch"
         )
     out: list[int] = []
+    if len(data) % block_align:
+        # trailing bytes that are not a whole block are not decodable
+        # ADPCM state — surface them instead of silently dropping audio
+        raise WAVCorruptError(
+            f"data chunk {len(data)} B is not a multiple of "
+            f"block align {block_align}"
+        )
     n_blocks = len(data) // block_align
     for b in range(n_blocks):
         pos = b * block_align
@@ -279,6 +286,7 @@ def wav_decode_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
     fmt = None
     data = None
     samples_per_block = 0
+    fact_frames = None  # true frame count for compressed profiles
     while pos + 8 <= n:
         ctype = payload[pos : pos + 4]
         (length,) = struct.unpack_from("<I", payload, pos + 4)
@@ -297,6 +305,8 @@ def wav_decode_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
                 )
         elif ctype == b"data":
             data = payload[start : start + length]
+        elif ctype == b"fact" and length >= 4:
+            (fact_frames,) = struct.unpack_from("<I", payload, start)
         pos = start + length + (length & 1)  # chunks are word-aligned
     if fmt is None:
         raise WAVCorruptError("no fmt chunk")
@@ -317,6 +327,16 @@ def wav_decode_samples(payload: bytes) -> tuple[int, int, int, list[int]]:
         samples = _adpcm_decode_data(
             data, channels, balign, samples_per_block
         )
+        # the fact chunk records the TRUE frame count for compressed
+        # profiles; a final block zero-padded to samples_per_block must
+        # not decode the pad as audio (r9 ADVICE)
+        if fact_frames is not None:
+            if fact_frames * channels > len(samples):
+                raise WAVCorruptError(
+                    f"fact chunk claims {fact_frames} frames but data "
+                    f"decodes to {len(samples) // channels}"
+                )
+            samples = samples[: fact_frames * channels]
         return sample_rate, channels, 4, samples
     if audio_format != 1 or bits not in (8, 16):
         raise WAVUnsupportedError(
