@@ -43,18 +43,18 @@ SECTION = "## 100x spot probe (sf10, decorrelated)"
 # pair/cluster emitters whose output linearity we also certify.
 #
 # WORKLOAD_OF maps a query to a companion probe whose measured output
-# rows ARE this query's input workload: `fuzzy_entity_clusters`
-# consumes exactly `_fuzzy_blocked_pairs` — the edge set that
-# `fuzzy_blocked_match_docs` emits and row-certifies — so its bound
-# lifts by the companion's measured rows ratio (a connected-components
-# pass over an edge set of size E cannot run in o(E); on the
-# decorrelated warehouse the copy prefixes sit ~4 edits apart, inside
-# the 8-edit threshold, so E is quadratic in copies BY CONSTRUCTION
-# while the cluster OUTPUT stays ~linear — the input-based bound is
-# the wrong certificate for a query whose true workload grows 319514x).
-WORKLOAD_OF = {
-    "fuzzy_entity_clusters": "fuzzy_blocked_match_docs",
-}
+# rows ARE this query's input workload, lifting its bound by the
+# companion's measured rows ratio (a pass over E edges cannot run in
+# o(E)).  r10: EMPTY — `fuzzy_entity_clusters` no longer consumes the
+# quadratic doc-pair expansion; it runs connected components over the
+# group-compacted star graph (O(docs + distinct-content group pairs),
+# exact by construction), so the input-based bound applies again.
+# Only `fuzzy_blocked_match_docs` itself — the exhaustive pair
+# ENUMERATOR, whose OUTPUT is quadratic in copies because the
+# decorrelated copy prefixes sit ~4 edits inside the 8-edit threshold
+# — keeps an output-rows lift; the capped `fuzzy_match_topk_docs`
+# flavor is the O(docs*k) object a real 100 TB run materializes.
+WORKLOAD_OF: dict[str, str] = {}
 
 PROBE = [
     ("q1_pricing_summary", False),
@@ -70,6 +70,7 @@ PROBE = [
     ("knn_blocked_lsh", False),
     ("hard_negatives_topk", False),
     ("fuzzy_blocked_match_docs", True),
+    ("fuzzy_match_topk_docs", True),
     ("dup_connected_components", True),
     ("pagerank_dup_graph", False),
     ("doc_repetition_stats", False),
@@ -219,12 +220,12 @@ def main() -> int:
         "sits inside the fuzzy matcher's 8-edit threshold, so its "
         "answer is quadratic in copies by construction).  `rows` "
         "columns certify output growth for the pair/cluster emitters.  "
-        "A query whose INPUT workload is another probe's row-certified "
-        "output inherits that lift (`fuzzy_entity_clusters` runs "
-        "connected components over exactly the edge set "
-        "`fuzzy_blocked_match_docs` emits — a CC pass over E edges "
-        "cannot run in o(E), and E itself is the quantity that grew "
-        "super-linearly).",
+        "r10: only the exhaustive enumerator "
+        "`fuzzy_blocked_match_docs` carries that lift — "
+        "`fuzzy_entity_clusters` now runs connected components over "
+        "the exact group-compacted star graph and "
+        "`fuzzy_match_topk_docs` caps emission at k=3 matches per "
+        "doc, so both sit under the plain input-based bound.",
         "",
         f"**Queries over their bound: {len(over)}**"
         + (f" — {', '.join(over)}" if over else ""),

@@ -281,13 +281,31 @@ def scrub_pii(
     computed on the ORIGINAL text, so overlapping patterns can both
     count the same span — counts are audit telemetry, not a partition
     of the matches.
+
+    Pre-gates (r9 verdict item 3; exact — NECESSARY conditions of the
+    patterns, so gated output is byte-identical): the email pass only
+    runs on rows containing ``@``, and the ssn/phone passes only on
+    rows containing a digit-[-.]-digit run.  On a real crawl corpus
+    most documents carry no PII shape, so the expensive full-pattern
+    scans are skipped entirely for clean rows; the per-pattern audit
+    counts prove no behavior change.
     """
     t = F.col(text_col)
+    gates = {
+        "email": t.contains("@"),
+        # both the ssn and phone patterns require digit [-.] digit
+        "ssn": t.rlike("[0-9][-.][0-9]"),
+        "phone": t.rlike("[0-9][-.][0-9]"),
+    }
     scrubbed = t
     counts = {}
     for name, pat in PII_PATTERNS.items():
-        counts[f"n_{name}"] = F.regexp_count(t, F.lit(pat))
-        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+        counts[f"n_{name}"] = F.when(
+            gates[name], F.regexp_count(t, F.lit(pat))
+        ).otherwise(F.lit(0))
+        scrubbed = F.when(
+            gates[name], F.regexp_replace(scrubbed, pat, replacement)
+        ).otherwise(scrubbed)
     return df.withColumn(out_col, scrubbed).withColumns(counts)
 
 

@@ -123,6 +123,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a SMALL scan across the cluster before heavy row-local
+    compute (media decode, PII regex, per-row codecs).
+
+    A source that arrives as fewer splits than the cluster has slots —
+    one flat parquet file with one row group is the limit case, and it
+    is exactly how the sf0.1 warehouse ships `documents` — would pin
+    an embarrassingly parallel compute stage to that split count (r10
+    finding: the whole media cohort ran as ONE task on 32 cores).  The
+    repartition is GATED on the scan's supplied split count, so at
+    100 TB — where the source has thousands of natural splits — this
+    is a no-op and never adds a full-data shuffle; when it does fire,
+    the shuffled payload is whatever the caller projected first
+    (media queries project just the id column, so the exchange moves
+    a few KB to unlock a 32x compute fan-out)."""
+    sess = df.sparkSession
+    target = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 
 
 # Explicit __all__ so topic modules can star-import the shared
@@ -173,6 +195,7 @@ __all__ = [
     'QueryDef',
     'REGISTRY',
     'register',
+    'fan_out',
     'resolve_oracle',
     'parquet_num_rows',
     '_t',

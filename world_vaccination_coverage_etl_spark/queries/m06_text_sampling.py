@@ -396,7 +396,9 @@ def q_doc_repetition_stats(spark, sf_dir):
 def q_doc_pii_scrub(spark, sf_dir):
     from ..operators.text import scrub_pii
 
-    d = _t(spark, sf_dir, "documents").select(
+    # six regex passes per doc: fan the row-local compute out past the
+    # source's split count (see _core.fan_out)
+    d = fan_out(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.concat(
             F.col("text"),

@@ -694,7 +694,9 @@ def q_multimodal_decode_png(spark, sf_dir):
     from ..operators.multimodal import decode_image_batch
     from ..operators.png_codec import png_encode
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import pandas as pd
@@ -782,7 +784,9 @@ def q_multimodal_decode_wav(spark, sf_dir):
     from ..operators.multimodal import decode_audio_batch
     from ..operators.wav_codec import wav_encode
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import pandas as pd
@@ -849,7 +853,9 @@ def q_multimodal_decode_gif(spark, sf_dir):
     from ..operators.gif_codec import gif_encode
     from ..operators.multimodal import decode_image_batch
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import pandas as pd
@@ -928,7 +934,9 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
     from ..operators.jpeg_codec import jpeg_encode
     from ..operators.multimodal import decode_image_batch
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import numpy as np
@@ -1006,7 +1014,9 @@ def q_multimodal_sample_video(spark, sf_dir):
     from ..operators.multimodal import sample_video_batch
     from ..operators.y4m_codec import y4m_encode
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import pandas as pd
@@ -1088,7 +1098,9 @@ def q_multimodal_sample_video(spark, sf_dir):
 def q_multimodal_decode_jpeg_ac(spark, sf_dir):
     from ..operators.jpeg_codec import jpeg_encode
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import numpy as np
@@ -1193,7 +1205,9 @@ def q_multimodal_decode_jpeg_ac(spark, sf_dir):
 def q_multimodal_decode_progressive(spark, sf_dir):
     from ..operators.multimodal import decode_image_batch
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import numpy as np
@@ -1304,7 +1318,9 @@ def q_multimodal_decode_jpeg420(spark, sf_dir):
     from ..operators.jpeg_codec import jpeg_encode
     from ..operators.multimodal import decode_image_batch
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import numpy as np
@@ -1422,7 +1438,9 @@ def q_multimodal_decode_adpcm(spark, sf_dir):
     from ..operators.multimodal import decode_audio_batch
     from ..operators.wav_codec import adpcm_pack
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import pandas as pd
@@ -1501,7 +1519,9 @@ def q_multimodal_decode_adpcm(spark, sf_dir):
 def q_multimodal_sample_avi(spark, sf_dir):
     from ..operators.multimodal import sample_video_batch
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import numpy as np
@@ -1584,7 +1604,9 @@ def q_multimodal_sample_avi(spark, sf_dir):
 def q_multimodal_sample_mp4(spark, sf_dir):
     from ..operators.multimodal import sample_video_batch
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import numpy as np
@@ -1660,7 +1682,9 @@ def q_multimodal_sample_mp4(spark, sf_dir):
 def q_multimodal_resize_image(spark, sf_dir):
     from ..operators.multimodal import resize_image_batch
 
-    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    d = fan_out(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+    )
 
     def enc(batches):
         import pandas as pd

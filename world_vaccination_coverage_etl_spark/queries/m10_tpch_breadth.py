@@ -510,9 +510,19 @@ def q_fuzzy_blocked_match_docs(spark, sf_dir):
     return _fuzzy_blocked_pairs(spark, sf_dir).orderBy("doc_lo", "doc_hi")
 
 
-def _fuzzy_blocked_pairs(spark, sf_dir):
-    """Unordered fuzzy-match doc pairs (see q_fuzzy_blocked_match_docs);
-    unsorted so graph consumers skip the global sort."""
+def _fuzzy_group_graph(spark, sf_dir):
+    """The GROUP-COLLAPSED fuzzy match graph: ``(groups, members,
+    gpairs)`` with groups = one row per distinct (lang, lb, h) content
+    triple (gid = min member doc_id, grp_n = member count), members =
+    (doc_id, gid), gpairs = matched group pairs (gid_a, gid_b, dist ≤
+    8) each unordered pair exactly once.
+
+    This is the linear-sized object every fuzzy consumer should build
+    on: group count is bounded by distinct-content entropy and the
+    pair set by blocked content similarity — neither inherits the
+    corpus' duplicate multiplicity, which is what makes the quadratic
+    doc-pair expansion optional rather than structural (r9 verdict
+    item 1)."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -520,8 +530,12 @@ def _fuzzy_blocked_pairs(spark, sf_dir):
         F.substring("text", 1, 40).alias("h"),
     )
     # collapse: all docs with one (lang, lb, h) behave identically
-    g = d.groupBy("lang", "lb", "h").agg(F.min("doc_id").alias("gid"))
-    members = d.join(g, on=["lang", "lb", "h"]).select("doc_id", "gid")
+    g = d.groupBy("lang", "lb", "h").agg(
+        F.min("doc_id").alias("gid"), F.count("*").alias("grp_n")
+    )
+    members = d.join(g.drop("grp_n"), on=["lang", "lb", "h"]).select(
+        "doc_id", "gid"
+    )
     probes = g.select(
         F.col("gid").alias("a_gid"),
         F.col("lang").alias("a_lang"),
@@ -544,6 +558,13 @@ def _fuzzy_blocked_pairs(spark, sf_dir):
         F.col("gid").alias("gid_b"),
         dist.cast("long").alias("dist"),
     )
+    return g, members, gpairs
+
+
+def _fuzzy_blocked_pairs(spark, sf_dir):
+    """Unordered fuzzy-match doc pairs (see q_fuzzy_blocked_match_docs);
+    unsorted so graph consumers skip the global sort."""
+    _g, members, gpairs = _fuzzy_group_graph(spark, sf_dir)
     cross = (
         gpairs.join(
             members.select(
@@ -577,6 +598,101 @@ def _fuzzy_blocked_pairs(spark, sf_dir):
         )
     )
     return cross.unionAll(within)
+
+
+@register(
+    "fuzzy_match_topk_docs",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 16 AS lb, substr(text, 1, 40) AS h
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+             CAST(levenshtein(a.h, b.h) AS BIGINT) AS dist
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND b.lb - a.lb IN (-1, 0, 1)
+       AND a.doc_id <> b.doc_id
+      WHERE levenshtein(a.h, b.h) <= 8),
+    r AS (
+      SELECT doc_id, match_id, dist,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY dist, match_id) AS rk
+      FROM p)
+    SELECT doc_id, match_id, dist, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3 ORDER BY doc_id, rk
+    """,
+    note="the CAPPED fuzzy-match flavor (r9 verdict item 1): per doc, "
+    "only its k=3 best matches (smallest banded levenshtein, then "
+    "smallest partner doc_id) — the edge set a real 100 TB entity-"
+    "resolution run materializes, O(docs·k) by construction where the "
+    "exhaustive sibling's output is O(copies²) on duplicate-heavy "
+    "corpora.  The plan NEVER expands the quadratic pair set: it runs "
+    "on the group-collapsed graph, prunes neighbor groups per "
+    "(group, dist) to the k smallest-min-id groups (any partner in a "
+    "doc's global top-k at a dist level must live in one of them — "
+    "k groups with smaller min ids would otherwise supply k smaller "
+    "partners), expands only the k(+1 for self-exclusion) smallest "
+    "members of each surviving group, and takes the final top-k with "
+    "one per-doc window.  Candidate volume is O(docs·k + "
+    "group_pairs·k²); the oracle pins the same rule by brute-force "
+    "expansion + window, certifying the prune is lossless",
+)
+def q_fuzzy_match_topk_docs(spark, sf_dir):
+    k = 3
+    _g, members, gpairs = _fuzzy_group_graph(spark, sf_dir)
+    members = members.localCheckpoint(eager=False)
+    # symmetric group adjacency; per (gid, dist) keep the k neighbor
+    # groups with the smallest min-member id — gid IS that min id
+    adj = gpairs.select(
+        F.col("gid_a").alias("gid"), F.col("gid_b").alias("ngid"), "dist"
+    ).unionAll(
+        gpairs.select(
+            F.col("gid_b").alias("gid"), F.col("gid_a").alias("ngid"), "dist"
+        )
+    )
+    wg = Window.partitionBy("gid", "dist").orderBy("ngid")
+    adj = (
+        adj.withColumn("gr", F.row_number().over(wg))
+        .filter(F.col("gr") <= k)
+        .drop("gr")
+    )
+    # per group: its k+1 smallest member ids (k partners after
+    # excluding self on the own-group side; neighbor side uses k)
+    wm = Window.partitionBy("gid").orderBy("doc_id")
+    small = members.withColumn("mr", F.row_number().over(wm)).filter(
+        F.col("mr") <= k + 1
+    )
+    own = (
+        members.alias("a")
+        .join(small.alias("s"), F.col("a.gid") == F.col("s.gid"))
+        .filter(F.col("a.doc_id") != F.col("s.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("s.doc_id").alias("match_id"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    cross = (
+        members.alias("a")
+        .join(adj, F.col("a.gid") == adj.gid)
+        .join(
+            small.alias("s"),
+            (F.col("ngid") == F.col("s.gid")) & (F.col("s.mr") <= k),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("s.doc_id").alias("match_id"),
+            F.col("dist"),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy("dist", "match_id")
+    return (
+        own.unionAll(cross)
+        .withColumn("rk", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "match_id", "dist", "rk")
+        .orderBy("doc_id", "rk")
+    )
 
 
 @register(
@@ -1390,25 +1506,50 @@ def q_variant_props_extract(spark, sf_dir):
     "connected-components operator — match → cluster is the step that "
     "turns pairwise linkage into dedup/merge decisions.  Output "
     "restricted to docs that matched anything (singletons carry no "
-    "decision).  The oracle recomputes the blocked fuzzy edge set and "
-    "closes it with a recursive CTE, certifying candidate generation, "
-    "residual scoring AND transitive clustering in one hash",
+    "decision).  r10 re-plan (r9 verdict item 1): CC runs over the "
+    "GROUP-COMPACTED edge set — one doc→gid star edge per member of a "
+    "matched content group plus ONE edge per matched group pair — "
+    "which yields byte-identical components to the quadratic doc-pair "
+    "expansion (every member of a group is mutually dist-0 connected "
+    "through its gid; a group-pair match connects the two stars), so "
+    "the edge volume is O(docs + distinct-content pairs) instead of "
+    "O(copies² ) and never inherits the corpus' duplicate "
+    "multiplicity.  The oracle recomputes the blocked fuzzy edge set "
+    "exhaustively and closes it with a recursive CTE, certifying that "
+    "the compaction IS exact, candidate generation, residual scoring "
+    "AND transitive clustering in one hash",
 )
 def q_fuzzy_entity_clusters(spark, sf_dir):
     from ..operators.components import connected_components
 
-    pairs = _fuzzy_blocked_pairs(spark, sf_dir).select("doc_lo", "doc_hi")
-    # the blocked match feeds the node derivation AND every propagation
-    # round — materialize the (tiny) pair set once instead of
-    # re-running the candidate join per consumer
-    pairs = pairs.localCheckpoint(eager=False)
-    nodes = (
-        pairs.select(F.col("doc_lo").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_hi").alias("doc_id")))
+    g, members, gpairs = _fuzzy_group_graph(spark, sf_dir)
+    gpairs = gpairs.select("gid_a", "gid_b").localCheckpoint(eager=False)
+    # matched groups: ≥2 members (within-group dist-0 pairs exist) or
+    # any cross-group match — singleton unmatched groups carry no
+    # linkage decision and stay out, mirroring the pair-graph nodes
+    matched = (
+        g.filter(F.col("grp_n") >= 2)
+        .select("gid")
+        .unionAll(gpairs.select(F.col("gid_a").alias("gid")))
+        .unionAll(gpairs.select(F.col("gid_b").alias("gid")))
         .distinct()
     )
+    m = members.join(matched, on="gid")
+    # star edges doc→gid (gid = min member, so already canonical) plus
+    # one edge per matched group pair — exact CC compaction
+    edges = (
+        m.filter(F.col("doc_id") != F.col("gid"))
+        .select(F.col("gid").alias("doc_lo"), F.col("doc_id").alias("doc_hi"))
+        .unionAll(
+            gpairs.select(
+                F.least("gid_a", "gid_b").alias("doc_lo"),
+                F.greatest("gid_a", "gid_b").alias("doc_hi"),
+            )
+        )
+    )
+    nodes = m.select("doc_id")
     comp = connected_components(
-        nodes, pairs, id_col="doc_id", src_col="doc_lo", dst_col="doc_hi"
+        nodes, edges, id_col="doc_id", src_col="doc_lo", dst_col="doc_hi"
     )
     return comp.select(
         "doc_id", F.col("component_id").alias("entity_id")
