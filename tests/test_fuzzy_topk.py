@@ -1,0 +1,118 @@
+"""fuzzy_match_topk_docs: the capped fuzzy-match flavor (r10).
+
+The DuckDB oracle certifies the query at sf0.01 by brute-force
+expansion; these tests pin the same rule independently with a pure-
+Python levenshtein at sf0.001 (500 docs — small enough for O(n²))
+so a prune regression cannot hide behind an oracle text change, plus
+structural invariants of the top-k contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lev(a: str, b: str, cap: int = 8) -> int:
+    """Plain DP edit distance with a band cap (−1 past cap)."""
+    if abs(len(a) - len(b)) > cap:
+        return -1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        lo = cap + 1
+        for j, cb in enumerate(b, 1):
+            v = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (ca != cb),
+            )
+            cur.append(v)
+            lo = min(lo, v)
+        if lo > cap:
+            return -1
+        prev = cur
+    return prev[-1] if prev[-1] <= cap else -1
+
+
+@pytest.fixture(scope="module")
+def topk_result(spark):
+    from world_vaccination_coverage_etl_spark.queries import REGISTRY
+
+    return (
+        REGISTRY["fuzzy_match_topk_docs"].fn(spark, SF).toPandas()
+    )
+
+
+@pytest.fixture(scope="module")
+def brute_force(spark):
+    """Per-doc top-3 by (dist, partner id) over the FULL pair set."""
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "cast(n_chars / 16 as long) as lb",
+            "substring(text, 1, 40) as h",
+        )
+        .toPandas()
+    )
+    rows = docs.to_dict("records")
+    out = {}
+    for a in rows:
+        cands = []
+        for b in rows:
+            if b["doc_id"] == a["doc_id"]:
+                continue
+            if b["lang"] != a["lang"] or abs(b["lb"] - a["lb"]) > 1:
+                continue
+            d = _lev(a["h"], b["h"])
+            if 0 <= d <= 8:
+                cands.append((d, b["doc_id"]))
+        cands.sort()
+        if cands:
+            out[a["doc_id"]] = cands[:3]
+    return out
+
+
+def test_topk_matches_brute_force(topk_result, brute_force):
+    got = {}
+    for r in topk_result.itertuples():
+        got.setdefault(r.doc_id, []).append((r.dist, r.match_id, r.rk))
+    assert set(got) == set(brute_force)
+    for doc_id, expect in brute_force.items():
+        mine = sorted(got[doc_id], key=lambda t: t[2])
+        assert [(d, m) for d, m, _ in mine] == expect, doc_id
+        assert [rk for _, _, rk in mine] == list(range(1, len(mine) + 1))
+
+
+def test_topk_structural_invariants(topk_result):
+    assert not topk_result.empty
+    grp = topk_result.groupby("doc_id")
+    assert int(grp.size().max()) <= 3
+    for _doc, g in grp:
+        g = g.sort_values("rk")
+        # ranks contiguous from 1; dist non-decreasing along rank;
+        # partner ids strictly increasing within a dist level
+        assert list(g["rk"]) == list(range(1, len(g) + 1))
+        assert list(g["dist"]) == sorted(g["dist"])
+        for d in set(g["dist"]):
+            ids = list(g[g["dist"] == d]["match_id"])
+            assert ids == sorted(ids)
+    # no self matches
+    assert (topk_result["doc_id"] != topk_result["match_id"]).all()
+
+
+def test_fan_out_gates_on_split_count(spark):
+    from world_vaccination_coverage_etl_spark.queries._core import fan_out
+
+    one = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    assert one.rdd.getNumPartitions() == 1
+    wide = fan_out(one)
+    target = spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == target
+    assert wide.count() == one.count()
+    # already-wide input: no-op (same plan object, no extra exchange)
+    again = fan_out(wide)
+    assert again is wide

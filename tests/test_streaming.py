@@ -251,3 +251,21 @@ def test_attribution_outer_emits_unmatched_tail(spark):
     assert {
         (r.user_id, r.click_id, r.purchase_id) for r in inner
     } == outer_matched
+
+
+def test_file_sink_resume_pool_identical_results(spark):
+    """Re-invoking a FILE-SINK streaming query in one process resumes
+    its exactly-once stream (same checkpoint + sink): no recompute, no
+    duplicate output, identical result (r10 warm-pool item)."""
+    from world_vaccination_coverage_etl_spark.queries import REGISTRY
+    from world_vaccination_coverage_etl_spark.queries import (
+        m05_events_streaming as m05,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("streaming_tumbling_append", "streaming_sink_jsonl_events"):
+        first = REGISTRY[name].fn(spark, sf).toPandas()
+        key_count = len(m05._RESUME_POOL)
+        second = REGISTRY[name].fn(spark, sf).toPandas()
+        assert len(m05._RESUME_POOL) == key_count  # reused, not re-made
+        assert first.equals(second), name

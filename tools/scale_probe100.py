@@ -120,6 +120,42 @@ PROBE = [
 ]
 
 
+def _exec_totals(spark) -> dict:
+    """Cumulative executor/stage counters from the app status store —
+    per-run DELTAS attribute a slow probe to spill / GC / shuffle
+    instead of leaving a 5x swing unexplained (r9 verdict item 5).
+    Reads the same store the UI serves; no event log needed."""
+    store = spark.sparkContext._jsc.sc().statusStore()
+    ds = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    st = store.stageList(None, *ds)
+    spill = run_ms = shw = peak = 0
+    for i in range(st.size()):
+        s = st.apply(i)
+        spill += s.memoryBytesSpilled() + s.diskBytesSpilled()
+        run_ms += s.executorRunTime()
+        shw += s.shuffleWriteBytes()
+        peak = max(peak, s.peakExecutionMemory())
+    ex = store.executorList(True)
+    gc_ms = sum(ex.apply(i).totalGCTime() for i in range(ex.size()))
+    return {
+        "spill": spill, "run_ms": run_ms, "shuffle_w": shw,
+        "peak": peak, "gc_ms": gc_ms,
+    }
+
+
+def _delta_metrics(before: dict, after: dict) -> dict:
+    mb = 1024 * 1024
+    return {
+        "spill_mb": round((after["spill"] - before["spill"]) / mb, 1),
+        "gc_s": round((after["gc_ms"] - before["gc_ms"]) / 1000, 1),
+        "cpu_s": round((after["run_ms"] - before["run_ms"]) / 1000, 1),
+        "shuffle_w_mb": round(
+            (after["shuffle_w"] - before["shuffle_w"]) / mb, 1
+        ),
+        "peak_exec_mb": round(after["peak"] / mb, 1),
+    }
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     only = None
@@ -149,9 +185,20 @@ def main() -> int:
         fn = REGISTRY[name].fn
         rec = {}
         for key, sf_dir in (("sf01", sf01), ("sf10", sf10)):
+            try:
+                before = _exec_totals(spark)
+            except Exception:  # metrics are advisory diagnostics
+                before = None
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             rec[f"{key}_s"] = round(time.monotonic() - t0, 3)
+            if before is not None:
+                try:
+                    rec[f"{key}_metrics"] = _delta_metrics(
+                        before, _exec_totals(spark)
+                    )
+                except Exception:
+                    pass
             if want_rows:
                 rec[f"{key}_rows"] = fn(spark, sf_dir).count()
             # session-storage hygiene: heavy sf10 queries localCheckpoint
