@@ -143,11 +143,31 @@ def decode_image_batch(
                 pil_ok = False
 
             def decode(payload: bytes) -> tuple[int, int, float]:
+                # JPEG stays on the STDLIB decoder even where PIL
+                # exists (r10, same rationale as _decode_luma_plane):
+                # our reconstruction is exact integer math certified by
+                # the generating-formula oracles, while libjpeg's IDCT
+                # variants are approximate — PIL is the fallback for
+                # out-of-profile JPEGs only.
+                if is_jpeg(payload):
+                    try:
+                        return jpeg_decode(payload)
+                    except JPEGCorruptError:
+                        return 0, 0, 0.0
+                    except JPEGUnsupportedError:
+                        if pil_ok:
+                            return _pil_decode(payload)
+                        raise NotImplementedError(
+                            "out-of-profile JPEG decode (arithmetic "
+                            "coding, 12-bit, fractional sampling "
+                            "ratios) requires PIL, not present in "
+                            "this environment"
+                        ) from None
                 if pil_ok:
-                    # C decoder wins whenever present; baseline PNG/GIF
-                    # values are bit-identical to the stdlib codecs
-                    # (parity pins in tests/test_png_codec.py,
-                    # tests/test_gif_codec.py)
+                    # C decoder wins for the rest whenever present;
+                    # baseline PNG/GIF values are bit-identical to the
+                    # stdlib codecs (parity pins in
+                    # tests/test_png_codec.py, tests/test_gif_codec.py)
                     return _pil_decode(payload)
                 if is_png(payload):
                     try:
