@@ -522,7 +522,25 @@ def _fuzzy_group_graph(spark, sf_dir):
     pair set by blocked content similarity — neither inherits the
     corpus' duplicate multiplicity, which is what makes the quadratic
     doc-pair expansion optional rather than structural (r9 verdict
-    item 1)."""
+    item 1).
+
+    Candidate-join shape (r10): the blocked self-join's INPUT is
+    small but its per-key fan-out is quadratic in bucket occupancy,
+    so AQE's input-size-based coalescing squeezed it onto a handful
+    of reducers with one hot-bucket straggler (measured: minutes-long
+    10-task stages at sf10).  Both sides are therefore explicitly
+    pre-partitioned on the join keys PLUS a salt — the probe side
+    carries one salt per row, the index side is replicated per salt —
+    with a partition count sized from the parquet footer row count;
+    the planner reuses the user exchanges (co-partitioned on the join
+    keys), AQE cannot re-coalesce them, and hot (lang, lb) buckets
+    spread over ``nsalt`` reducers.  At bench SF the row count keeps
+    the fan-out at cluster parallelism, so tiny inputs pay no extra
+    task storm."""
+    dp = spark.sparkContext.defaultParallelism
+    rows = parquet_num_rows(sf_dir, "documents")
+    nparts = int(min(dp * 8, max(dp, rows // 2000)))
+    nsalt = 4 if rows < 50_000 else 16
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -542,15 +560,33 @@ def _fuzzy_group_graph(spark, sf_dir):
         F.col("lb").alias("a_lb"),
         F.col("h").alias("a_h"),
         F.explode(F.array(F.col("lb"), F.col("lb") + 1)).alias("probe_lb"),
+    ).withColumn(
+        "__salt", F.pmod(F.xxhash64("a_gid"), F.lit(nsalt)).cast("int")
     )
-    j = probes.join(
-        g,
-        (g.lang == probes.a_lang) & (g.lb == probes.probe_lb),
-    ).filter(
-        (
-            (F.col("a_lb") == F.col("lb")) & (F.col("a_gid") < F.col("gid"))
+    idx = g.select(
+        F.col("lang").alias("i_lang"),
+        F.col("lb").alias("i_lb"),
+        "h",
+        "gid",
+    ).withColumn(
+        "__isalt",
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(nsalt - 1).cast("int"))),
+    )
+    j = (
+        probes.repartition(nparts, "a_lang", "probe_lb", "__salt")
+        .join(
+            idx.repartition(nparts, "i_lang", "i_lb", "__isalt"),
+            (F.col("i_lang") == F.col("a_lang"))
+            & (F.col("i_lb") == F.col("probe_lb"))
+            & (F.col("__isalt") == F.col("__salt")),
         )
-        | (F.col("a_lb") < F.col("lb"))
+        .filter(
+            (
+                (F.col("a_lb") == F.col("i_lb"))
+                & (F.col("a_gid") < F.col("gid"))
+            )
+            | (F.col("a_lb") < F.col("i_lb"))
+        )
     )
     dist = F.levenshtein(F.col("a_h"), F.col("h"), 8)
     gpairs = j.filter((dist >= 0) & (dist <= 8)).select(
