@@ -117,6 +117,16 @@ PROBE = [
     ("multimodal_sample_avi", False),
     ("multimodal_resize_image", False),
     ("multimodal_sample_mp4", False),
+    # r10 additions (r9 verdict item 4): the 8 never-probed >= 1 s
+    # batch queries
+    ("agg_mean_ci_t", False),
+    ("doc_chunk_windows", False),
+    ("doc_quality_score", False),
+    ("kmeans_clusters", False),
+    ("multimodal_features_fake", False),
+    ("q9_nation_profit", False),
+    ("scd2_point_in_time_join", False),
+    ("sql_api_running_revenue", False),
 ]
 
 
