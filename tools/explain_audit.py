@@ -97,6 +97,9 @@ HEADLINE = [
     "variant_props_extract",
     "naive_bayes_lang_confusion",
     "fuzzy_entity_clusters",
+    # r10: the capped fuzzy flavor + the fanned-out PII scrub
+    "fuzzy_match_topk_docs",
+    "doc_pii_scrub",
     "winsorize_values",
     "benford_first_digit",
     "embedding_covariance",
