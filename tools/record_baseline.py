@@ -67,9 +67,18 @@ def main() -> int:
     ).stdout.strip()
     load_start = _loadavg()
     spark = get_spark("record_baseline")
+    # same warmup as bench.py (recording and comparison MUST share
+    # measurement context): q1 + one scan of every warehouse table
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    from world_vaccination_coverage_etl_spark.sources.registry import load_table
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     def timed(name: str) -> float:
         spark._jvm.System.gc()
@@ -81,7 +90,8 @@ def main() -> int:
 
     per_query: dict[str, float] = {}
     t_wall = time.time()
-    for name in REGISTRY if only is None else [n for n in REGISTRY if n in only]:
+    # sorted order, matching bench.py's rotation-independent pass (r10)
+    for name in sorted(REGISTRY) if only is None else sorted(only & set(REGISTRY)):
         a, b = timed(name), timed(name)
         if min(a, b) < 1.0:  # sub-second cohort: MEDIAN-of-3
             best = sorted((a, b, timed(name)))[1]
