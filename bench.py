@@ -58,6 +58,13 @@ def main() -> int:
         load_table(spark, sf_dir, t).write.format("noop").mode(
             "overwrite"
         ).save()
+    # spawn the FULL python worker pool before measuring: the fanned-
+    # out Arrow queries run 32 concurrent workers, and whichever such
+    # query runs first otherwise eats the ~seconds spawn storm
+    dp = spark.sparkContext.defaultParallelism
+    spark.range(dp * 4, numPartitions=dp).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}

@@ -79,6 +79,11 @@ def main() -> int:
         load_table(spark, sf_dir, t).write.format("noop").mode(
             "overwrite"
         ).save()
+    # spawn the full python worker pool (see bench.py)
+    dp = spark.sparkContext.defaultParallelism
+    spark.range(dp * 4, numPartitions=dp).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     def timed(name: str) -> float:
         spark._jvm.System.gc()
