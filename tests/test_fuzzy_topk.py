@@ -116,3 +116,24 @@ def test_fan_out_gates_on_split_count(spark):
     # already-wide input: no-op (same plan object, no extra exchange)
     again = fan_out(wide)
     assert again is wide
+
+
+def test_fuzzy_candidate_join_keeps_user_partitioning(spark):
+    """The r10 salted candidate join must keep its user-specified
+    exchanges: if the planner ever re-wraps them (or AQE coalesces
+    them away), the quadratic fan-out lands back on a handful of
+    reducers — the 30-minute-straggler regression this guards."""
+    from world_vaccination_coverage_etl_spark.queries.m10_tpch_breadth import (
+        _fuzzy_group_graph,
+    )
+
+    _g, _m, gpairs = _fuzzy_group_graph(spark, SF)
+    plan = gpairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("REPARTITION_BY_NUM") == 2
+    # no planner-inserted exchange may sit between the user exchanges
+    # and the join: every ENSURE_REQUIREMENTS exchange in the plan
+    # must hash on the pre-join (lang, lb, h) groupBy key, never on
+    # the salted join keys
+    for line in plan.splitlines():
+        if "ENSURE_REQUIREMENTS" in line:
+            assert "__salt" not in line and "__isalt" not in line, line
