@@ -144,7 +144,7 @@ def q_q3_top_revenue(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -279,7 +279,7 @@ def q_q6_forecast_revenue(spark, sf_dir):
     """,
     note="TPC-H-style Q18: HAVING-filtered aggregate subquery joined back to "
     "orders/customer (large-volume orders). The aggregate runs FIRST and its "
-    "survivor set (~0.1% of orders) gets an explicit broadcast into the orders "
+    "survivor set (~0.1% of orders) joins into the orders "
     "join; the customer join is left to AQE, which sees a tiny runtime left side "
     "and plans a broadcast. Top-k via TakeOrdered with o_orderkey tiebreak — no "
     "global sort",
@@ -295,7 +295,7 @@ def q_q18_large_orders(spark, sf_dir):
         .select("l_orderkey", F.round("qty_raw", 2).alias("total_qty"))
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name", "o_custkey", "o_orderkey", "o_orderdate",
@@ -379,7 +379,7 @@ def q_q10_returned_items(spark, sf_dir):
     WHERE l.l_shipdate >= DATE '1997-09-01' AND l.l_shipdate < DATE '1997-10-01'
     """,
     note="TPC-H-style Q14 (promo revenue share): shipdate month pushes to the "
-    "lineitem scan, part dim rides a broadcast join, conditional aggregation in "
+    "lineitem scan, the part side is left unhinted (AQE broadcast-converts at small SF, sort-merge at 100 TB where part grows with SF), conditional aggregation in "
     "one pass. The pct is computed as a DOUBLE ratio of exact decimal sums so "
     "both engines divide bit-identical operands",
 )
@@ -393,7 +393,7 @@ def q_q14_promo_revenue(spark, sf_dir):
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
     agg = (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .agg(
             F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
             .cast("decimal(18,4)").cast("double").alias("promo_revenue"),
@@ -428,7 +428,7 @@ def q_q14_promo_revenue(spark, sf_dir):
     "OR-across-join test. Catalyst extracts the single-side conjuncts it can "
     "prove common (l_quantity BETWEEN 1 AND 30 pushes to the lineitem scan, "
     "brand/size disjunction to the part scan) and evaluates the full residual "
-    "disjunction after the broadcast join — scan-prunes without changing "
+    "disjunction after the join (AQE picks the strategy; part grows with SF so no forced hint) — scan-prunes without changing "
     "semantics",
 )
 def q_q19_disjunctive_revenue(spark, sf_dir):
@@ -455,7 +455,7 @@ def q_q19_disjunctive_revenue(spark, sf_dir):
         )
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .filter(clause)
         .agg(
             F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"),
@@ -575,7 +575,8 @@ def q_cohort_retention(spark, sf_dir):
     note="TPC-H-style Q15 (top supplier): quarter revenue per supplier "
     "(pushed date range, partial-agged shuffle), then the max-revenue scalar "
     "joins back in-plan as a broadcast 1-row aggregate — the self-agg-max "
-    "pattern with no driver round-trip; supplier dim broadcast. Equality on "
+    "pattern with no driver round-trip; supplier join unhinted "
+    "(SF-proportional). Equality on "
     "DOUBLEs is safe because both sides derive from the same exact decimal sum",
 )
 def q_q15_top_supplier(spark, sf_dir):
@@ -598,7 +599,7 @@ def q_q15_top_supplier(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -625,7 +626,7 @@ def q_q15_top_supplier(spark, sf_dir):
     """,
     note="TPC-H-style Q7 (volume shipping): cross-border revenue by (supplier "
     "nation, customer nation, year). The nation dim joins TWICE under different "
-    "roles — both explicit broadcasts, as is the supplier dim — so the only "
+    "roles — both explicit broadcasts; supplier is unhinted (SF-proportional) — so the only "
     "shuffles are the two fact-fact joins (lineitem-orders, orders-customer) "
     "and the final partial-agged groupBy; the shipdate range pushes to the "
     "lineitem scan. The inequality n1<>n2 is evaluated post-join (residual), "
@@ -649,7 +650,7 @@ def q_q7_volume_shipping(spark, sf_dir):
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(s, s.s_suppkey == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -718,8 +719,8 @@ def q_q8_market_share(spark, sf_dir):
         F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -763,8 +764,9 @@ def q_q8_market_share(spark, sf_dir):
     "schema has no partsupp/ps_supplycost, so the profit expression is split "
     "into its two exact components (discounted revenue and quantity x retail "
     "value) instead of a supply-cost subtraction — same plan shape: LIKE "
-    "predicate pushes to the part scan as a string filter, part broadcast "
-    "prunes lineitem FIRST, supplier+nation broadcast, one partial-agged "
+    "predicate pushes to the part scan as a string filter, the part join "
+    "prunes lineitem FIRST (part/supplier unhinted — SF-proportional; nation "
+    "broadcast), one partial-agged "
     "groupBy over (nation, year). Decimal accumulation keeps both sums "
     "bit-identical across engines",
 )
@@ -781,8 +783,8 @@ def q_q9_nation_profit(spark, sf_dir):
         "p_retailprice"
     ).cast("decimal(18,2)")
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(p, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(o, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -858,7 +860,7 @@ def q_q13_customer_distribution(spark, sf_dir):
     "scalar subquery (per-part average quantity) decorrelates to a "
     "partial-agged groupBy on l_partkey joined back as an equi join — never "
     "a per-row subquery execution. The brand predicate pushes to the part "
-    "scan and the broadcast part join prunes lineitem before the threshold "
+    "scan and the brand-filtered part join prunes lineitem before the threshold "
     "join. Quantities are integral doubles so avg() is order-independent "
     "and the 0.2x threshold compares identically in both engines; revenue "
     "accumulates in exact decimal before the /7.0 presentation divide",
@@ -871,7 +873,7 @@ def q_q17_small_qty_revenue(spark, sf_dir):
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh"))
     )
     return (
-        li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+        li.join(p, p.p_partkey == li.l_partkey)
         .join(pa, F.col("pa_partkey") == li.l_partkey)
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
@@ -910,7 +912,7 @@ def q_q17_small_qty_revenue(spark, sf_dir):
     "into ONE aggregate over lineitem per order (distinct-supplier count + "
     "distinct-failing-supplier count) instead of two extra self-joins: "
     "n_supp>=2 is the EXISTS, n_ret_supp=1 combined with l1 failing is the "
-    "NOT EXISTS. Supplier broadcast, TakeOrdered top-k with name tiebreak",
+    "NOT EXISTS. Supplier join unhinted (SF-proportional), TakeOrdered top-k with name tiebreak",
 )
 def q_q21_waiting_supplier(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -931,7 +933,7 @@ def q_q21_waiting_supplier(spark, sf_dir):
     )
     l1 = li.filter(F.col("l_returnflag") == "R")
     return (
-        l1.join(F.broadcast(s), s.s_suppkey == l1.l_suppkey)
+        l1.join(s, s.s_suppkey == l1.l_suppkey)
         .join(o, o.o_orderkey == l1.l_orderkey)
         .join(
             per_order,
@@ -1028,7 +1030,7 @@ def q_q22_dormant_customers(spark, sf_dir):
     "(average realized unit price per (part, supplier) — exact decimal sum "
     "over integral quantities, rounded to 4 dp so the argmin equality "
     "compares identically cross-engine). The correlated MIN subquery "
-    "decorrelates to a per-part aggregate broadcast back as an equi join "
+    "decorrelates to a per-part aggregate joined back as an equi join "
     "on (partkey, unit_cost) — the per-group ARGMIN join-back, the one "
     "TPC-H shape q15 (global max) and q17 (threshold filter) don't cover; "
     "supplier/nation/region prune before the min so only regional offers "
@@ -1049,7 +1051,7 @@ def q_q2_min_cost_supplier(spark, sf_dir):
         ).alias("unit_cost")
     )
     eu = (
-        cost.join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
+        cost.join(s, s.s_suppkey == F.col("l_suppkey"))
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
         .select("l_partkey", "unit_cost", "s_name", "n_name")
@@ -1059,11 +1061,11 @@ def q_q2_min_cost_supplier(spark, sf_dir):
     )
     return (
         eu.join(
-            F.broadcast(mn),
+            mn,
             (F.col("mn_partkey") == F.col("l_partkey"))
             & (F.col("unit_cost") == F.col("mc")),
         )
-        .join(F.broadcast(p), p.p_partkey == F.col("l_partkey"))
+        .join(p, p.p_partkey == F.col("l_partkey"))
         .select(
             "p_partkey", "p_brand", "p_type", "s_name", "n_name", "unit_cost"
         )
@@ -1110,7 +1112,7 @@ def q_q16_supplier_diversity(spark, sf_dir):
     )
     return (
         li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), p.p_partkey == F.col("l_partkey"))
+        .join(p, p.p_partkey == F.col("l_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")

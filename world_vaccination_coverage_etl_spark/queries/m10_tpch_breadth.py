@@ -42,15 +42,15 @@ from .m07_dedup import _DUCK_SHINGLES_U, _docs_self_union
     "SAME aggregate.  The global total reuses the per-part aggregate "
     "(tiny — one row per part) instead of re-scanning the fact; the "
     "threshold compares v*1000 > total in exact decimal so no float "
-    "epsilon can diverge across engines; supplier/nation broadcast "
-    "prunes the fact before the shuffle agg",
+    "epsilon can diverge across engines; the nation filter broadcast-prunes "
+    "the fact (supplier unhinted — SF-proportional, AQE picks the strategy)",
 )
 def q_q11_important_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
     val = (
-        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .groupBy("l_partkey")
         .agg(
@@ -147,8 +147,8 @@ def q_q12_priority_by_returnflag(spark, sf_dir):
     "part exceeds 20%% of that part's total 1998 volume (qty*5 > total "
     "in exact decimal).  Preserves Q20's nested-IN chain: part "
     "name/type filter -> correlated per-part aggregate threshold -> "
-    "supplier LEFT SEMI.  The promo part list broadcasts into the "
-    "date-pruned fact scan; the per-part total reuses the pair "
+    "supplier LEFT SEMI.  The promo part list joins into the "
+    "date-pruned fact scan unhinted (part grows with SF — AQE broadcast-converts at small SF only); the per-part total reuses the pair "
     "aggregate (no second fact scan); only DISTINCT suppkeys reach the "
     "semi join",
 )
@@ -165,7 +165,7 @@ def q_q20_dominant_promo_supplier(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     q = (
-        li.join(F.broadcast(pp), pp.p_partkey == li.l_partkey)
+        li.join(pp, pp.p_partkey == li.l_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
@@ -967,7 +967,8 @@ def q_multi_touch_attribution(spark, sf_dir):
     "region and of the world.  The windows run over the ALREADY "
     "AGGREGATED 25-row result — zero full-volume window cost; the "
     "denominator sums the same exact-decimal revenue both engines "
-    "computed, so the 6-dp shares agree.  Dimension joins broadcast; "
+    "computed, so the 6-dp shares agree.  Nation/region broadcast; the "
+    "customer side is unhinted (SF-proportional); "
     "the empty-frame global window is a 1-row exchange, not a "
     "single-partition sort of the fact",
 )
@@ -977,7 +978,7 @@ def q_revenue_share_window(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     rev = (
-        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        o.join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
         .groupBy("n_name", "r_name")
