@@ -51,10 +51,10 @@ def main() -> int:
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    from world_vaccination_coverage_etl_spark.schemas import STAR_TABLES
     from world_vaccination_coverage_etl_spark.sources.registry import load_table
 
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"):
+    for t in STAR_TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode(
             "overwrite"
         ).save()
