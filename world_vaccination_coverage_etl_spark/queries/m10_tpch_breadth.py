@@ -1928,15 +1928,20 @@ def q_events_cusum_drift(spark, sf_dir):
     note="triangle enumeration over the near-dup pair graph — the "
     "graph-analytics step past connected components (triangle density "
     "separates true duplicate CLIQUES from chains of borderline "
-    "matches that components alone conflate).  Standard distributed "
-    "shape: orient every edge low-id→high-id (each triangle counted "
-    "exactly once as a<b<c), one wedge join + one closing edge join — "
-    "at scale the orientation is by DEGREE (each wedge enumerated at "
-    "its lowest-degree vertex, the classic skew bound); id-orientation "
-    "is the deterministic small-graph form the oracle mirrors.  The "
-    "oracle reuses the certified Jaccard edge set",
+    "matches that components alone conflate).  r11 (r10 verdict item "
+    "4): wedges now enumerate under DEGREE orientation "
+    "(operators/components.oriented_triangles — each triangle found "
+    "once at its lowest-(degree, id) corner, out-adjacency bounded "
+    "O(sqrt(E)) amortized, the classic skew bound for power-law dup "
+    "graphs) instead of id orientation, whose wedge fan-out is "
+    "O(max-degree²) when a hub's id sorts low.  Output stays sorted "
+    "a<b<c by ID, so the id-oriented exhaustive oracle certifies the "
+    "orientation change is invisible.  The oracle reuses the "
+    "certified Jaccard edge set",
 )
 def q_dup_graph_triangles(spark, sf_dir):
+    from ..operators.components import oriented_triangles
+
     u = _docs_self_union(spark, sf_dir)
     pairs = (
         minhash_near_dup_pairs(u, threshold=0.7)
@@ -1947,14 +1952,8 @@ def q_dup_graph_triangles(spark, sf_dir):
         .distinct()
         .localCheckpoint(eager=False)
     )
-    e1 = pairs
-    e2 = pairs.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
-    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
-    return (
-        e1.join(e2, F.col("b2a") == e1.b)
-        .join(e3, (F.col("a3") == e1.a) & (F.col("c3") == F.col("c")))
-        .select("a", "b", "c")
-        .orderBy("a", "b", "c")
+    return oriented_triangles(pairs, src_col="a", dst_col="b").orderBy(
+        "a", "b", "c"
     )
 
 
@@ -2191,12 +2190,16 @@ def q_bm25_topk_docs(spark, sf_dir):
     "completes the graph-analytics family (components -> triangles -> "
     "per-node coefficients): 2T(v) / (deg(v)(deg(v)-1)) flags how "
     "clique-like each node's duplicate neighborhood is (1.0 = true "
-    "duplicate cluster, ->0 = hub of borderline matches).  Same low-id "
-    "edge orientation + wedge/closing joins as dup_graph_triangles, one "
-    "partial-agged groupBy each for degrees and per-node triangle "
-    "counts; ANSI-safe guarded division",
+    "duplicate cluster, ->0 = hub of borderline matches).  Triangle "
+    "enumeration shares dup_graph_triangles' degree-oriented wedge "
+    "join (operators/components.oriented_triangles — each triangle "
+    "exactly once, so the per-node union-count is orientation-"
+    "independent); one partial-agged groupBy each for degrees and "
+    "per-node triangle counts; ANSI-safe guarded division",
 )
 def q_clustering_coeff_dup_graph(spark, sf_dir):
+    from ..operators.components import oriented_triangles
+
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     pairs = (
         ngram_jaccard_pairs(d, block_col="lang", n=3, threshold=0.5)
@@ -2209,13 +2212,7 @@ def q_clustering_coeff_dup_graph(spark, sf_dir):
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    e2 = pairs.select(F.col("s").alias("b2"), F.col("t").alias("c"))
-    e3 = pairs.select(F.col("s").alias("a3"), F.col("t").alias("c3"))
-    tri = (
-        pairs.join(e2, F.col("b2") == pairs.t)
-        .join(e3, (F.col("a3") == pairs.s) & (F.col("c3") == F.col("c")))
-        .select(F.col("s").alias("a"), F.col("t").alias("b"), "c")
-    )
+    tri = oriented_triangles(pairs, src_col="s", dst_col="t")
     tn = (
         tri.select(F.col("a").alias("node"))
         .unionAll(tri.select(F.col("b").alias("node")))
