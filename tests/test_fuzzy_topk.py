@@ -109,13 +109,32 @@ def test_fan_out_gates_on_split_count(spark):
 
     one = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
     assert one.rdd.getNumPartitions() == 1
-    wide = fan_out(one)
+    wide = fan_out(one, SF)
     target = spark.sparkContext.defaultParallelism
     assert wide.rdd.getNumPartitions() == target
     assert wide.count() == one.count()
-    # already-wide input: no-op (same plan object, no extra exchange)
-    again = fan_out(wide)
-    assert again is wide
+
+
+def test_fan_out_noop_for_many_split_source(spark, tmp_path):
+    """The gate must be a NO-OP when the source supplies enough
+    splits (the 100 TB case) — pinned against a sparse file whose
+    apparent size spans many maxPartitionBytes splits, so no real
+    I/O happens and no RDD is materialized for the probe."""
+    from world_vaccination_coverage_etl_spark.queries._core import (
+        _scan_split_estimate,
+        fan_out,
+    )
+
+    big = tmp_path / "documents.parquet"
+    with open(big, "wb") as fh:
+        fh.truncate(8 << 30)  # sparse 8 GiB
+    target = spark.sparkContext.defaultParallelism
+    est = _scan_split_estimate(spark, str(tmp_path), "documents")
+    assert est >= target
+    # fan_out must return the input plan object untouched (the probe
+    # is metadata-only: the fake parquet is never read)
+    df = spark.range(10)
+    assert fan_out(df, str(tmp_path)) is df
 
 
 def test_fuzzy_candidate_join_keeps_user_partitioning(spark):

@@ -123,7 +123,68 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def _conf_bytes(sess: SparkSession, key: str, default: int) -> int:
+    """Parse a Spark size conf ("128MB", "134217728b", plain int)."""
+    try:
+        raw = str(sess.conf.get(key)).strip().lower()
+    except Exception:  # noqa: BLE001 — conf missing => documented default
+        return default
+    mult = 1
+    for suffix, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20), ("kb", 1 << 10),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+_SPLIT_CACHE: dict[tuple, int] = {}
+
+
+def _scan_split_estimate(sess: SparkSession, sf_dir: str, table: str) -> int:
+    """Input-split count the file source will supply for `table`,
+    estimated from on-disk file sizes + the session's split confs
+    (the FilePartition formula: maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, bytesPerCore)), then size-packed bins).
+
+    Spark-free per call after the first: file sizes come from the OS,
+    not from materializing the scan's RDD (r10 ADVICE — the previous
+    ``df.rdd.getNumPartitions()`` probe forced an extra plan
+    translation on the driver per query construction).  Cached per
+    (sf_dir, table, conf) tuple."""
+    import glob
+    import os
+
+    max_pb = _conf_bytes(sess, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _conf_bytes(sess, "spark.sql.files.openCostInBytes", 4 << 20)
+    par = sess.sparkContext.defaultParallelism
+    key = (sf_dir, table, max_pb, open_cost, par)
+    got = _SPLIT_CACHE.get(key)
+    if got is not None:
+        return got
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isdir(path)
+        else [path]
+    )
+    sizes = [os.path.getsize(f) for f in files if os.path.exists(f)]
+    total = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = max(total // max(par, 1), 1)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    est = max(1, -(-total // max_split))  # ceil division
+    _SPLIT_CACHE[key] = est
+    return est
+
+
+def fan_out(df: DataFrame, sf_dir: str, table: str = "documents") -> DataFrame:
     """Spread a SMALL scan across the cluster before heavy row-local
     compute (media decode, PII regex, per-row codecs).
 
@@ -132,7 +193,8 @@ def fan_out(df: DataFrame) -> DataFrame:
     is exactly how the sf0.1 warehouse ships `documents` — would pin
     an embarrassingly parallel compute stage to that split count (r10
     finding: the whole media cohort ran as ONE task on 32 cores).  The
-    repartition is GATED on the scan's supplied split count, so at
+    repartition is GATED on the scan's supplied split count (estimated
+    from the table's file sizes — see ``_scan_split_estimate``), so at
     100 TB — where the source has thousands of natural splits — this
     is a no-op and never adds a full-data shuffle; when it does fire,
     the shuffled payload is whatever the caller projected first
@@ -140,7 +202,7 @@ def fan_out(df: DataFrame) -> DataFrame:
     a few KB to unlock a 32x compute fan-out)."""
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if _scan_split_estimate(sess, sf_dir, table) < target:
         return df.repartition(target)
     return df
 

@@ -398,7 +398,7 @@ def q_doc_pii_scrub(spark, sf_dir):
 
     # six regex passes per doc: fan the row-local compute out past the
     # source's split count (see _core.fan_out)
-    d = fan_out(_t(spark, sf_dir, "documents")).select(
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir).select(
         "doc_id",
         F.concat(
             F.col("text"),

@@ -695,7 +695,8 @@ def q_multimodal_decode_png(spark, sf_dir):
     from ..operators.png_codec import png_encode
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
@@ -785,7 +786,8 @@ def q_multimodal_decode_wav(spark, sf_dir):
     from ..operators.wav_codec import wav_encode
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
@@ -854,7 +856,8 @@ def q_multimodal_decode_gif(spark, sf_dir):
     from ..operators.multimodal import decode_image_batch
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
@@ -935,7 +938,8 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
     from ..operators.multimodal import decode_image_batch
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
@@ -1015,7 +1019,8 @@ def q_multimodal_sample_video(spark, sf_dir):
     from ..operators.y4m_codec import y4m_encode
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
@@ -1099,7 +1104,8 @@ def q_multimodal_decode_jpeg_ac(spark, sf_dir):
     from ..operators.jpeg_codec import jpeg_encode
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
@@ -1206,7 +1212,8 @@ def q_multimodal_decode_progressive(spark, sf_dir):
     from ..operators.multimodal import decode_image_batch
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
@@ -1319,7 +1326,8 @@ def q_multimodal_decode_jpeg420(spark, sf_dir):
     from ..operators.multimodal import decode_image_batch
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
@@ -1439,7 +1447,8 @@ def q_multimodal_decode_adpcm(spark, sf_dir):
     from ..operators.wav_codec import adpcm_pack
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
@@ -1520,7 +1529,8 @@ def q_multimodal_sample_avi(spark, sf_dir):
     from ..operators.multimodal import sample_video_batch
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
@@ -1605,7 +1615,8 @@ def q_multimodal_sample_mp4(spark, sf_dir):
     from ..operators.multimodal import sample_video_batch
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
@@ -1683,7 +1694,8 @@ def q_multimodal_resize_image(spark, sf_dir):
     from ..operators.multimodal import resize_image_batch
 
     d = fan_out(
-        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id"))
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("asset_id")),
+        sf_dir,
     )
 
     def enc(batches):
