@@ -31,6 +31,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from world_vaccination_coverage_etl_spark.queries import REGISTRY  # noqa: E402
+from world_vaccination_coverage_etl_spark.queries._core import (  # noqa: E402
+    POOLED_QUERIES,
+)
 from world_vaccination_coverage_etl_spark.session import get_spark  # noqa: E402
 
 
@@ -84,6 +87,19 @@ def main() -> int:
         # load alone).  BASELINE.md's >= 1 s cohort is recorded under
         # the same rule; its sub-second cohort records median-of-3
         # (late-r9), so sub-second ratios carry structural headroom.
+        if name in POOLED_QUERIES:
+            # a pooled query's FIRST run must be genuinely cold even
+            # when a sibling already materialized the shared pool
+            # (sorted order would otherwise let e.g. dup_cluster_sizes
+            # pre-warm dup_connected_components): run 1 measures the
+            # real computation (recorded in pooled_cold, gated via
+            # cold_norm), run 2 measures the steady-state pool hit
+            # (the best-of-2 min)
+            from world_vaccination_coverage_etl_spark.queries._core import (
+                clear_pools,
+            )
+
+            clear_pools()
         times = []
         for _ in range(2):
             # local-mode hygiene: tens of varied queries in one JVM
@@ -111,6 +127,14 @@ def main() -> int:
         "sf": sf_num,
         "wall_both_passes": wall,
         "n_queries": len(per_query),
+        # full observations per query (r10 ADVICE: the best-of-2 min
+        # of a POOLED query measures a pool hit, so the cold first
+        # run is recorded separately and gated below)
+        "runs": all_runs,
+        "pooled_cold": {
+            q: all_runs[q][0] for q in sorted(POOLED_QUERIES)
+            if q in all_runs
+        },
     }
     # host-normalized comparison vs the recorded BASELINE.md table
     # (r6 verdict item 5; cohort broadened late-r9): host factor =
@@ -167,6 +191,15 @@ def main() -> int:
         full["norm_worst5"] = dict(
             sorted(norm.items(), key=lambda kv: -kv[1])[:5]
         )
+        # pooled queries: the min above is a pool hit; gate the COLD
+        # first run against the (unpooled-recorded) baseline row so a
+        # regression in the real computation stays visible (r10 ADVICE)
+        cold_norm = {
+            q: round(full["pooled_cold"][q] / base[q] / host, 2)
+            for q in full["pooled_cold"]
+            if q in base and base[q] > 0
+        }
+        full["cold_norm"] = cold_norm
     except Exception as exc:  # noqa: BLE001 — comparison is advisory
         print(f"[bench] baseline compare skipped: {exc}", file=sys.stderr)
 

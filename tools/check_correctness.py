@@ -37,7 +37,10 @@ REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_DIR)
 
 from world_vaccination_coverage_etl_spark.queries import REGISTRY  # noqa: E402
-from world_vaccination_coverage_etl_spark.queries._core import resolve_oracle  # noqa: E402
+from world_vaccination_coverage_etl_spark.queries._core import (  # noqa: E402
+    clear_pools,
+    resolve_oracle,
+)
 from world_vaccination_coverage_etl_spark.session import get_spark  # noqa: E402
 
 TABLES = [
@@ -113,11 +116,15 @@ def run_perturb_sweep(spark, sf_dir: str, only: set[str] | None) -> int:
             continue
         t0 = time.time()
         try:
+            # pooled queries must recompute under BOTH layouts — a
+            # pool hit would replay run 1's parquet and prove nothing
+            clear_pools()
             base_pdf = qd.fn(spark, sf_dir).toPandas()
             saved = {k: spark.conf.get(k, None) for k in _PERTURB_CONFS}
             try:
                 for k, v in _PERTURB_CONFS.items():
                     spark.conf.set(k, v)
+                clear_pools()
                 pert_pdf = qd.fn(spark, sf_dir).toPandas()
             finally:
                 for k, v in saved.items():

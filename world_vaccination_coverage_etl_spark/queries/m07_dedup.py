@@ -154,21 +154,31 @@ _DUCK_SHINGLES_U = rf"""
     SELECT doc_id, component_id FROM comp ORDER BY doc_id
     """,
     note="duplicate-cluster connected components over the MinHash near-dup pair "
-    "graph (operators/components.py connected_components): iterative min-label "
-    "propagation, one edge-join + one partial-agg shuffle per round, "
-    "O(diameter) rounds, only a scalar changed-count per round on the driver; "
+    "graph (operators/components.py connected_components): large-star/small-star "
+    "rounds, one edge-join + one partial-agg shuffle per round, O(log n) rounds, "
+    "only a scalar changed-count per round on the driver; "
     "oracle recomputes the exact Jaccard>=0.7 edge set and closes it with a "
-    "recursive CTE, certifying pair detection AND transitive clustering",
+    "recursive CTE, certifying pair detection AND transitive clustering.  The "
+    "deterministic assignment is pooled per (sf_dir, process) via "
+    "_core.pooled_parquet — materialize once, consume many times (shared with "
+    "dup_cluster_sizes); the cold cost stays gated (bench cold_norm)",
 )
 def q_dup_connected_components(spark, sf_dir):
-    from ..operators.components import connected_components
+    return _minhash_components(spark, sf_dir).orderBy("doc_id")
 
-    u = _docs_self_union(spark, sf_dir)
-    pairs = minhash_near_dup_pairs(u, threshold=0.7)
-    comp = connected_components(
-        u.select("doc_id"), pairs, id_col="doc_id"
-    )
-    return comp.orderBy("doc_id")
+
+def _minhash_components(spark, sf_dir):
+    """Pooled CC assignment over the MinHash>=0.7 near-dup graph."""
+    from ._core import pooled_parquet
+
+    def build(spark, sf_dir):
+        from ..operators.components import connected_components
+
+        u = _docs_self_union(spark, sf_dir)
+        pairs = minhash_near_dup_pairs(u, threshold=0.7)
+        return connected_components(u.select("doc_id"), pairs, id_col="doc_id")
+
+    return pooled_parquet("minhash_cc07", spark, sf_dir, build)
 
 
 @register(
@@ -182,14 +192,14 @@ def q_dup_connected_components(spark, sf_dir):
     """,
     note="duplicate-cluster roll-up (operators/components.py component_summary): "
     "size + keeper per non-singleton component — the curation decision surface "
-    "(keep one doc per cluster); one shuffle over the component labels",
+    "(keep one doc per cluster); one shuffle over the component labels, which "
+    "come from the SAME pooled assignment dup_connected_components materializes "
+    "(computed once per process, not twice)",
 )
 def q_dup_cluster_sizes(spark, sf_dir):
-    from ..operators.components import component_summary, connected_components
+    from ..operators.components import component_summary
 
-    u = _docs_self_union(spark, sf_dir)
-    pairs = minhash_near_dup_pairs(u, threshold=0.7)
-    comp = connected_components(u.select("doc_id"), pairs, id_col="doc_id")
+    comp = _minhash_components(spark, sf_dir)
     return (
         component_summary(comp)
         .filter(F.col("n_members") > 1)

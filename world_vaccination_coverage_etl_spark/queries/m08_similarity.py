@@ -418,16 +418,20 @@ def q_embedding_dup_pairs(spark, sf_dir):
     "certifying neighbor detection AND transitive clustering",
 )
 def q_semantic_dedup_clusters(spark, sf_dir):
-    from ..operators.components import component_summary, connected_components
+    from ..operators.components import component_summary
+    from ._core import pooled_parquet
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    u = e.unionAll(
-        e.select((F.col("vec_id") + VEC_SHIFT).alias("vec_id"), "embedding")
-    )
-    pairs = embedding_cosine_dup_pairs(u, threshold=0.95, dim=64)
-    comp = connected_components(
-        u.select("vec_id"), pairs, id_col="vec_id"
-    )
+    def build(spark, sf_dir):
+        from ..operators.components import connected_components
+
+        e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        u = e.unionAll(
+            e.select((F.col("vec_id") + VEC_SHIFT).alias("vec_id"), "embedding")
+        )
+        pairs = embedding_cosine_dup_pairs(u, threshold=0.95, dim=64)
+        return connected_components(u.select("vec_id"), pairs, id_col="vec_id")
+
+    comp = pooled_parquet("semantic_cc95", spark, sf_dir, build)
     return (
         component_summary(comp, id_col="vec_id")
         .filter(F.col("n_members") > 1)

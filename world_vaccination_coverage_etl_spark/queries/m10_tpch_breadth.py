@@ -1557,37 +1557,45 @@ def q_variant_props_extract(spark, sf_dir):
     "AND transitive clustering in one hash",
 )
 def q_fuzzy_entity_clusters(spark, sf_dir):
-    from ..operators.components import connected_components
+    from ._core import pooled_parquet
 
-    g, members, gpairs = _fuzzy_group_graph(spark, sf_dir)
-    gpairs = gpairs.select("gid_a", "gid_b").localCheckpoint(eager=False)
-    # matched groups: ≥2 members (within-group dist-0 pairs exist) or
-    # any cross-group match — singleton unmatched groups carry no
-    # linkage decision and stay out, mirroring the pair-graph nodes
-    matched = (
-        g.filter(F.col("grp_n") >= 2)
-        .select("gid")
-        .unionAll(gpairs.select(F.col("gid_a").alias("gid")))
-        .unionAll(gpairs.select(F.col("gid_b").alias("gid")))
-        .distinct()
-    )
-    m = members.join(matched, on="gid")
-    # star edges doc→gid (gid = min member, so already canonical) plus
-    # one edge per matched group pair — exact CC compaction
-    edges = (
-        m.filter(F.col("doc_id") != F.col("gid"))
-        .select(F.col("gid").alias("doc_lo"), F.col("doc_id").alias("doc_hi"))
-        .unionAll(
-            gpairs.select(
-                F.least("gid_a", "gid_b").alias("doc_lo"),
-                F.greatest("gid_a", "gid_b").alias("doc_hi"),
+    def build(spark, sf_dir):
+        from ..operators.components import connected_components
+
+        g, members, gpairs = _fuzzy_group_graph(spark, sf_dir)
+        gpairs = gpairs.select("gid_a", "gid_b").localCheckpoint(eager=False)
+        # matched groups: ≥2 members (within-group dist-0 pairs exist)
+        # or any cross-group match — singleton unmatched groups carry
+        # no linkage decision and stay out, mirroring the pair-graph
+        # nodes
+        matched = (
+            g.filter(F.col("grp_n") >= 2)
+            .select("gid")
+            .unionAll(gpairs.select(F.col("gid_a").alias("gid")))
+            .unionAll(gpairs.select(F.col("gid_b").alias("gid")))
+            .distinct()
+        )
+        m = members.join(matched, on="gid")
+        # star edges doc→gid (gid = min member, so already canonical)
+        # plus one edge per matched group pair — exact CC compaction
+        edges = (
+            m.filter(F.col("doc_id") != F.col("gid"))
+            .select(
+                F.col("gid").alias("doc_lo"), F.col("doc_id").alias("doc_hi")
+            )
+            .unionAll(
+                gpairs.select(
+                    F.least("gid_a", "gid_b").alias("doc_lo"),
+                    F.greatest("gid_a", "gid_b").alias("doc_hi"),
+                )
             )
         )
-    )
-    nodes = m.select("doc_id")
-    comp = connected_components(
-        nodes, edges, id_col="doc_id", src_col="doc_lo", dst_col="doc_hi"
-    )
+        nodes = m.select("doc_id")
+        return connected_components(
+            nodes, edges, id_col="doc_id", src_col="doc_lo", dst_col="doc_hi"
+        )
+
+    comp = pooled_parquet("fuzzy_cc", spark, sf_dir, build)
     return comp.select(
         "doc_id", F.col("component_id").alias("entity_id")
     ).orderBy("doc_id")
