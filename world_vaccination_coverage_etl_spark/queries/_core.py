@@ -169,19 +169,37 @@ def _scan_split_estimate(sess: SparkSession, sf_dir: str, table: str) -> int:
     got = _SPLIT_CACHE.get(key)
     if got is not None:
         return got
+    total = _scan_file_bytes(sf_dir, table, open_cost)
+    bytes_per_core = max(total // max(par, 1), 1)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    est = max(1, -(-total // max_split))  # ceil division
+    _SPLIT_CACHE[key] = est
+    return est
+
+
+_BYTES_CACHE: dict[tuple, int] = {}
+
+
+def _scan_file_bytes(sf_dir: str, table: str, open_cost: int = 0) -> int:
+    """Total on-disk bytes of a table's parquet file(s) + open costs."""
+    import glob
+    import os
+
+    key = (sf_dir, table, open_cost)
+    got = _BYTES_CACHE.get(key)
+    if got is not None:
+        return got
     path = os.path.join(sf_dir, f"{table}.parquet")
     files = (
         glob.glob(os.path.join(path, "*.parquet"))
         if os.path.isdir(path)
         else [path]
     )
-    sizes = [os.path.getsize(f) for f in files if os.path.exists(f)]
-    total = sum(sizes) + open_cost * len(sizes)
-    bytes_per_core = max(total // max(par, 1), 1)
-    max_split = min(max_pb, max(open_cost, bytes_per_core))
-    est = max(1, -(-total // max_split))  # ceil division
-    _SPLIT_CACHE[key] = est
-    return est
+    total = sum(
+        os.path.getsize(f) for f in files if os.path.exists(f)
+    ) + open_cost * len(files)
+    _BYTES_CACHE[key] = total
+    return total
 
 
 # --------------------------------------------------------------------- #
@@ -247,7 +265,12 @@ def clear_pools() -> None:
     _m05._RESUME_POOL.clear()
 
 
-def fan_out(df: DataFrame, sf_dir: str, table: str = "documents") -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    sf_dir: str,
+    table: str = "documents",
+    min_bytes: int = 0,
+) -> DataFrame:
     """Spread a SMALL scan across the cluster before heavy row-local
     compute (media decode, PII regex, per-row codecs).
 
@@ -262,9 +285,23 @@ def fan_out(df: DataFrame, sf_dir: str, table: str = "documents") -> DataFrame:
     is a no-op and never adds a full-data shuffle; when it does fire,
     the shuffled payload is whatever the caller projected first
     (media queries project just the id column, so the exchange moves
-    a few KB to unlock a 32x compute fan-out)."""
+    a few KB to unlock a 32x compute fan-out).
+
+    ``min_bytes``: additionally require the table to carry at least
+    this many on-disk bytes before fanning out.  For per-row compute
+    that is only MODERATELY expensive relative to the payload (text
+    tokenize/n-gram passes, vs. the media decoders whose per-row cost
+    dwarfs theirs), the exchange + stage barrier costs more than the
+    parallelism gains when the whole table is under a few MB —
+    measured at sf0.1: fanning the four steep text queries out made
+    each 0.2-2.1 s SLOWER on a 0.6 MB scan, while the same queries
+    are single-task-bound at sf10's ~60 MB.  Callers in that class
+    pass a threshold (16 MiB) so the gate fires exactly where the
+    fan-out pays."""
     sess = df.sparkSession
     target = sess.sparkContext.defaultParallelism
+    if min_bytes and _scan_file_bytes(sf_dir, table) < min_bytes:
+        return df
     if _scan_split_estimate(sess, sf_dir, table) < target:
         return df.repartition(target)
     return df

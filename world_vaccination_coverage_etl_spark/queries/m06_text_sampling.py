@@ -195,7 +195,10 @@ def q_word_frequencies(spark, sf_dir):
 def q_doc_unigram_logprob(spark, sf_dir):
     from ..operators.text import unigram_logprob
 
-    d = _t(spark, sf_dir, "documents")
+    # fan the tokenize/explode stage out past the scan's split count
+    # once the table is big enough for the exchange to pay (r10
+    # verdict item 8; no-op at real split counts — see _core.fan_out)
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20)
     return unigram_logprob(d).orderBy("doc_id")
 
 
@@ -285,7 +288,7 @@ def q_corpus_health_by_source(spark, sf_dir):
 def q_tfidf_top_terms(spark, sf_dir):
     from ..operators.text import tfidf_top_terms
 
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20)
     out = tfidf_top_terms(d, k=3)
     return out.filter(F.col("doc_id") < 200).orderBy("doc_id", "rank")
 
@@ -355,7 +358,7 @@ def q_weighted_sample_docs(spark, sf_dir):
 def q_doc_repetition_stats(spark, sf_dir):
     from ..operators.text import repetition_stats
 
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20)
     return repetition_stats(d).withColumn("n", F.col("n").cast("int")).orderBy(
         "doc_id", "n"
     )

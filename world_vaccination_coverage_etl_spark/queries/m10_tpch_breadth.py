@@ -762,7 +762,9 @@ def q_fuzzy_match_topk_docs(spark, sf_dir):
 def q_doc_bigram_logprob(spark, sf_dir):
     from ..operators.text import bigram_logprob
 
-    d = _t(spark, sf_dir, "documents")
+    # fan the row-local bigram build out past the scan's split count
+    # once the table is big enough for the exchange to pay
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20)
     return bigram_logprob(d).orderBy("doc_id")
 
 
