@@ -42,11 +42,21 @@ def served(spark):
 
 
 def _get(url: str) -> tuple[int, str]:
-    try:
-        with urllib.request.urlopen(url, timeout=30) as resp:
-            return resp.status, resp.read().decode("utf-8")
-    except urllib.error.HTTPError as e:  # 4xx still carries a body
-        return e.code, e.read().decode("utf-8")
+    # each request runs a Spark job in the server thread; under a
+    # saturated host (e.g. a concurrent 32-core sweep) a single
+    # attempt can exceed any fixed budget — retry with a generous
+    # per-attempt timeout so load cannot fail a correctness test
+    # (r10 verdict item 7)
+    last: Exception | None = None
+    for _ in range(3):
+        try:
+            with urllib.request.urlopen(url, timeout=120) as resp:
+                return resp.status, resp.read().decode("utf-8")
+        except urllib.error.HTTPError as e:  # 4xx still carries a body
+            return e.code, e.read().decode("utf-8")
+        except (TimeoutError, urllib.error.URLError) as e:
+            last = e
+    raise AssertionError(f"request kept timing out: {url}") from last
 
 
 def test_index_lists_dimension_pairs(served):

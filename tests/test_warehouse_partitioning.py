@@ -91,8 +91,15 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     )
     p_sorted = str(tmp_path / "sorted_by_x")
     p_z = str(tmp_path / "zorder_xy")
-    write_sorted_table(df, p_sorted, ["x"], n_files=16)
-    write_zorder_table(df, p_z, "x", "y", bits=10, n_files=16)
+    # 64 files: range-boundary sampling (seeded from rdd ids, which
+    # drift with session history) wobbles per-file ranges by a file
+    # or two; at 16 files the 2-D-box margin was 1 file wide and a
+    # wobble could erase it (r10: failed once under a saturated
+    # host).  At 64 files the measured margins are 10-12/64 (y-only)
+    # and 5-6 vs 16 (box) across seed drift — assertions below keep
+    # a 2x slack on top of that.
+    write_sorted_table(df, p_sorted, ["x"], n_files=64)
+    write_zorder_table(df, p_z, "x", "y", bits=10, n_files=64)
 
     # layouts are lossless
     assert spark.read.parquet(p_z).count() == n
@@ -102,16 +109,16 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
 
     s_sorted = _file_stats(p_sorted, ["x", "y"])
     s_z = _file_stats(p_z, ["x", "y"])
-    assert len(s_sorted) >= 8 and len(s_z) >= 8
+    assert len(s_sorted) >= 32 and len(s_z) >= 32
 
     # a filter on y alone: the x-sorted layout cannot skip anything,
     # the z-ordered layout must skip a real fraction of files
     y_only_sorted = _candidate_files(s_sorted, "y", 0, 99)
     y_only_z = _candidate_files(s_z, "y", 0, 99)
     assert y_only_sorted == len(s_sorted)
-    assert y_only_z < len(s_z)
+    assert y_only_z <= len(s_z) // 2
 
-    # a small 2-D box: z-order candidates must be fewer than the
+    # a small 2-D box: z-order candidates must be well under the
     # 1-D layout's candidates for the same box
     def box_candidates(stats):
         return sum(
@@ -121,7 +128,7 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
             and not (hi["y"] < 0 or lo["y"] > 249)
         )
 
-    assert box_candidates(s_z) < box_candidates(s_sorted)
+    assert box_candidates(s_z) <= box_candidates(s_sorted) // 2
 
 
 def test_zorder_roundtrip_exact(spark, tmp_path):
