@@ -175,3 +175,44 @@ def test_repetition_stats_golden(spark):
                 assert out[(doc_id, n)] == expect, (doc_id, n)
     # doc 2: "a b" appears 3 of 5 bigrams; every bigram is a repeat
     assert out[(2, 2)] == (0.6, 1.0)
+
+
+def test_scrub_pii_gates_equal_ungated_for_any_replacement(spark):
+    """The gates must be invisible: gated output byte-identical to the
+    ungated sequential replace for ANY replacement — including ones
+    that splice new digit junctions into the scrubbed text (r10
+    ADVICE: an original-text gate skipped ssn/phone shapes CREATED by
+    the email pass when the replacement carries digits)."""
+    from pyspark.sql import functions as F
+
+    from world_vaccination_coverage_etl_spark.operators.text import (
+        PII_PATTERNS,
+        scrub_pii,
+    )
+
+    texts = [
+        "clean prose with no personal data at all",
+        "mail a@b.cc and ssn 123-45-6789 and phone +1-555-123-4567",
+        # no digit run in the ORIGINAL; a digit-bearing replacement
+        # for the email creates a phone-shaped string afterwards
+        "reach me at someone@example.com if needed",
+        "edge a@b.cc123-45-6789 glued",
+        "dots 1.555.123.4567 only",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for repl in ["[PII]", "", "0", "12-345-6789x", "x@y.zz"]:
+        ungated = F.col("text")
+        for pat in PII_PATTERNS.values():
+            ungated = F.regexp_replace(ungated, pat, repl)
+        want = {
+            r["doc_id"]: r["want"]
+            for r in df.select("doc_id", ungated.alias("want")).collect()
+        }
+        got = {
+            r["doc_id"]: r["scrubbed"]
+            for r in scrub_pii(df, replacement=repl).collect()
+        }
+        assert got == want, f"replacement {repl!r}"

@@ -283,30 +283,53 @@ def scrub_pii(
     of the matches.
 
     Pre-gates (r9 verdict item 3; exact — NECESSARY conditions of the
-    patterns, so gated output is byte-identical): the email pass only
-    runs on rows containing ``@``, and the ssn/phone passes only on
-    rows containing a digit-[-.]-digit run.  On a real crawl corpus
-    most documents carry no PII shape, so the expensive full-pattern
-    scans are skipped entirely for clean rows; the per-pattern audit
-    counts prove no behavior change.
+    patterns, so gated output is byte-identical to the ungated
+    sequential replace): the email pass only runs on rows containing
+    ``@``, and the ssn/phone passes only on rows whose CURRENT
+    (post-email-scrub) text contains a digit-[-.]-digit run.  Each
+    gate is evaluated on the same text its replace would apply to
+    (r10 ADVICE: gating on the ORIGINAL text was only equivalent for
+    replacements that cannot create ``@`` or digit junctions — a
+    digit-bearing ``replacement`` could splice a new ssn/phone shape
+    into the scrubbed text that an original-text gate would skip).
+    On a real crawl corpus most documents carry no PII shape, so the
+    expensive full-pattern scans are skipped entirely for clean rows.
+    Each pass lands in its own projection so the gate and the replace
+    share one named column instead of duplicating the growing
+    expression tree (the with_quality_score two-stage trick).
+
+    Per-pattern match counts (``n_email``/``n_ssn``/``n_phone``)
+    stay defined against the ORIGINAL text — audit telemetry of what
+    arrived, gated by the same necessary conditions on the original.
     """
     t = F.col(text_col)
-    gates = {
-        "email": t.contains("@"),
+
+    def gate(src: F.Column, name: str) -> F.Column:
+        if name == "email":
+            return src.contains("@")
         # both the ssn and phone patterns require digit [-.] digit
-        "ssn": t.rlike("[0-9][-.][0-9]"),
-        "phone": t.rlike("[0-9][-.][0-9]"),
-    }
-    scrubbed = t
-    counts = {}
-    for name, pat in PII_PATTERNS.items():
-        counts[f"n_{name}"] = F.when(
-            gates[name], F.regexp_count(t, F.lit(pat))
+        return src.rlike("[0-9][-.][0-9]")
+
+    counts = {
+        f"n_{name}": F.when(
+            gate(t, name), F.regexp_count(t, F.lit(pat))
         ).otherwise(F.lit(0))
-        scrubbed = F.when(
-            gates[name], F.regexp_replace(scrubbed, pat, replacement)
-        ).otherwise(scrubbed)
-    return df.withColumn(out_col, scrubbed).withColumns(counts)
+        for name, pat in PII_PATTERNS.items()
+    }
+    out = df.withColumns(counts)
+    cur = text_col
+    stages = list(PII_PATTERNS.items())
+    for i, (name, pat) in enumerate(stages):
+        nxt = out_col if i == len(stages) - 1 else f"__scrub{i}"
+        src = F.col(cur)
+        out = out.withColumn(
+            nxt,
+            F.when(
+                gate(src, name), F.regexp_replace(src, pat, replacement)
+            ).otherwise(src),
+        )
+        cur = nxt
+    return out.drop(*[f"__scrub{i}" for i in range(len(stages) - 1)])
 
 
 def repetition_stats(
