@@ -289,3 +289,36 @@ def test_adpcm_partial_trailing_block_is_corrupt():
     grown = grown[:4] + struct.pack("<I", len(grown) - 8) + grown[8:]
     with pytest.raises(WAVCorruptError):
         wav_decode(grown)
+
+
+def test_adpcm_short_final_block_decodes():
+    """A legitimately short final block (header + fewer whole data
+    words than samples_per_block implies) is valid real-world IMA
+    ADPCM — the stream just ends mid-block.  It must decode to the
+    prefix of the full-block decode, not raise (r10 ADVICE)."""
+    import struct
+
+    from world_vaccination_coverage_etl_spark.operators.wav_codec import (
+        adpcm_pack,
+        wav_decode_samples,
+    )
+
+    # mono, samples_per_block=17 -> npb=16 -> 2 data words per block
+    blob = adpcm_pack(8000, 1, [(100, 10)], list(range(16)), 17)
+    _r, _c, _b, full = wav_decode_samples(blob)
+    assert len(full) == 17
+    # drop the final 4-byte word from the data chunk: header + 1 word
+    i = blob.index(b"data")
+    (dlen,) = struct.unpack_from("<I", blob, i + 4)
+    short = (
+        blob[: i + 4]
+        + struct.pack("<I", dlen - 4)
+        + blob[i + 8 : i + 8 + dlen - 4]
+    )
+    short = short[:4] + struct.pack("<I", len(short) - 8) + short[8:]
+    # a real encoder records the TRUE frame count in the fact chunk
+    j = short.index(b"fact")
+    short = short[: j + 8] + struct.pack("<I", 9) + short[j + 12 :]
+    _r, _c, _b, cut = wav_decode_samples(short)
+    # frame0 + 8 nibbles from the surviving word
+    assert cut == full[:9]

@@ -233,16 +233,23 @@ def _adpcm_decode_data(
             f"{samples_per_block} samples/block x {channels} ch"
         )
     out: list[int] = []
-    if len(data) % block_align:
-        # trailing bytes that are not a whole block are not decodable
-        # ADPCM state — surface them instead of silently dropping audio
-        raise WAVCorruptError(
-            f"data chunk {len(data)} B is not a multiple of "
-            f"block align {block_align}"
-        )
-    n_blocks = len(data) // block_align
+    rem = len(data) % block_align
+    if rem:
+        # a legitimately short FINAL block (real-world encoders write
+        # one when the stream ends mid-block; r10 ADVICE — rejecting
+        # it dropped valid files).  It is self-contained (per-channel
+        # header + fewer nibble words), so decode it like any block —
+        # but it must still carry complete per-channel headers and
+        # whole 4-byte data words, or it is not ADPCM state at all
+        if rem < 4 * channels or (rem - 4 * channels) % (4 * channels):
+            raise WAVCorruptError(
+                f"trailing {rem} B is not a header plus whole "
+                f"per-channel words (block align {block_align})"
+            )
+    n_blocks = (len(data) + block_align - 1) // block_align
     for b in range(n_blocks):
         pos = b * block_align
+        end = min(pos + block_align, len(data))
         pred = [0] * channels
         idx = [0] * channels
         frame0 = []
@@ -254,9 +261,12 @@ def _adpcm_decode_data(
             pred[c], idx[c] = first, sidx
             frame0.append(first)
         out.extend(frame0)
-        # decode per channel, then re-interleave frame-major
+        # decode per channel, then re-interleave frame-major; a short
+        # final block simply supplies fewer word groups
         chan_samples = [[] for _ in range(channels)]
         for _g in range(need_words):
+            if pos >= end:
+                break
             for c in range(channels):
                 word = data[pos : pos + 4]
                 pos += 4
@@ -266,7 +276,7 @@ def _adpcm_decode_data(
                             continue  # pad nibbles beyond sample count
                         pred[c], idx[c] = _adpcm_step(pred[c], idx[c], nib)
                         chan_samples[c].append(pred[c])
-        for i in range(npb):
+        for i in range(min(len(s) for s in chan_samples) if channels else 0):
             for c in range(channels):
                 out.append(chan_samples[c][i])
     return out
