@@ -127,6 +127,10 @@ PROBE = [
     ("q9_nation_profit", False),
     ("scd2_point_in_time_join", False),
     ("sql_api_running_revenue", False),
+    # r11 additions: the two remaining TPC-H queries whose forced
+    # broadcast hints on part/per-part aggregates were dropped
+    ("q16_supplier_diversity", False),
+    ("q17_small_qty_revenue", False),
 ]
 
 
@@ -194,6 +198,13 @@ def main() -> int:
     for name, want_rows in todo:
         fn = REGISTRY[name].fn
         rec = {}
+        # pooled queries must measure the real computation at BOTH
+        # SFs, not a pool hit left by a sibling probe (r11)
+        from world_vaccination_coverage_etl_spark.queries._core import (
+            clear_pools,
+        )
+
+        clear_pools()
         for key, sf_dir in (("sf01", sf01), ("sf10", sf10)):
             try:
                 before = _exec_totals(spark)

@@ -20,79 +20,26 @@ from ._core import QueryDef  # noqa: F401
 #   5. the tail is everything green in the PREVIOUS round's driver run
 #      — freshest evidence, safest to defer.
 #
-# Round-10 ordering: the ONE query registered this round
-# (fuzzy_match_topk_docs) has no driver row and leads the window.
-# Previous round-9 note: the seven queries REGISTERED r9 after the
-# r8 driver gate have no driver row yet and lead the window —
-# multimodal_decode_jpeg_ac, multimodal_decode_progressive,
-# multimodal_decode_jpeg420, multimodal_decode_adpcm,
-# multimodal_sample_avi, multimodal_sample_mp4,
-# multimodal_resize_image (each already green in this repo's own
-# tools/check_correctness.py sweeps; the driver row is the external
-# certification).  Head fill (positions 8-50) and the tail are the
-# 193 green-certified entries, least-recently-certified first (round,
-# then registration order) so any window re-certifies the stalest
-# evidence next.
+# Round-11 ordering: the backlog is fully drained (201/201 certified,
+# zero never-certified, zero new registrations this round), so the
+# whole registry sits in _CERT_LATE sorted least-recently-certified
+# first — the 50-entry driver window re-certifies the 50 STALEST green
+# rows, starting at events_daily_ewma (r10 verdict item 6).  The four
+# queries whose plans changed this round (naive_bayes restructure,
+# degree-oriented triangles, pooled CC) keep their positions: the
+# stalest-first rule already resurfaces each within a few rounds, and
+# this repo's own 201-query DuckDB sweep re-certifies every changed
+# plan each round regardless.
 #
 # Lists are derived mechanically (tools/rotation_audit.py --emit
 # regenerates them; plain run checks them); do not hand-edit without
 # re-running the audit.
 
 _CERT_EARLY = [
-    "fuzzy_match_topk_docs",
 ]
 
 
 _CERT_LATE = [
-    "multimodal_features_fake",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q13_customer_distribution",
-    "q17_small_qty_revenue",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q16_supplier_diversity",
-    "doc_concat_shards",
-    "sql_api_running_revenue",
-    "domain_cap_sample",
-    "incremental_dedup_new_docs",
-    "streaming_two_level_window",
-    "streaming_sink_jsonl_events",
-    "stream_attribution_outer",
-    "doc_unigram_logprob",
-    "corpus_health_by_source",
-    "exact_k_sample_docs",
-    "hard_negatives_topk",
-    "embedding_norm_stats",
-    "semantic_dedup_clusters",
-    "quantization_error_by_label",
-    "dedup_rate_by_source",
-    "peak_load_1h",
-    "fk_orphan_audit",
-    "zipf_slope_words",
-    "gains_table_embedding",
-    "jackknife_mean_se",
-    "label_separation_stats",
-    "weekday_seasonality",
-    "kfold_assignment_docs",
-    "rolling_slope_7d",
-    "rfm_user_segments",
-    "sql_recursive_calendar",
-    "auc_rank_embedding",
-    "multimodal_byte_entropy",
-    "doc_blocklist_filter",
-    "cdc_apply_user_state",
-    "chi2_independence_lang_source",
-    "heavy_hitters_users",
-    "incremental_agg_merge",
-    "assign_global_ids_docs",
-    "doc_segment_dedup",
-    "embedding_int8_quantize",
-    "profile_orders_columns",
-    "check_constraints_orders",
-    "scd2_user_event_type",
     "events_daily_ewma",
     "events_daily_anomaly",
     "limit_head",
@@ -244,7 +191,58 @@ _CERT_LATE = [
     "multimodal_sample_avi",
     "multimodal_sample_mp4",
     "multimodal_resize_image",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q16_supplier_diversity",
+    "doc_concat_shards",
+    "sql_api_running_revenue",
+    "domain_cap_sample",
+    "incremental_dedup_new_docs",
+    "streaming_two_level_window",
+    "streaming_sink_jsonl_events",
+    "stream_attribution_outer",
+    "doc_unigram_logprob",
+    "corpus_health_by_source",
+    "exact_k_sample_docs",
+    "hard_negatives_topk",
+    "embedding_norm_stats",
+    "semantic_dedup_clusters",
+    "quantization_error_by_label",
+    "dedup_rate_by_source",
+    "peak_load_1h",
+    "fk_orphan_audit",
+    "zipf_slope_words",
+    "gains_table_embedding",
+    "jackknife_mean_se",
+    "label_separation_stats",
+    "weekday_seasonality",
+    "kfold_assignment_docs",
+    "rolling_slope_7d",
+    "rfm_user_segments",
+    "sql_recursive_calendar",
+    "auc_rank_embedding",
+    "multimodal_byte_entropy",
+    "doc_blocklist_filter",
+    "cdc_apply_user_state",
+    "chi2_independence_lang_source",
+    "heavy_hitters_users",
+    "incremental_agg_merge",
+    "multimodal_features_fake",
+    "assign_global_ids_docs",
+    "doc_segment_dedup",
+    "embedding_int8_quantize",
+    "profile_orders_columns",
+    "check_constraints_orders",
+    "scd2_user_event_type",
+    "fuzzy_match_topk_docs",
 ]
+
 
 def _rotated(registry: dict[str, QueryDef]) -> dict[str, QueryDef]:
     listed = set(_CERT_EARLY) | set(_CERT_LATE)
