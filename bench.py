@@ -129,10 +129,19 @@ def main() -> int:
         "n_queries": len(per_query),
         # full observations per query (r10 ADVICE: the best-of-2 min
         # of a POOLED query measures a pool hit, so the cold first
-        # run is recorded separately and gated below)
+        # run is recorded separately and gated below).  The two
+        # streaming resume-pool queries' first runs are naturally
+        # cold in a fresh bench process; they are recorded here too
+        # but gated by tools/streaming_scale_probe.py (their baseline
+        # rows were recorded as resume cost, so cold-vs-baseline
+        # would be apples-to-oranges).
         "runs": all_runs,
         "pooled_cold": {
-            q: all_runs[q][0] for q in sorted(POOLED_QUERIES)
+            q: all_runs[q][0]
+            for q in sorted(
+                POOLED_QUERIES
+                | {"streaming_tumbling_append", "streaming_sink_jsonl_events"}
+            )
             if q in all_runs
         },
     }
@@ -197,7 +206,7 @@ def main() -> int:
         cold_norm = {
             q: round(full["pooled_cold"][q] / base[q] / host, 2)
             for q in full["pooled_cold"]
-            if q in base and base[q] > 0
+            if q in POOLED_QUERIES and q in base and base[q] > 0
         }
         full["cold_norm"] = cold_norm
     except Exception as exc:  # noqa: BLE001 — comparison is advisory
