@@ -95,9 +95,19 @@ def main() -> int:
 
     per_query: dict[str, float] = {}
     t_wall = time.time()
-    # sorted order, matching bench.py's rotation-independent pass (r10)
-    for name in sorted(REGISTRY) if only is None else sorted(only & set(REGISTRY)):
-        a, b = timed(name), timed(name)
+    # sorted order, matching bench.py's rotation-independent pass
+    # (r10), with bench.py's r11 INTERLEAVED passes: the whole list
+    # runs once, then again, so each query's two samples sit a full
+    # pass apart — decorrelated from the minutes-long host-speed
+    # windows that poison back-to-back samples together (see
+    # bench.py's loop comment for the measured evidence)
+    names = sorted(REGISTRY) if only is None else sorted(only & set(REGISTRY))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _pass in range(2):
+        for name in names:
+            samples[name].append(timed(name))
+    for name in names:
+        a, b = samples[name]
         if min(a, b) < 1.0:  # sub-second cohort: MEDIAN-of-3
             best = sorted((a, b, timed(name)))[1]
         else:  # plan-dominated cohort: best-of-2 min (bench.py's rule)
