@@ -1,0 +1,169 @@
+"""IVF-flat ANN tests: quantizer determinism, assignment tie rule,
+JVM/batched parity, recall, and the k-means centroid plug-in."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from world_vaccination_coverage_etl_spark.operators.clustering import (
+    kmeans_fit_predict,
+)
+from world_vaccination_coverage_etl_spark.operators.similarity import (
+    adaptive_nlist,
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    ivf_assign,
+    ivf_assign_batched,
+    sampled_centroids,
+)
+
+
+def _clustered(n_clusters=8, per_cluster=25, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            v = c + 0.15 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_adaptive_nlist_regimes():
+    # certification corpora stay in the 16-cell regime the static SQL
+    # reproduces; growth is n/target; the flat quantizer caps at 4096
+    assert adaptive_nlist(500) == 16
+    assert adaptive_nlist(2000) == 16
+    assert adaptive_nlist(256 * 16) == 16
+    assert adaptive_nlist(200_000) == 782
+    assert adaptive_nlist(10**9) == 4096
+
+
+def test_sampled_centroids_match_hashlib_ranking(spark):
+    rows = _clustered(n_clusters=4, per_cluster=10)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sampled_centroids(df, nlist=8)
+    # recompute the md5 ranking engine-free: same ids, same order
+    ranked = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0])
+    )[:8]
+    by_vec = {tuple(v): i for i, v in rows}
+    got_ids = [by_vec[tuple(v)] for _, v in cents]
+    assert got_ids == [r[0] for r in ranked]
+    assert [cid for cid, _ in cents] == list(range(8))
+
+
+def test_assign_tie_breaks_to_lowest_cid(spark):
+    rows = _clustered(n_clusters=2, per_cluster=5)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = [1.0] + [0.0] * 15
+    # two identical centroids: every row's scores tie; both paths must
+    # pick cid 0 (oracle rule: ORDER BY score DESC, cid)
+    dup = [(0, c), (1, c)]
+    for assign in (ivf_assign, ivf_assign_batched):
+        got = assign(df, dup).select("list_id").distinct().collect()
+        assert [r.list_id for r in got] == [0], assign.__name__
+
+
+def test_batched_assignment_matches_jvm(spark):
+    rows = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sampled_centroids(df, nlist=16)
+    jvm = {
+        r.vec_id: r.list_id
+        for r in ivf_assign(df, cents).select("vec_id", "list_id").collect()
+    }
+    batched = {
+        r.vec_id: r.list_id
+        for r in ivf_assign_batched(df, cents)
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    assert jvm == batched
+
+
+def test_ivf_probe_all_lists_is_exact(spark):
+    rows = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    exact = [
+        (r.vec_id, r.cosine)
+        for r in cosine_topk_bruteforce(df, q, k=10, round_dp=6).collect()
+    ]
+    full_probe = [
+        (r.vec_id, r.cosine)
+        for r in cosine_topk_ivf(
+            df, q, k=10, nlist=16, nprobe=16, round_dp=6
+        ).collect()
+    ]
+    assert full_probe == exact
+
+
+def test_ivf_recall_against_bruteforce(spark):
+    rows = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    exact = {r.vec_id for r in cosine_topk_bruteforce(df, q, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in cosine_topk_ivf(df, q, k=10, nlist=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall} below 0.8"
+
+
+def test_kmeans_centroids_plug_in(spark):
+    # trained (non-sampled) centroids use the same downstream: the
+    # query's own cell is probed, so the query vector itself tops the
+    # result with cosine 1.0
+    rows = _clustered(n_clusters=4, per_cluster=20)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, cents = kmeans_fit_predict(df, k=4, n_iter=2)
+    centroids = list(enumerate(cents))
+    q = rows[0][1]
+    got = cosine_topk_ivf(
+        df, q, k=5, nprobe=2, round_dp=6, centroids=centroids
+    ).collect()
+    assert len(got) == 5
+    assert got[0].vec_id == 0 and got[0].cosine == 1.0
+    cos = [r.cosine for r in got]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_cell_occupancy_partitions_the_corpus(spark):
+    # the inverted lists are a PARTITION of the corpus: counts sum to
+    # n, every cid is in range, and the histogram matches a per-row
+    # recount of the same assignment
+    rows = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sampled_centroids(df, nlist=16)
+    assigned = ivf_assign(df, cents).select("vec_id", "list_id").collect()
+    assert len(assigned) == len(rows)
+    assert all(0 <= r.list_id < 16 for r in assigned)
+    hist = {}
+    for r in assigned:
+        hist[r.list_id] = hist.get(r.list_id, 0) + 1
+    counted = (
+        ivf_assign(df, cents).groupBy("list_id").count().collect()
+    )
+    assert {r.list_id: r["count"] for r in counted} == hist
+
+
+def test_ivf_large_nlist_uses_batched_path(spark):
+    # past IVF_JVM_NLIST_MAX the plan must not carry per-centroid
+    # literal arrays: the assignment shows up as a single Arrow eval
+    rows = _clustered(n_clusters=8, per_cluster=30, dim=8, seed=3)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sampled_centroids(df, nlist=80)
+    q = rows[0][1]
+    out = cosine_topk_ivf(
+        df, q, k=5, nprobe=8, round_dp=6, centroids=cents
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert len(out.collect()) == 5

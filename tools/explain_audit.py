@@ -131,6 +131,8 @@ HEADLINE = [
     "gains_table_embedding",
     "jackknife_mean_se",
     "zipf_slope_words",
+    # r11: the new IVF ANN registration
+    "cosine_topk_ivf",
 ]
 
 

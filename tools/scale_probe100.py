@@ -131,6 +131,10 @@ PROBE = [
     # broadcast hints on part/per-part aggregates were dropped
     ("q16_supplier_diversity", False),
     ("q17_small_qty_revenue", False),
+    # r11 new registration: at sf10 the 200k-vector corpus crosses
+    # adaptive_nlist's 16-cell floor (782 cells) and exercises the
+    # Arrow-batched assignment path the certification SFs never see
+    ("cosine_topk_ivf", False),
 ]
 
 

@@ -400,3 +400,234 @@ def hard_negatives_within_blocks(
         .groupBy(block_col)
         .applyInPandas(_mine_block, schema=schema)
     )
+
+
+# --------------------------------------------------------------------- #
+# IVF-flat ANN (inverted-file index with a deterministic coarse
+# quantizer) — the second classic ANN scale path next to sign-LSH.
+# Lifts the reference's scan-then-rank per-series access pattern
+# (reference streamlit_app.py:112-126) to vector data the IVF way:
+# partition the corpus into nlist Voronoi cells, search only the
+# nprobe cells whose centroids score best against the query.
+
+
+def adaptive_nlist(
+    n_rows: int,
+    target_occupancy: int = 256,
+    min_lists: int = 16,
+    max_lists: int = 4096,
+) -> int:
+    """List-count dial for the IVF family (see ``adaptive_lsh_bits``).
+
+    A fixed ``nlist`` means expected cell occupancy — and the per-probe
+    scan — grows linearly with the corpus; scaling lists with
+    n/target keeps the probed fraction's cost O(nprobe·target) per
+    query regardless of corpus size.  Floored at ``min_lists`` so
+    small/certification corpora keep the 16-cell layout the static
+    oracles reproduce; capped at ``max_lists`` because beyond that a
+    flat coarse quantizer is itself the bottleneck and the honest next
+    step is a two-level (IVF-in-IVF) quantizer, not more cells.
+    """
+    import math
+
+    if n_rows <= target_occupancy * min_lists:
+        return min_lists
+    return max(
+        min_lists, min(max_lists, math.ceil(n_rows / target_occupancy))
+    )
+
+
+def sampled_centroids(
+    df: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``nlist`` vectors whose ids
+    md5-hash smallest, in hash order (ties by id).
+
+    md5 of the id's decimal string is an order-free uniform sample —
+    the same rows are chosen by any engine at any partitioning, so a
+    SQL oracle can rebuild the exact quantizer (k-means-quality
+    centroids plug into the same downstream via ``ivf_assign``; the
+    sampled quantizer is the certifiable baseline, as in FAISS where
+    random-sample coarse quantizers are the documented cheap
+    fallback).  Returns [(cid, vector)] with cid = rank in hash order.
+    Driver-side collect is nlist rows — model-sized, like the query
+    vector every top-k entry already collects.
+    """
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(nlist)
+        .collect()
+    )
+    return [
+        (cid, [float(x) for x in r[vec_col]]) for cid, r in enumerate(rows)
+    ]
+
+
+def _py_fold_cosine(a: Sequence[float], b: Sequence[float]) -> float:
+    """Left-to-right double-fold cosine — bit-identical to the JVM
+    ``aggregate`` fold and DuckDB's ``list_sum(list_transform(...))``
+    (all three add in array order in IEEE double)."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    import math
+
+    den = math.sqrt(na) * math.sqrt(nb)
+    return dot / den if den > 0 else 0.0
+
+
+def _round_half_away(x: float, dp: int) -> float:
+    """Round half away from zero — what Spark's ``F.round`` and
+    DuckDB's ``round()`` do; Python's builtin rounds half to even."""
+    import math
+
+    scale = 10.0 ** dp
+    return math.copysign(math.floor(abs(x) * scale + 0.5) / scale, x)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    list_col: str = "list_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Assign every row to its best-cosine centroid (tie: lowest cid).
+
+    The argmax is one codegen'd expression: an array of
+    (-score, cid) structs reduced by ``array_min`` — no shuffle, no
+    Python, no join.  Scores are rounded to ``round_dp`` BEFORE the
+    argmax so a near-tie resolves by cid identically in any engine
+    ranking the rounded value (the DuckDB oracle does).  Viable to a
+    few hundred centroids (the plan carries nlist literal arrays);
+    past that use ``ivf_assign_batched``.
+    """
+    import math
+
+    v = F.col(vec_col).cast("array<double>")
+    vn = _norm(v)
+    entries = []
+    for cid, c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cn = 0.0
+        for x in c:
+            cn += float(x) * float(x)
+        cn = math.sqrt(cn)
+        den = vn * F.lit(cn)
+        s = F.when(den > 0, _dot(v, carr) / den).otherwise(F.lit(0.0))
+        if round_dp is not None:
+            s = F.round(s, round_dp)
+        entries.append(
+            F.struct((-s).alias("ns"), F.lit(cid).alias("cid"))
+        )
+    best = F.array_min(F.array(*entries))["cid"]
+    return df.withColumn(list_col, best)
+
+
+def ivf_assign_batched(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    list_col: str = "list_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """``ivf_assign`` as one Arrow-batched numpy matmul per batch —
+    the big-nlist path (O(dim·nlist) BLAS per row instead of nlist
+    interpreted Catalyst folds; the plan carries one broadcast-closure
+    matrix instead of nlist literal arrays).
+
+    Same tie rule (rounded score, lowest cid).  The only divergence
+    channel vs the JVM variant is float summation order inside the
+    BLAS dot product, material only when two centroids' rounded scores
+    straddle a 10^-round_dp boundary by <1 ulp — the same documented
+    channel as ``lsh_bucket_batched``.
+    """
+    cmat = np.stack(
+        [np.asarray(c, dtype="float64") for _, c in centroids]
+    )  # (nlist, dim)
+    cids = np.asarray([cid for cid, _ in centroids], dtype="int64")
+    cnorm = np.linalg.norm(cmat, axis=1)
+    csafe = np.where(cnorm > 0, cnorm, 1.0)
+    cunit = (cmat / csafe[:, None]).T.copy()  # (dim, nlist)
+    scale = 10.0 ** round_dp if round_dp is not None else None
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype="float64") for v in col])
+        norms = np.linalg.norm(m, axis=1)
+        safe = np.where(norms > 0, norms, 1.0)
+        cos = (m / safe[:, None]) @ cunit
+        cos[norms == 0, :] = 0.0
+        cos[:, cnorm == 0] = 0.0
+        if scale is not None:
+            # HALF_UP like F.round / DuckDB round (np.round is
+            # half-to-even)
+            cos = np.sign(cos) * np.floor(np.abs(cos) * scale + 0.5) / scale
+        # argmax score, tie -> lowest cid: scan reversed columns so the
+        # FIRST max numpy keeps is the lowest cid
+        order = np.argsort(cids)
+        best = order[np.argmax(cos[:, order], axis=1)]
+        return pd.Series(cids[best].astype("int32"))
+
+    return df.withColumn(list_col, _assign(F.col(vec_col)))
+
+
+# plan-size threshold between the literal-array argmax and the
+# batched matmul assignment (structs × dim literals per centroid)
+IVF_JVM_NLIST_MAX = 64
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int | None = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-flat ANN top-k: score only rows assigned to the ``nprobe``
+    cells whose centroids best match the query.
+
+    Recall/cost dial: the scanned fraction is ~nprobe/nlist of the
+    corpus.  ``centroids`` defaults to the deterministic md5 sample
+    (oracle-reproducible); k-means-trained centroids plug straight in.
+    At 100 TB the assignment is the index BUILD — materialize it once
+    partitioned by ``list_id`` (partition pruning then serves every
+    probe without touching the other cells); this inline form exists
+    so the certified query is self-contained.
+    """
+    if centroids is None:
+        centroids = sampled_centroids(df, nlist, vec_col, id_col)
+    qvec = [float(x) for x in query]
+    probe_scores = []
+    for cid, c in centroids:
+        s = _py_fold_cosine(qvec, c)
+        if round_dp is not None:
+            s = _round_half_away(s, round_dp)
+        probe_scores.append((-s, cid))
+    probe_cids = [cid for _, cid in sorted(probe_scores)[:nprobe]]
+
+    assign = (
+        ivf_assign if len(centroids) <= IVF_JVM_NLIST_MAX
+        else ivf_assign_batched
+    )
+    assigned = assign(df, centroids, vec_col=vec_col, round_dp=round_dp)
+    candidates = assigned.filter(F.col("list_id").isin(probe_cids))
+    score = cosine_score(F.col(vec_col), qvec)
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    scored = candidates.select(F.col(id_col), score.alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -43,9 +43,15 @@ from ..operators.dedup import (
 )
 from ..operators.reshape import unpivot_measures
 from ..operators.similarity import (
+    IVF_JVM_NLIST_MAX,
+    adaptive_nlist,
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
+    ivf_assign,
+    ivf_assign_batched,
     knn_all_pairs_bruteforce,
+    sampled_centroids,
 )
 from ..operators.text import (
     BPE_ISH_PATTERN,
@@ -334,9 +340,15 @@ __all__ = [
     'simhash_md5_near_dup_pairs',
     'substring_dup_spans',
     'unpivot_measures',
+    'IVF_JVM_NLIST_MAX',
+    'adaptive_nlist',
     'cosine_topk_bruteforce',
+    'cosine_topk_ivf',
     'cosine_topk_lsh',
+    'ivf_assign',
+    'ivf_assign_batched',
     'knn_all_pairs_bruteforce',
+    'sampled_centroids',
     'BPE_ISH_PATTERN',
     'LANG_MARKERS',
     'STOPWORDS_EN',

@@ -21,10 +21,13 @@ from ._core import QueryDef  # noqa: F401
 #      — freshest evidence, safest to defer.
 #
 # Round-11 ordering: the backlog is fully drained (201/201 certified,
-# zero never-certified, zero new registrations this round), so the
-# whole registry sits in _CERT_LATE sorted least-recently-certified
-# first — the 50-entry driver window re-certifies the 50 STALEST green
-# rows, starting at events_daily_ewma (r10 verdict item 6).  The four
+# zero never-certified at round start), so the whole r10 registry sits
+# in _CERT_LATE sorted least-recently-certified first — the 50-entry
+# driver window re-certifies the STALEST green rows, starting at
+# events_daily_ewma (r10 verdict item 6).  The one NEW registration
+# this round (cosine_topk_ivf) is deliberately absent from both lists:
+# _rotated places unlisted names at the head, so it leads the window
+# per policy rule 2.  The four
 # queries whose plans changed this round (naive_bayes restructure,
 # degree-oriented triangles, pooled CC) keep their positions: the
 # stalest-first rule already resurfaces each within a few rounds, and

@@ -103,6 +103,139 @@ def q_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+def _ivf_topk_oracle(sf_dir: str, nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB oracle reproducing the whole IVF path in SQL: the
+    deterministic coarse quantizer (nlist smallest md5(id) vectors, in
+    hash order), the rounded-cosine argmax assignment (tie: lowest
+    cid), the rounded-cosine nprobe probe set (tie: lowest cid), and
+    the within-probed-cells top-k.  ``nlist`` is recomputed from the
+    warehouse row count exactly as the Spark plan computes it, so the
+    oracle certifies the SAME list-count regime at any SF (the
+    adaptive-oracle pattern established by knn_blocked_lsh)."""
+    nlist = adaptive_nlist(parquet_num_rows(sf_dir, "embeddings"))
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(CASE
+          WHEN sqrt(list_dot_product({a}, {a}))
+               * sqrt(list_dot_product({b}, {b})) > 0
+          THEN list_dot_product({a}, {b})
+               / (sqrt(list_dot_product({a}, {a}))
+                  * sqrt(list_dot_product({b}, {b})))
+          ELSE 0.0 END, 6)"""
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    c AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS cid,
+             emb AS cemb
+      FROM v
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= {nlist}),
+    assign AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT v.vec_id, v.emb, c.cid, {cos('v.emb', 'c.cemb')} AS s
+        FROM v, c)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid) = 1),
+    q AS (SELECT emb AS qemb FROM v WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, {cos('c.cemb', 'q.qemb')} AS s FROM c, q)
+      QUALIFY row_number() OVER (ORDER BY s DESC, cid) <= {nprobe}),
+    scored AS (
+      SELECT a.vec_id, {cos('a.emb', 'q.qemb')} AS cosine
+      FROM assign a JOIN probe p USING (cid) CROSS JOIN q)
+    SELECT vec_id, cosine
+    FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "cosine_topk_ivf",
+    _ivf_topk_oracle,
+    note="IVF-flat ANN top-k (operators/similarity.py cosine_topk_ivf): "
+    "deterministic md5-sampled coarse quantizer, rounded-cosine argmax cell "
+    "assignment, nprobe=4 probed cells of adaptive_nlist(n) — the scanned "
+    "fraction is ~nprobe/nlist of the corpus.  Oracle rebuilds quantizer + "
+    "assignment + probe set + search in pure SQL at the same nlist regime; "
+    "recall vs brute force additionally asserted in tests/test_similarity_ivf.py. "
+    "At 100 TB the assignment is the index build, materialized once partitioned "
+    "by list_id so probes become partition pruning",
+)
+def q_cosine_topk_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    nlist = adaptive_nlist(parquet_num_rows(sf_dir, "embeddings"))
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # round_dp=6: every comparison (assignment argmax, probe choice,
+    # final rank) happens on the 6-dp-rounded score so boundary ties
+    # resolve by (cid | vec_id) exactly like the oracle
+    topk = cosine_topk_ivf(e, qvec, k=10, nlist=nlist, nprobe=4, round_dp=6)
+    return topk.select("vec_id", "cosine").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+
+
+def _ivf_occupancy_oracle(sf_dir: str) -> str:
+    """Occupancy histogram over the same quantizer + assignment CTEs
+    as `_ivf_topk_oracle` — certifying the index BUILD side (the
+    assignment every probe of `cosine_topk_ivf` scans)."""
+    nlist = adaptive_nlist(parquet_num_rows(sf_dir, "embeddings"))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    c AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS cid,
+             emb AS cemb
+      FROM v
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= {nlist}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               round(CASE
+                 WHEN sqrt(list_dot_product(v.emb, v.emb))
+                      * sqrt(list_dot_product(c.cemb, c.cemb)) > 0
+                 THEN list_dot_product(v.emb, c.cemb)
+                      / (sqrt(list_dot_product(v.emb, v.emb))
+                         * sqrt(list_dot_product(c.cemb, c.cemb)))
+                 ELSE 0.0 END, 6) AS s
+        FROM v, c)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid) = 1)
+    SELECT cid AS list_id, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM assign GROUP BY cid ORDER BY list_id
+    """
+
+
+@register(
+    "ivf_cell_occupancy",
+    _ivf_occupancy_oracle,
+    note="IVF index-build audit: per-cell occupancy of the deterministic "
+    "quantizer's assignment (operators/similarity.py ivf_assign).  Inverted-"
+    "list balance is the probe-latency bound — a hot cell is the IVF analogue "
+    "of a skewed shuffle key; at 100 TB this IS the audit run after the "
+    "materialized index build.  One shuffle of nlist-sized partial counts "
+    "(map-side combine); oracle shares cosine_topk_ivf's quantizer+assignment "
+    "CTEs so both entries certify the same index",
+)
+def q_ivf_cell_occupancy(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    nlist = adaptive_nlist(parquet_num_rows(sf_dir, "embeddings"))
+    cents = sampled_centroids(e, nlist)
+    assign = ivf_assign if nlist <= IVF_JVM_NLIST_MAX else ivf_assign_batched
+    return (
+        assign(e, cents)
+        .groupBy(F.col("list_id").cast("long").alias("list_id"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("list_id")
+    )
+
+
 @register(
     "knn_allpairs_small",
     f"""
