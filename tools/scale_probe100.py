@@ -135,6 +135,7 @@ PROBE = [
     # adaptive_nlist's 16-cell floor (782 cells) and exercises the
     # Arrow-batched assignment path the certification SFs never see
     ("cosine_topk_ivf", False),
+    ("ivf_cell_occupancy", False),
 ]
 
 
