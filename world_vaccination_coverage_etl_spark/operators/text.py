@@ -358,9 +358,11 @@ def repetition_stats(
     each token with its successors (zip pads the shorter slices with
     null, exactly lead's end-of-partition semantics) — so the only
     shuffle in the whole plan is the two-phase count per
-    (doc, n, gram), whose key is high-cardinality and fixed-width.
-    Nothing is quadratic in document length and no per-doc ordering
-    ever crosses the wire.
+    (doc, n, xxhash64(gram)), whose key is high-cardinality and a
+    FIXED 8 bytes (the gram string never materializes — see
+    gram_struct below for the collision argument).  Nothing is
+    quadratic in document length and no per-doc ordering ever
+    crosses the wire.
     """
     max_n = max(ns)
     toks = _tokens(F.col(text_col))
@@ -379,22 +381,29 @@ def repetition_stats(
     )
 
     def gram_struct(n: int) -> F.Column:
+        # the gram string itself never reaches the output — only its
+        # IDENTITY within a (doc, n) group matters — so the count key
+        # is xxhash64 over the token columns: no per-gram string
+        # allocation, and the count shuffle carries a fixed 8-byte key
+        # instead of the gram text (r11: 173 s -> 126 s at sf10, 27%).
+        # Collision exposure is within-(doc, n) only — ~(grams/doc)²/2⁶⁵
+        # per doc, ~1e-13 at 1e3-token docs — and deterministic (the
+        # same inputs hash the same everywhere), the same class of
+        # assumption as the md5-prefix simhash signatures.
         parts = [F.col("w")] + [F.col(f"w{i}") for i in range(1, n)]
         return F.struct(
             F.lit(n).alias("n"),
-            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias(
-                "gram"
-            ),
+            F.when(parts[-1].isNotNull(), F.xxhash64(*parts)).alias("gh"),
         )
 
     allg = (
         leads.select(
             id_col, F.explode(F.array(*[gram_struct(n) for n in ns])).alias("g")
         )
-        .select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-        .filter(F.col("gram").isNotNull())
+        .select(id_col, F.col("g.n").alias("n"), F.col("g.gh").alias("gh"))
+        .filter(F.col("gh").isNotNull())
     )
-    counts = allg.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+    counts = allg.groupBy(id_col, "n", "gh").agg(F.count("*").alias("cnt"))
     return (
         counts.groupBy(id_col, "n")
         .agg(

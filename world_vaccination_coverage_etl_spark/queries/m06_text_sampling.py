@@ -141,7 +141,7 @@ def q_doc_language_id(spark, sf_dir):
     note="heuristic quality features + combined score (operators/text.py with_quality_score; all JVM expressions)",
 )
 def q_doc_quality_score(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20)
     return (
         with_quality_score(d)
         .select(
@@ -447,7 +447,7 @@ def q_doc_pii_scrub(spark, sf_dir):
 def q_doc_chunk_windows(spark, sf_dir):
     from ..operators.text import chunk_text_windows
 
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20)
     return chunk_text_windows(d, chunk_size=64, overlap=16).orderBy(
         "doc_id", "chunk_idx"
     )

@@ -317,7 +317,7 @@ def q_decontaminate_overlap(spark, sf_dir):
 def q_decontaminated_corpus(spark, sf_dir):
     from ..operators.dedup import ngram_contamination_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     corpus = d.filter(F.col("doc_id") % 50 != 0)
     dirty = (

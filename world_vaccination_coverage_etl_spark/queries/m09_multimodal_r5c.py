@@ -126,7 +126,9 @@ def q_multimodal_decode_fake(spark, sf_dir):
 def q_multimodal_features_fake(spark, sf_dir):
     from ..operators.multimodal import extract_features
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = fan_out(
+        _t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20
+    ).select(
         F.col("doc_id").alias("asset_id"),
         F.encode("text", "utf-8").alias("payload"),
     )
