@@ -154,6 +154,32 @@ def test_cell_occupancy_partitions_the_corpus(spark):
     assert {r.list_id: r["count"] for r in counted} == hist
 
 
+def test_ivf_materialized_index_prunes_probed_cells(spark, tmp_path):
+    # the 100 TB posture claimed in the registry note: materialize the
+    # assignment once partitioned by list_id and a probe becomes
+    # PARTITION PRUNING — the unprobed cells' files are never opened
+    from pyspark.sql import functions as F
+
+    rows = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sampled_centroids(df, nlist=16)
+    out = str(tmp_path / "ivf_index")
+    ivf_assign(df, cents).write.partitionBy("list_id").parquet(out)
+
+    probe = spark.read.parquet(out).filter(F.col("list_id").isin([3, 7]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters")[1][:200]
+    # and the pruned read is exactly the probed cells' rows
+    full = {
+        r.vec_id
+        for r in ivf_assign(df, cents)
+        .filter(F.col("list_id").isin([3, 7]))
+        .collect()
+    }
+    assert {r.vec_id for r in probe.collect()} == full
+
+
 def test_ivf_large_nlist_uses_batched_path(spark):
     # past IVF_JVM_NLIST_MAX the plan must not carry per-centroid
     # literal arrays: the assignment shows up as a single Arrow eval
