@@ -131,8 +131,9 @@ HEADLINE = [
     "gains_table_embedding",
     "jackknife_mean_se",
     "zipf_slope_words",
-    # r11: the new IVF ANN registration
+    # r11: the new IVF / PQ ANN registrations
     "cosine_topk_ivf",
+    "pq_topk_adc",
 ]
 
 

@@ -136,6 +136,7 @@ PROBE = [
     # Arrow-batched assignment path the certification SFs never see
     ("cosine_topk_ivf", False),
     ("ivf_cell_occupancy", False),
+    ("pq_topk_adc", False),
 ]
 
 

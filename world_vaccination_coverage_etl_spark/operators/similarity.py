@@ -631,3 +631,127 @@ def cosine_topk_ivf(
         score = F.round(score, round_dp)
     scored = candidates.select(F.col(id_col), score.alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+# --------------------------------------------------------------------- #
+# Product quantization (PQ) with asymmetric-distance scoring — the
+# vector-COMPRESSION scale path that composes with the IVF cells above
+# into the classic IVF+PQ index: codes are m small ints per vector
+# (m bytes at k<=256 — 32x smaller than dim-64 float32), and a query
+# scans codes with integer adds against a broadcast lookup table
+# instead of touching the raw vectors.
+
+
+def pq_subspaces(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    return dim // m
+
+
+def pq_encode_batched(
+    df: DataFrame,
+    codebook_rows: list[tuple[int, list[float]]],
+    m: int = 8,
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Encode every vector to ``m`` codebook ids (one per subspace).
+
+    ``codebook_rows`` is the same [(code, vector)] shape
+    ``sampled_centroids`` returns — subspace j's codebook is the j-th
+    dim/m-wide slice of each sampled vector, so ONE deterministic
+    sample defines all m codebooks and a SQL oracle rebuilds them with
+    one CTE.  Per subspace the code is the argmin squared-L2 over the
+    k codes, distances rounded half-up to ``round_dp`` BEFORE the
+    argmin (tie -> lowest code) so the choice is engine-reproducible —
+    the ``kmeans_assign`` rounding contract.  One Arrow-batched numpy
+    broadcast per batch; no shuffle at any scale (encode IS the index
+    build — at 100 TB write codes once next to the IVF list_id).
+    """
+    C = np.stack([np.asarray(v, dtype="float64") for _, v in codebook_rows])
+    k, dim = C.shape
+    d = pq_subspaces(dim, m)
+    Cs = C.reshape(k, m, d)
+    codes = np.asarray([c for c, _ in codebook_rows], dtype=np.int64)
+    order = np.argsort(codes)
+    scale = 10.0 ** round_dp
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype="object")
+        X = np.stack([np.asarray(v, dtype="float64") for v in col])
+        Xs = X.reshape(len(X), m, d)
+        # dist[n, m, k]: per-subspace squared L2 to every code
+        diff = Xs[:, :, None, :] - Cs[None, :, :, :].transpose(0, 2, 1, 3)
+        dist = (diff * diff).sum(axis=3)
+        # HALF_UP like F.round / DuckDB round (np.round is half-even)
+        dist = np.floor(dist * scale + 0.5) / scale
+        # argmin over k, tie -> lowest code id (scan in code order;
+        # np.argmin keeps the FIRST minimum)
+        best = order[np.argmin(dist[:, :, order], axis=2)]
+        return pd.Series(list(codes[best].astype("int32")))
+
+    return df.withColumn(codes_col, _encode(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    codebook_rows: list[tuple[int, list[float]]],
+    k: int = 10,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): the query stays
+    full-precision, every corpus vector is its PQ codes, and the
+    distance is the sum of per-subspace query-to-code squared L2s.
+
+    The per-(subspace, code) distances are precomputed DRIVER-side
+    with a left-to-right double fold (bit-identical to the SQL
+    oracle's list fold), converted to integer MICROS (half-up at
+    ``round_dp=6``), and embedded as m literal long arrays: the
+    per-row score is m ``element_at`` lookups + integer adds — exact,
+    summation-order-free, reproducible in any engine.  Ranking is
+    (adc asc, id asc).  At scale this is the IVF+PQ probe step:
+    the LUT is one broadcast of m*k longs, the scan touches only
+    codes, never vectors.
+    """
+    import math
+
+    qvec = [float(x) for x in query]
+    dim = len(qvec)
+    d = pq_subspaces(dim, m)
+    by_code = {c: v for c, v in codebook_rows}
+    n_codes = len(codebook_rows)
+    luts = []
+    for j in range(m):
+        row = []
+        for code in range(n_codes):
+            cv = by_code[code]
+            acc = 0.0
+            for i in range(j * d, (j + 1) * d):
+                diff = qvec[i] - float(cv[i])
+                acc += diff * diff
+            row.append(int(math.floor(acc * (10.0 ** round_dp) + 0.5)))
+        luts.append(row)
+
+    encoded = pq_encode_batched(
+        df, codebook_rows, m=m, vec_col=vec_col, round_dp=round_dp
+    )
+    micros = None
+    for j in range(m):
+        # bigint lanes: a per-subspace term fits int32 only for small
+        # vectors, and the m-term SUM overflows it on real embeddings
+        lut = F.array(*[F.lit(v) for v in luts[j]]).cast("array<bigint>")
+        term = F.element_at(lut, F.col("codes")[j] + 1)
+        micros = term if micros is None else micros + term
+    adc = F.round(micros / F.lit(10.0 ** round_dp), round_dp)
+    return (
+        encoded.select(F.col(id_col), adc.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

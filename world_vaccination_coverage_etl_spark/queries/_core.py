@@ -51,6 +51,8 @@ from ..operators.similarity import (
     ivf_assign,
     ivf_assign_batched,
     knn_all_pairs_bruteforce,
+    pq_adc_topk,
+    pq_encode_batched,
     sampled_centroids,
 )
 from ..operators.text import (
@@ -348,6 +350,8 @@ __all__ = [
     'ivf_assign',
     'ivf_assign_batched',
     'knn_all_pairs_bruteforce',
+    'pq_adc_topk',
+    'pq_encode_batched',
     'sampled_centroids',
     'BPE_ISH_PATTERN',
     'LANG_MARKERS',

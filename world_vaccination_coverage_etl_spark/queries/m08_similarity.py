@@ -236,6 +236,73 @@ def q_ivf_cell_occupancy(spark, sf_dir):
     )
 
 
+_PQ_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS code,
+             emb AS cemb
+      FROM v
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= 16),
+    sub AS (SELECT unnest(range(0, 8)) AS j),
+    dists AS (
+      SELECT v.vec_id, sub.j, cb.code,
+             list_sum(list_transform(range(1, 9),
+               i -> (v.emb[sub.j*8 + i] - cb.cemb[sub.j*8 + i])
+                    * (v.emb[sub.j*8 + i] - cb.cemb[sub.j*8 + i]))) AS dsq
+      FROM v, sub, cb),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code, round(dsq, 6) AS rdsq FROM dists)
+      QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY rdsq, code) = 1),
+    q AS (SELECT emb AS qemb FROM v WHERE vec_id = 0),
+    lut AS (
+      SELECT sub.j, cb.code,
+             CAST(floor(list_sum(list_transform(range(1, 9),
+               i -> (q.qemb[sub.j*8 + i] - cb.cemb[sub.j*8 + i])
+                    * (q.qemb[sub.j*8 + i] - cb.cemb[sub.j*8 + i])))
+                  * 1000000.0 + 0.5) AS BIGINT) AS micros
+      FROM sub, cb, q),
+    adc AS (
+      SELECT e.vec_id, sum(l.micros) AS micros
+      FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+      GROUP BY e.vec_id)
+    SELECT vec_id, round(micros / 1000000.0, 6) AS adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+
+@register(
+    "pq_topk_adc",
+    _PQ_ORACLE,
+    note="product-quantization ANN top-k by asymmetric distance "
+    "(operators/similarity.py pq_encode_batched + pq_adc_topk): 8 subspaces x "
+    "16 codes from the SAME deterministic md5 sample as the IVF quantizer — "
+    "codes are 8 small ints per vector (32x smaller than the dim-64 float32), "
+    "the query-side LUT is 128 integer-micro distances computed driver-side "
+    "with the oracle's exact fold order, and the scan is element_at lookups + "
+    "exact bigint adds over codes, never vectors.  Composes with cosine_topk_ivf "
+    "into the FAISS-style IVF+PQ index (probe cells, ADC-scan codes).  Oracle "
+    "rebuilds codebooks + per-subspace rounded-argmin encode + LUT + ADC in "
+    "pure SQL; encode is certified end-to-end because every row's codes feed "
+    "the scored output",
+)
+def q_pq_topk_adc(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    cb = sampled_centroids(e, nlist=16)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    topk = pq_adc_topk(e, qvec, cb, k=10, m=8, round_dp=6)
+    return topk.select("vec_id", "adc_dist").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+
+
+
+
 @register(
     "knn_allpairs_small",
     f"""
