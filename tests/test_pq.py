@@ -115,3 +115,34 @@ def test_pq_recall_against_exact_l2(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"PQ recall {recall} below 0.5"
+
+
+def test_ivfpq_composition_restricts_to_probed_cells(spark):
+    # the composed index never ADC-scores a vector outside the probed
+    # cells: every returned id must sit in the 2 cells the query's
+    # cosine ranks best
+    from pyspark.sql import functions as F
+
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        _py_fold_cosine,
+        _round_half_away,
+        ivf_assign,
+    )
+
+    rows = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sample = sampled_centroids(df, nlist=16)
+    q = rows[0][1]
+    probe = sorted(
+        (-_round_half_away(_py_fold_cosine(q, c), 6), cid)
+        for cid, c in sample
+    )[:2]
+    probe_cids = {cid for _, cid in probe}
+    cand = ivf_assign(df, sample).filter(
+        F.col("list_id").isin(list(probe_cids))
+    )
+    cand_ids = {r.vec_id for r in cand.select("vec_id").collect()}
+    got = pq_adc_topk(cand, q, sample, k=10, m=4).collect()
+    assert got and all(r.vec_id in cand_ids for r in got)
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)

@@ -134,6 +134,7 @@ HEADLINE = [
     # r11: the new IVF / PQ ANN registrations
     "cosine_topk_ivf",
     "pq_topk_adc",
+    "ivfpq_topk_adc",
 ]
 
 

@@ -137,6 +137,7 @@ PROBE = [
     ("cosine_topk_ivf", False),
     ("ivf_cell_occupancy", False),
     ("pq_topk_adc", False),
+    ("ivfpq_topk_adc", False),
 ]
 
 

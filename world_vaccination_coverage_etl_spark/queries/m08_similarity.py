@@ -301,6 +301,108 @@ def q_pq_topk_adc(spark, sf_dir):
     )
 
 
+def _ivfpq_topk_oracle(sf_dir: str, nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB oracle for the COMPOSED IVF+PQ index: both quantizers are
+    md5-ranked prefixes of one sample (cells = first adaptive_nlist
+    rows by full-vector cosine argmax, PQ codebook = first 16 rows by
+    per-subspace L2 argmin), so a single ranked CTE feeds cell
+    assignment, probe choice, encode, and the ADC lookup — the search
+    scans only the probed cells' CODES."""
+    nlist = adaptive_nlist(parquet_num_rows(sf_dir, "embeddings"))
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(CASE
+          WHEN sqrt(list_dot_product({a}, {a}))
+               * sqrt(list_dot_product({b}, {b})) > 0
+          THEN list_dot_product({a}, {b})
+               / (sqrt(list_dot_product({a}, {a}))
+                  * sqrt(list_dot_product({b}, {b})))
+          ELSE 0.0 END, 6)"""
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS r,
+             emb AS cemb
+      FROM v
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= {max(nlist, 16)}),
+    c AS (SELECT r AS cid, cemb FROM ranked WHERE r < {nlist}),
+    cb AS (SELECT r AS code, cemb FROM ranked WHERE r < 16),
+    assign AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT v.vec_id, v.emb, c.cid, {cos('v.emb', 'c.cemb')} AS s
+        FROM v, c)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid) = 1),
+    q AS (SELECT emb AS qemb FROM v WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid, {cos('c.cemb', 'q.qemb')} AS s FROM c, q)
+      QUALIFY row_number() OVER (ORDER BY s DESC, cid) <= {nprobe}),
+    cand AS (
+      SELECT a.vec_id, a.emb FROM assign a JOIN probe p USING (cid)),
+    sub AS (SELECT unnest(range(0, 8)) AS j),
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT cand.vec_id, sub.j, cb.code,
+               round(list_sum(list_transform(range(1, 9),
+                 i -> (cand.emb[sub.j*8 + i] - cb.cemb[sub.j*8 + i])
+                      * (cand.emb[sub.j*8 + i] - cb.cemb[sub.j*8 + i]))),
+                 6) AS rdsq
+        FROM cand, sub, cb)
+      QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                                 ORDER BY rdsq, code) = 1),
+    lut AS (
+      SELECT sub.j, cb.code,
+             CAST(floor(list_sum(list_transform(range(1, 9),
+               i -> (q.qemb[sub.j*8 + i] - cb.cemb[sub.j*8 + i])
+                    * (q.qemb[sub.j*8 + i] - cb.cemb[sub.j*8 + i])))
+                  * 1000000.0 + 0.5) AS BIGINT) AS micros
+      FROM sub, cb, q),
+    adc AS (
+      SELECT e.vec_id, sum(l.micros) AS micros
+      FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+      GROUP BY e.vec_id)
+    SELECT vec_id, round(micros / 1000000.0, 6) AS adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "ivfpq_topk_adc",
+    _ivfpq_topk_oracle,
+    note="the COMPOSED FAISS-style IVF+PQ index (operators/similarity.py "
+    "cosine_topk_ivf's cell probe + pq_adc_topk's code scan): probe the "
+    "nprobe=4 best cells, ADC-rank only those cells' PQ codes — at 100 TB "
+    "the read is nprobe/nlist of an index that is itself 32x smaller than "
+    "the raw vectors, the endgame of the ANN scale path.  Both quantizers "
+    "are md5-ranked prefixes of ONE deterministic sample, so the oracle "
+    "rebuilds the entire composed index from a single ranked CTE (adaptive "
+    "nlist regime, same as cosine_topk_ivf)",
+)
+def q_ivfpq_topk_adc(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    nlist = adaptive_nlist(parquet_num_rows(sf_dir, "embeddings"))
+    sample = sampled_centroids(e, nlist=max(nlist, 16))
+    cents = sample[:nlist]
+    cb = sample[:16]
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    from ..operators.similarity import _py_fold_cosine, _round_half_away
+
+    probe_scores = []
+    for cid, c in cents:
+        probe_scores.append((-_round_half_away(_py_fold_cosine(qvec, c), 6), cid))
+    probe_cids = [cid for _, cid in sorted(probe_scores)[:4]]
+    assign = ivf_assign if nlist <= IVF_JVM_NLIST_MAX else ivf_assign_batched
+    cand = assign(e, cents).filter(F.col("list_id").isin(probe_cids))
+    topk = pq_adc_topk(cand, qvec, cb, k=10, m=8, round_dp=6)
+    return topk.select("vec_id", "adc_dist").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
 
 
 @register(
