@@ -228,11 +228,18 @@ def main() -> int:
 
     # compact stdout line: contract keys, but "queries" holds only the
     # slowest entries that keep the line under the driver's ~2000-char
-    # tail-capture window (these are also the ones worth plan-auditing)
+    # tail-capture window (these are also the ones worth plan-auditing).
+    # The full per-query observation tables ("runs", "pooled_cold")
+    # live ONLY in BENCH_LOCAL.json — inlining them here once made the
+    # line 8.6k chars, which the tail capture truncates mid-JSON into
+    # parsed:null (the BENCH_r05 failure mode, nearly re-shipped r11)
     slowest = dict(
         sorted(per_query.items(), key=lambda kv: -kv[1])
     )
-    compact = dict(full, queries={})
+    compact = {
+        k: v for k, v in full.items() if k not in ("runs", "pooled_cold")
+    }
+    compact["queries"] = {}
     compact["queries_detail"] = "BENCH_LOCAL.json"
     budget = 1800 - len(json.dumps(compact))
     for name, sec in slowest.items():
