@@ -119,6 +119,63 @@ def retrieve(spark, index, query: str, k: int = 5):
     )
 
 
+def build_ivfpq_index(spark, sf_dir: str, nlist: int = 16):
+    """The IVF+PQ flavor of step 3: same chunks + embeddings, but the
+    index is (cell id, PQ codes) — what a 100 TB deployment
+    materializes (partitioned by list_id; codes are 32x smaller than
+    the raw vectors, see queries ivfpq_topk_adc / DEPLOY.md)."""
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        ivf_assign_batched,
+        pq_encode_batched,
+        sampled_centroids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_text_windows(docs, chunk_size=64, overlap=16)
+    embedded = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_text",
+        embed_text(F.col("chunk_text")).alias("emb"),
+    ).withColumn(
+        "vec_id",
+        F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx"),
+    )
+    sample = sampled_centroids(embedded, nlist=nlist, vec_col="emb")
+    indexed = pq_encode_batched(
+        ivf_assign_batched(embedded, sample, vec_col="emb"),
+        sample,
+        m=8,
+        vec_col="emb",
+    )
+    return indexed, sample
+
+
+def retrieve_ivfpq(index, sample, query: str, k: int = 5, nprobe: int = 4):
+    """Probe the nprobe best cells, ADC-rank their codes — retrieval
+    never touches raw vectors (the emb column here exists only for
+    display; a materialized index would not store it)."""
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        _py_fold_cosine,
+        _round_half_away,
+        pq_adc_topk,
+    )
+
+    qv = [float(x) for x in _embed_tokens(query.lower().split())]
+    probe = sorted(
+        (-_round_half_away(_py_fold_cosine(qv, c), 6), cid)
+        for cid, c in sample
+    )[:nprobe]
+    cand = index.filter(
+        F.col("list_id").isin([cid for _, cid in probe])
+    )
+    top = pq_adc_topk(cand, qv, sample, k=k, m=8, vec_col="emb")
+    return top.join(
+        index.select("vec_id", "doc_id", "chunk_idx", "chunk_text"),
+        on="vec_id",
+    ).orderBy("adc_dist", "vec_id")
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
@@ -137,6 +194,18 @@ def main() -> int:
         )
     context = "\n\n".join(r.chunk_text for r in hits)
     print(f"assembled context: {len(context)} chars from {len(hits)} chunks")
+
+    # same corpus through the IVF+PQ index (the 100 TB retrieval path)
+    ivfpq, sample = build_ivfpq_index(spark, sf)
+    ivfpq = ivfpq.cache()
+    n_cells = ivfpq.select("list_id").distinct().count()
+    print(f"ivf+pq index: {ivfpq.count()} chunks in {n_cells} cells")
+    hits2 = retrieve_ivfpq(ivfpq, sample, query, k).collect()
+    for r in hits2:
+        print(
+            f"  adc={r.adc_dist:.4f} doc={r.doc_id} win={r.chunk_idx} "
+            f"text={r.chunk_text[:60]!r}"
+        )
     return 0
 
 

@@ -146,3 +146,68 @@ def test_ivfpq_composition_restricts_to_probed_cells(spark):
     assert got and all(r.vec_id in cand_ids for r in got)
     dists = [r.adc_dist for r in got]
     assert dists == sorted(dists)
+
+
+# ---------------------------------------------------------------- #
+# property pins (hypothesis): the contracts the JVM/batched parity
+# and the oracle ranking lean on, over randomized vectors including
+# zeros, negatives, and near-ties
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FAST = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_vec = st.lists(
+    st.floats(
+        min_value=-4.0, max_value=4.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=8,
+    max_size=8,
+)
+
+
+@given(st.lists(_vec, min_size=4, max_size=24), st.integers(2, 4))
+@_FAST
+def test_ivf_jvm_batched_parity_on_random_vectors(spark, vecs, nlist):
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_batched,
+        sampled_centroids,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sampled_centroids(df, nlist=min(nlist, len(rows)))
+    jvm = {
+        r.vec_id: r.list_id
+        for r in ivf_assign(df, cents).select("vec_id", "list_id").collect()
+    }
+    bat = {
+        r.vec_id: r.list_id
+        for r in ivf_assign_batched(df, cents)
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    assert jvm == bat
+
+
+@given(st.lists(_vec, min_size=4, max_size=24))
+@_FAST
+def test_pq_codes_always_valid_and_adc_nonnegative(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = sampled_centroids(df, nlist=min(4, len(rows)))
+    k = len(cb)
+    enc = pq_encode_batched(df, cb, m=2).collect()
+    assert all(len(r.codes) == 2 and all(0 <= c < k for c in r.codes)
+               for r in enc)
+    got = pq_adc_topk(df, rows[0][1], cb, k=len(rows), m=2).collect()
+    assert len(got) == len(rows)
+    assert all(r.adc_dist >= 0.0 for r in got)
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)
