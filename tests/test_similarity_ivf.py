@@ -193,3 +193,102 @@ def test_ivf_large_nlist_uses_batched_path(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert len(out.collect()) == 5
+
+
+# ---------------------------------------------------------------- #
+# two-level (hierarchical) IVF
+
+
+def test_two_level_layout_maps_every_cell_and_fixes_leaders(spark):
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        two_level_layout,
+    )
+
+    rows = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sampled_centroids(df, nlist=16)
+    layout = two_level_layout(cents, n_groups=4)
+    assert set(layout) == {cid for cid, _ in cents}
+    assert set(layout.values()) <= {0, 1, 2, 3}
+    # a leader's best-cosine leader is itself (cosine exactly 1.0)
+    for lid in range(4):
+        assert layout[lid] == lid
+
+
+def test_ivf2_probe_everything_is_exact(spark):
+    # with every group and every cell probed the candidate set is the
+    # whole corpus (hierarchical assignment PARTITIONS it), so the
+    # search degenerates to exact brute-force top-k
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        cosine_topk_ivf2,
+    )
+
+    rows = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sampled_centroids(df, nlist=16)
+    q = rows[0][1]
+    exact = [
+        (r.vec_id, r.cosine)
+        for r in cosine_topk_bruteforce(df, q, k=10, round_dp=6).collect()
+    ]
+    full = [
+        (r.vec_id, r.cosine)
+        for r in cosine_topk_ivf2(
+            df, q, cents, n_groups=4, k=10,
+            nprobe_groups=4, nprobe=16, round_dp=6,
+        ).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf2_recall_against_bruteforce(spark):
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        cosine_topk_ivf2,
+    )
+
+    rows = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[0][1]
+    exact = {r.vec_id for r in cosine_topk_bruteforce(df, q, k=10).collect()}
+    cents = sampled_centroids(df, nlist=16)
+    approx = {
+        r.vec_id
+        for r in cosine_topk_ivf2(
+            df, q, cents, n_groups=4, k=10, nprobe_groups=2, nprobe=4,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"two-level IVF recall {recall} below 0.6"
+
+
+def test_ivf2_assignment_is_group_local_argmax(spark):
+    # every row's cell must belong to the row's own best leader group
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        ivf2_assign_batched,
+        two_level_layout,
+    )
+
+    rows = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sampled_centroids(df, nlist=16)
+    layout = two_level_layout(cents, n_groups=4)
+    leaders = {cid: v for cid, v in cents[:4]}
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        _py_fold_cosine,
+        _round_half_away,
+    )
+
+    got = {
+        r.vec_id: r.list_id
+        for r in ivf2_assign_batched(df, cents, n_groups=4)
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    by_id = dict(rows)
+    for vid, cell in got.items():
+        v = by_id[vid]
+        best_leader = min(
+            (-_round_half_away(_py_fold_cosine(v, lv), 6), lid)
+            for lid, lv in leaders.items()
+        )[1]
+        assert layout[cell] == best_leader, (vid, cell)

@@ -135,6 +135,7 @@ HEADLINE = [
     "cosine_topk_ivf",
     "pq_topk_adc",
     "ivfpq_topk_adc",
+    "cosine_topk_ivf2",
 ]
 
 

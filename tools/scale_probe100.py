@@ -138,6 +138,7 @@ PROBE = [
     ("ivf_cell_occupancy", False),
     ("pq_topk_adc", False),
     ("ivfpq_topk_adc", False),
+    ("cosine_topk_ivf2", False),
 ]
 
 

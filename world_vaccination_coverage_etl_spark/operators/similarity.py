@@ -755,3 +755,147 @@ def pq_adc_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------- #
+# Two-level IVF (hierarchical coarse quantizer) — the documented next
+# step past adaptive_nlist's 4096-cell cap: at 10^10 vectors you want
+# ~10^6 cells, and a FLAT argmin over 10^6 centroids is itself the
+# bottleneck.  Group the cells under G leaders (IMI-style); a row
+# finds its leader in O(G), then its cell among that leader's members
+# — O(G + nlist/G) per row instead of O(nlist).  Every layer reuses
+# the proven rounded-argmax/argmin + lowest-id tie machinery, so a
+# SQL oracle rebuilds the whole hierarchy.
+
+
+def two_level_layout(
+    centroids: list[tuple[int, list[float]]],
+    n_groups: int,
+    round_dp: int = 6,
+) -> dict[int, int]:
+    """Assign each cell centroid to its best-cosine leader.
+
+    Leaders are the first ``n_groups`` centroids in the (md5-ranked)
+    sample — the same recursively-applied deterministic-prefix trick
+    as `sampled_centroids` itself, so the oracle gets the layout from
+    the ranked CTE it already has.  Returns {cid: leader_cid}.
+    Model-sized driver work (nlist rows), like every quantizer build.
+    """
+    leaders = centroids[:n_groups]
+    layout = {}
+    for cid, c in centroids:
+        scored = []
+        for lid, lv in leaders:
+            s = _py_fold_cosine(c, lv)
+            if round_dp is not None:
+                s = _round_half_away(s, round_dp)
+            scored.append((-s, lid))
+        layout[cid] = min(scored)[1]
+    return layout
+
+
+def ivf2_assign_batched(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_groups: int,
+    vec_col: str = "embedding",
+    list_col: str = "list_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Hierarchical cell assignment: nearest leader first (rounded
+    argmax cosine, tie lowest id), then nearest cell AMONG that
+    leader's members (same rule).
+
+    This is the IMI trade: a row whose globally-best cell lives under
+    a different leader lands in its group-local best instead — the
+    standard hierarchical-quantizer approximation, bought for
+    O(G + nlist/G) per-row work.  One Arrow batch per partition, no
+    shuffle; the same ulp channel as the other batched kernels.
+    """
+    layout = two_level_layout(centroids, n_groups, round_dp=6)
+    leaders = centroids[:n_groups]
+    Lm = np.stack([np.asarray(v, dtype="float64") for _, v in leaders])
+    lids = np.asarray([lid for lid, _ in leaders], dtype=np.int64)
+    Cm = np.stack([np.asarray(v, dtype="float64") for _, v in centroids])
+    cids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+    group_of = np.asarray([layout[int(c)] for c in cids], dtype=np.int64)
+    scale = 10.0 ** round_dp if round_dp is not None else None
+
+    def _unit(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1)
+        return m / np.where(n > 0, n, 1.0)[:, None]
+
+    Lu, Cu = _unit(Lm).T.copy(), _unit(Cm).T.copy()
+    lorder = np.argsort(lids)
+    corder = np.argsort(cids)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype="int32")
+        X = np.stack([np.asarray(v, dtype="float64") for v in col])
+        n = np.linalg.norm(X, axis=1)
+        Xu = X / np.where(n > 0, n, 1.0)[:, None]
+        gs = Xu @ Lu
+        gs[n == 0, :] = 0.0
+        if scale is not None:
+            gs = np.sign(gs) * np.floor(np.abs(gs) * scale + 0.5) / scale
+        glead = lids[lorder[np.argmax(gs[:, lorder], axis=1)]]
+        cs = Xu @ Cu
+        cs[n == 0, :] = 0.0
+        if scale is not None:
+            cs = np.sign(cs) * np.floor(np.abs(cs) * scale + 0.5) / scale
+        # mask cells outside the row's leader group, then argmin on
+        # (-score, cid): scan cid-sorted columns so first max wins ties
+        member = group_of[None, :] == glead[:, None]
+        masked = np.where(member[:, corder], cs[:, corder], -np.inf)
+        best = corder[np.argmax(masked, axis=1)]
+        return pd.Series(cids[best].astype("int32"))
+
+    return df.withColumn(list_col, _assign(F.col(vec_col)))
+
+
+def cosine_topk_ivf2(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: list[tuple[int, list[float]]],
+    n_groups: int,
+    k: int = 10,
+    nprobe_groups: int = 2,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Two-level IVF search: probe the ``nprobe_groups`` best leaders,
+    then the ``nprobe`` best cells among those leaders' members, and
+    brute-force cosine within.  The probe walk is driver-side
+    model-sized arithmetic in the oracle's exact fold order."""
+    qvec = [float(x) for x in query]
+    layout = two_level_layout(centroids, n_groups, round_dp=6)
+    leaders = centroids[:n_groups]
+
+    def ranked(cands: list[tuple[int, list[float]]]) -> list[int]:
+        scored = []
+        for cid, c in cands:
+            s = _py_fold_cosine(qvec, c)
+            if round_dp is not None:
+                s = _round_half_away(s, round_dp)
+            scored.append((-s, cid))
+        return [cid for _, cid in sorted(scored)]
+
+    probe_leads = set(ranked(leaders)[:nprobe_groups])
+    member_cells = [
+        (cid, c) for cid, c in centroids if layout[cid] in probe_leads
+    ]
+    probe_cids = ranked(member_cells)[:nprobe]
+
+    assigned = ivf2_assign_batched(
+        df, centroids, n_groups, vec_col=vec_col, round_dp=round_dp
+    )
+    candidates = assigned.filter(F.col("list_id").isin(probe_cids))
+    score = cosine_score(F.col(vec_col), qvec)
+    if round_dp is not None:
+        score = F.round(score, round_dp)
+    scored = candidates.select(F.col(id_col), score.alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)

@@ -405,6 +405,117 @@ def q_ivfpq_topk_adc(spark, sf_dir):
     )
 
 
+def _ivf2_n_groups(nlist: int) -> int:
+    """sqrt-balanced leader count: O(G + nlist/G) per-row work is
+    minimized at G ~ sqrt(nlist)."""
+    import math
+
+    return max(2, math.ceil(math.sqrt(nlist)))
+
+
+def _ivf2_topk_oracle(
+    sf_dir: str, nprobe_groups: int = 2, nprobe: int = 4, k: int = 10
+) -> str:
+    """DuckDB oracle for the two-level (hierarchical) IVF: leaders are
+    the first sqrt(nlist) rows of the same md5-ranked sample, cells
+    attach to their best-cosine leader, rows assign leader-first then
+    cell-within-group, and the search probes the nprobe_groups best
+    leaders then the nprobe best member cells.  Every layer is the
+    rounded argmax + lowest-id tie rule the flat oracle already uses."""
+    nlist = adaptive_nlist(parquet_num_rows(sf_dir, "embeddings"))
+    ng = _ivf2_n_groups(nlist)
+
+    def cos(a: str, b: str) -> str:
+        return f"""round(CASE
+          WHEN sqrt(list_dot_product({a}, {a}))
+               * sqrt(list_dot_product({b}, {b})) > 0
+          THEN list_dot_product({a}, {b})
+               / (sqrt(list_dot_product({a}, {a}))
+                  * sqrt(list_dot_product({b}, {b})))
+          ELSE 0.0 END, 6)"""
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                vec_id) - 1 AS r,
+             emb AS cemb
+      FROM v
+      QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                 vec_id) <= {nlist}),
+    c AS (SELECT r AS cid, cemb FROM ranked),
+    l AS (SELECT r AS lid, cemb AS lemb FROM ranked WHERE r < {ng}),
+    cgrp AS (
+      SELECT cid, lid FROM (
+        SELECT c.cid, l.lid, {cos('c.cemb', 'l.lemb')} AS s FROM c, l)
+      QUALIFY row_number() OVER (PARTITION BY cid
+                                 ORDER BY s DESC, lid) = 1),
+    rowg AS (
+      SELECT vec_id, emb, lid FROM (
+        SELECT v.vec_id, v.emb, l.lid, {cos('v.emb', 'l.lemb')} AS s
+        FROM v, l)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, lid) = 1),
+    assign AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT rg.vec_id, rg.emb, c.cid, {cos('rg.emb', 'c.cemb')} AS s
+        FROM rowg rg
+        JOIN cgrp g ON g.lid = rg.lid
+        JOIN c ON c.cid = g.cid)
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cid) = 1),
+    q AS (SELECT emb AS qemb FROM v WHERE vec_id = 0),
+    pl AS (
+      SELECT lid FROM (
+        SELECT l.lid, {cos('l.lemb', 'q.qemb')} AS s FROM l, q)
+      QUALIFY row_number() OVER (ORDER BY s DESC, lid) <= {nprobe_groups}),
+    pc AS (
+      SELECT cid FROM (
+        SELECT c.cid, {cos('c.cemb', 'q.qemb')} AS s
+        FROM c
+        JOIN cgrp g ON g.cid = c.cid
+        JOIN pl ON pl.lid = g.lid
+        CROSS JOIN q)
+      QUALIFY row_number() OVER (ORDER BY s DESC, cid) <= {nprobe}),
+    scored AS (
+      SELECT a.vec_id, {cos('a.emb', 'q.qemb')} AS cosine
+      FROM assign a JOIN pc ON pc.cid = a.cid CROSS JOIN q)
+    SELECT vec_id, cosine
+    FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "cosine_topk_ivf2",
+    _ivf2_topk_oracle,
+    note="two-level (hierarchical) IVF ANN top-k (operators/similarity.py "
+    "cosine_topk_ivf2): sqrt(nlist) leaders drawn as the PREFIX of the same "
+    "md5-ranked sample, cells attach to their best leader, rows assign "
+    "leader-first then cell-within-group — O(G + nlist/G) per row instead of "
+    "the flat O(nlist), the documented path past adaptive_nlist's 4096-cell "
+    "cap (IMI-style; the group-local assignment is the standard hierarchical "
+    "approximation).  Search probes nprobe_groups=2 leaders then nprobe=4 "
+    "member cells.  Oracle rebuilds layout + hierarchical assignment + the "
+    "two-stage probe walk from one ranked CTE at the adaptive nlist regime",
+)
+def q_cosine_topk_ivf2(spark, sf_dir):
+    from ..operators.similarity import cosine_topk_ivf2
+
+    e = _t(spark, sf_dir, "embeddings")
+    nlist = adaptive_nlist(parquet_num_rows(sf_dir, "embeddings"))
+    cents = sampled_centroids(e, nlist=nlist)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    topk = cosine_topk_ivf2(
+        e, qvec, cents, n_groups=_ivf2_n_groups(nlist),
+        k=10, nprobe_groups=2, nprobe=4, round_dp=6,
+    )
+    return topk.select("vec_id", "cosine").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+
+
 @register(
     "knn_allpairs_small",
     f"""
