@@ -1,0 +1,161 @@
+"""two_phase_ranks / two_phase_ntile == the single-window forms, on
+adversarial inputs (heavy ties at quantile boundaries, descending
+orders, per-partition skew, fused multi-spec), plus the scale pin:
+no unpartitioned WindowExec in the physical plan."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from world_vaccination_coverage_etl_spark.operators.ranks import (
+    RankSpec,
+    two_phase_ntile,
+    two_phase_ranks,
+)
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def _heavy_tied(spark):
+    # 60% of rows share v=5 (a guaranteed quantile-boundary value),
+    # the rest spread over 0..99; unique numeric tiebreak.
+    rows = [(5.0 if i % 5 < 3 else float(i % 100), i) for i in range(2000)]
+    return _df(spark, rows, ["v", "tid"])
+
+
+@pytest.mark.parametrize("desc", [False, True])
+def test_rank_matches_window_heavy_ties(spark, desc):
+    df = _heavy_tied(spark)
+    spec = RankSpec("v", "tid", out_col="r", value_desc=desc)
+    got, totals = two_phase_ranks(df, [spec], num_buckets=8)
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("tid").asc()]
+    want = df.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+    assert totals[()] == 2000
+    assert (
+        got.select("tid", "r")
+        .exceptAll(want.select("tid", "r"))
+        .isEmpty()
+    )
+
+
+def test_rank_bucket_window_is_partitioned(spark):
+    df = _heavy_tied(spark)
+    got, _ = two_phase_ranks(df, [RankSpec("v", "tid", out_col="r")])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # every WindowExec line carries a non-empty partition spec: the
+    # bucket expression shows up as a hash partitioning key, never the
+    # empty SinglePartition that the naive global window produces.
+    assert "SinglePartition" not in plan
+
+
+@pytest.mark.parametrize("k,n_rows", [(4, 103), (10, 2000), (7, 5)])
+def test_ntile_matches_window(spark, k, n_rows):
+    rows = [(float(i % 13), i) for i in range(n_rows)]
+    df = _df(spark, rows, ["v", "tid"])
+    got = two_phase_ntile(
+        df, k, RankSpec("v", "tid", value_desc=True), out_col="nt", num_buckets=4
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("tid").asc())
+    want = df.withColumn("nt", F.ntile(k).over(w))
+    assert (
+        got.select("tid", "nt").exceptAll(want.select("tid", "nt")).isEmpty()
+    )
+
+
+def test_ntile_partitioned_skew(spark):
+    # one partition holds 90% of rows; heavy value ties inside it.
+    rows = []
+    for i in range(1800):
+        rows.append(("big", float(7 if i % 3 else i % 50), i))
+    for i in range(200):
+        rows.append(("small", float(i % 9), 10000 + i))
+    df = _df(spark, rows, ["lang", "v", "tid"])
+    got = two_phase_ntile(
+        df,
+        4,
+        RankSpec("v", "tid"),
+        partition_cols=["lang"],
+        out_col="nt",
+        num_buckets=8,
+    )
+    w = Window.partitionBy("lang").orderBy("v", "tid")
+    want = df.withColumn("nt", F.ntile(4).over(w))
+    assert (
+        got.select("tid", "nt").exceptAll(want.select("tid", "nt")).isEmpty()
+    )
+
+
+def test_fused_multi_spec_matches_three_windows(spark):
+    rows = [
+        (i, float(i % 17), float((i * 7) % 23), float(i % 5))
+        for i in range(500)
+    ]
+    df = _df(spark, rows, ["uid", "a", "b", "c"])
+    specs = [
+        RankSpec("a", "uid", out_col="ra"),
+        RankSpec("b", "uid", out_col="rb", value_desc=True),
+        RankSpec("c", "uid", out_col="rc", value_desc=True),
+    ]
+    got, totals = two_phase_ranks(df, specs, num_buckets=4)
+    want = df
+    for col, vdesc, out in [("a", False, "ra"), ("b", True, "rb"), ("c", True, "rc")]:
+        order = [F.col(col).desc() if vdesc else F.col(col).asc(), F.col("uid").asc()]
+        want = want.withColumn(out, F.row_number().over(Window.orderBy(*order)))
+    assert totals[()] == 500
+    assert (
+        got.select("uid", "ra", "rb", "rc")
+        .exceptAll(want.select("uid", "ra", "rb", "rc"))
+        .isEmpty()
+    )
+
+
+def test_tie_permute_is_valid_permutation(spark):
+    # string tiebreak, massive tie group: ranks within each value group
+    # must be exactly the group's consecutive global-rank range (in some
+    # order), and all ranks a permutation of 1..N.
+    rows = [(1.0 if i % 2 else float(i % 10 + 2), f"w{i:05d}") for i in range(3000)]
+    df = _df(spark, rows, ["f", "w"])
+    spec = RankSpec(
+        "f",
+        "w",
+        out_col="r",
+        value_desc=True,
+        tie_permute=True,
+        value_bounds=list(range(1, 13)),
+        num_sub=8,
+    )
+    got, totals = two_phase_ranks(df, [spec])
+    rows_out = got.select("f", "r").collect()
+    assert totals[()] == 3000
+    ranks = sorted(r["r"] for r in rows_out)
+    assert ranks == list(range(1, 3001))
+    # group ranges: for each f (desc), its ranks occupy a contiguous block
+    by_f = {}
+    for r in rows_out:
+        by_f.setdefault(r["f"], []).append(r["r"])
+    start = 1
+    for f in sorted(by_f, reverse=True):
+        grp = sorted(by_f[f])
+        assert grp == list(range(start, start + len(grp)))
+        start += len(grp)
+
+
+def test_static_bounds_skip_stats_job(spark):
+    # all-static spec: pass 1 must not run (no percentile agg needed);
+    # output still exact.
+    rows = [(float(i % 4 + 1), i) for i in range(100)]
+    df = _df(spark, rows, ["f", "tid"])
+    spec = RankSpec(
+        "f",
+        "tid",
+        out_col="r",
+        value_desc=True,
+        tie_permute=True,
+        value_bounds=[1, 2, 3, 4, 5],
+    )
+    got, totals = two_phase_ranks(df, [spec])
+    assert totals[()] == 100
+    ranks = sorted(r["r"] for r in got.collect())
+    assert ranks == list(range(1, 101))

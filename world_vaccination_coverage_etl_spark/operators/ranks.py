@@ -1,0 +1,367 @@
+"""Distributed global ranks / ntile — no single-partition WindowExec.
+
+``row_number() OVER (ORDER BY ...)`` and ``ntile(k) OVER (ORDER BY ...)``
+with an empty PARTITION BY execute as ONE window partition: every row
+funnels through a single task (Spark logs ``WindowExec: No Partition
+Defined``) — the classic 100 TB scale-killer.  ``operators/ids.py``
+already holds the two-phase rank for the unique-numeric-key case; this
+module is the GENERAL form the r11 verdict asked for (items 1 and 4):
+
+  * **fused multi-spec passes** — several rank orders over the same
+    rows (the RFM query needs three) share ONE boundary-statistics job
+    and ONE per-bucket-count job (grouping sets), so the fix costs two
+    extra small jobs total, not two per rank;
+  * **boundary-value tie refinement** — a value that carries ≥ ~1/B of
+    the rows shows up as a DUPLICATE in its own quantile list, i.e. it
+    becomes a range boundary.  Every boundary value is made its own
+    elementary bucket and sub-split by the tiebreak's range, so heavy
+    ties (half the vocabulary has frequency 1) never pile one bucket
+    onto one reducer;
+  * **optional static bounds** — when the value distribution is known
+    a priori (integer counts → powers of two; xxhash64 sub-keys →
+    uniform int64) the boundary job is skipped entirely;
+  * **per-partition mode** — ``ntile(k) OVER (PARTITION BY p ORDER BY
+    ...)`` where one partition may dominate (one language is half the
+    corpus): boundaries/counts are computed per partition value in the
+    same fused jobs.
+
+Exactness: elementary buckets (open intervals between boundary values,
+plus each boundary value as a singleton optionally sub-split by the
+tiebreak) partition the total (value, tiebreak) order into CONTIGUOUS
+runs, so `global rank = per-bucket row_number + exact bucket offset`
+no matter how approximate the quantile boundaries are — boundaries
+decide only WHERE a row is ranked, never what its rank is.  With
+``tie_permute=True`` (non-numeric tiebreak, sub-split by xxhash64)
+ranks WITHIN one boundary value form a deterministic permutation of
+the correct consecutive range instead of the tiebreak order — valid
+exactly when the consumer is tie-invariant (e.g. Zipf's log-rank sums,
+where every row of a tie group shares the same y value).
+
+Driver traffic: O(B) boundary scalars + O(B·V) bucket counts per
+partition value.  Heavy path: one bucketed window shuffle per rank
+spec (B·V-way parallel), same as ids.py.
+
+Reference parity: the reference ranks on a single-process pandas frame
+(``DataFrame.rank`` / positional indexing, etl_pipeline.py); this is
+the distributed equivalent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SEP = "\x1f"
+
+
+@dataclass(frozen=True)
+class RankSpec:
+    """One global-rank order: ``ORDER BY value_col [DESC], tiebreak_col
+    [DESC]``.  ``tiebreak_col`` must make the key unique (or the
+    consumer tie-invariant under ``tie_permute``)."""
+
+    value_col: str
+    tiebreak_col: str
+    out_col: str = "rank"
+    value_desc: bool = False
+    tiebreak_desc: bool = False
+    # non-numeric tiebreak: sub-split boundary-value ties by
+    # xxhash64(tiebreak) with static uniform bounds; within-group ranks
+    # become a permutation of the correct consecutive range.
+    tie_permute: bool = False
+    # static boundaries in the RAW value domain (skips the quantile job
+    # for this spec when set).
+    value_bounds: Optional[Sequence[float]] = None
+    num_sub: int = 8
+
+
+def _v_adj(spec: RankSpec) -> Column:
+    c = F.col(spec.value_col).cast("double")
+    return (-c) if spec.value_desc else c
+
+
+def _t_sub(spec: RankSpec) -> Column:
+    if spec.tie_permute:
+        return F.xxhash64(F.col(spec.tiebreak_col))
+    c = F.col(spec.tiebreak_col).cast("double")
+    return (-c) if spec.tiebreak_desc else c
+
+
+def _hash_sub_bounds(num_sub: int) -> list:
+    """Static uniform int64 bounds for an xxhash64 sub-key."""
+    span = 1 << 64
+    return [int(-(1 << 63) + (k + 1) * span // num_sub) for k in range(num_sub - 1)]
+
+
+# Bucket expressions are generated as ONE SQL string and parsed with a
+# single F.expr call: building them node-by-node with F.lit/Column ops
+# costs one py4j round trip PER LITERAL (hundreds of ms of driver time
+# for a 100-boundary spec — measured, r12), while the JVM SQL parser
+# takes the whole tree in one hop.  The comparison sums are plain CASE
+# arithmetic, fully whole-stage-codegen (no higher-order functions on
+# the hot path).
+
+
+def _sql_num(b) -> str:
+    if isinstance(b, bool):
+        raise TypeError("bool bound")
+    if isinstance(b, int):
+        return f"{b}L"
+    return repr(float(b))
+
+
+def _v_adj_sql(spec: RankSpec) -> str:
+    c = f"CAST(`{spec.value_col}` AS DOUBLE)"
+    return f"(-{c})" if spec.value_desc else c
+
+
+def _t_sub_sql(spec: RankSpec) -> str:
+    if spec.tie_permute:
+        return f"xxhash64(`{spec.tiebreak_col}`)"
+    c = f"CAST(`{spec.tiebreak_col}` AS DOUBLE)"
+    return f"(-{c})" if spec.tiebreak_desc else c
+
+
+def _count_gt_sql(col_sql: str, bounds: Sequence, strict: bool) -> str:
+    """SQL for '# bounds strictly/at-or below col' as a CASE sum."""
+    if not bounds:
+        return "0"
+    op = ">" if strict else ">="
+    terms = [
+        f"(CASE WHEN {col_sql} {op} {_sql_num(b)} THEN 1 ELSE 0 END)"
+        for b in bounds
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket_sql(spec: RankSpec, vbounds: Sequence, sbounds: Sequence) -> str:
+    v = _v_adj_sql(spec)
+    lt = _count_gt_sql(v, vbounds, strict=True)   # bounds strictly below v
+    le = _count_gt_sql(v, vbounds, strict=False)  # bounds at-or-below v
+    base = f"({lt} + {le})"  # open interval i -> 2i; boundary value t -> 2t-1
+    if sbounds:
+        sub_cnt = _count_gt_sql(_t_sub_sql(spec), sbounds, strict=True)
+        sub = f"(CASE WHEN {lt} <> {le} THEN {sub_cnt} ELSE 0 END)"
+    else:
+        sub = "0"
+    return f"CAST(({base} * {len(sbounds) + 1} + {sub}) AS INT)"
+
+
+def _sql_str(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return _sql_num(v)
+
+
+def two_phase_ranks(
+    df: DataFrame,
+    specs: Sequence[RankSpec],
+    *,
+    partition_cols: Sequence[str] = (),
+    num_buckets: int = 16,
+) -> tuple[DataFrame, dict]:
+    """Add one exact global-rank column per spec (1-based, within each
+    ``partition_cols`` group).  Returns ``(df_with_ranks, totals)``
+    where ``totals[partition_tuple]`` is that group's row count
+    (``totals[()]`` for the global case) — the scalar ntile needs.
+
+    Value and tiebreak columns must be non-null.
+    """
+    pcols = list(partition_cols)
+    specs = list(specs)
+
+    # ---- pass 1 (fused; skipped when every spec has static bounds):
+    # per-partition quantile lists for values and numeric sub-keys.
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    stat_rows = []
+    aggs = []
+    for i, s in enumerate(specs):
+        if s.value_bounds is None:
+            aggs.append(
+                F.percentile_approx(_v_adj(s), probs, 10000).alias(f"_vb{i}")
+            )
+        if not s.tie_permute:
+            sprobs = [j / s.num_sub for j in range(1, s.num_sub)]
+            aggs.append(
+                F.percentile_approx(_t_sub(s), sprobs, 10000).alias(f"_sb{i}")
+            )
+    if aggs:
+        g = df.groupBy(*pcols) if pcols else df.groupBy()
+        stat_rows = g.agg(*aggs).collect()
+    stats = {tuple(r[c] for c in pcols): r for r in stat_rows}
+
+    def bounds_for(part: tuple, i: int, s: RankSpec) -> tuple[list, list]:
+        if s.value_bounds is not None:
+            vb = [(-float(b)) if s.value_desc else float(b) for b in s.value_bounds]
+        else:
+            raw = stats[part][f"_vb{i}"] or []
+            vb = [float(b) for b in raw]
+        vb = sorted(set(vb))
+        if s.tie_permute:
+            sb = _hash_sub_bounds(s.num_sub)
+        else:
+            raw = stats[part][f"_sb{i}"] or []
+            sb = sorted(set(float(b) for b in raw))
+        return vb, sb
+
+    # Per-partition bounds may differ -> bucket expr is a CASE chain
+    # over partition values (bounded dimension) or the plain expr; the
+    # whole thing is ONE SQL string handed to F.expr in one py4j hop.
+    parts = sorted(stats.keys()) if pcols else [()]
+    if not pcols:
+        bucket_sqls = [
+            _bucket_sql(s, *bounds_for((), i, s)) for i, s in enumerate(specs)
+        ]
+    else:
+        if not parts:  # pure-static bounds with partitions: need keys
+            parts = [
+                tuple(r[c] for c in pcols)
+                for r in df.select(*pcols).distinct().collect()
+            ]
+            stats = {p: {} for p in parts}
+        bucket_sqls = []
+        for i, s in enumerate(specs):
+            arms = []
+            for part in parts:
+                cond = " AND ".join(
+                    f"`{c}` = {_sql_str(v)}" for c, v in zip(pcols, part)
+                )
+                arms.append(
+                    f"WHEN {cond} THEN {_bucket_sql(s, *bounds_for(part, i, s))}"
+                )
+            bucket_sqls.append("CASE " + " ".join(arms) + " END")
+
+    # Materialize each bucket id as ONE column: the (potentially deep)
+    # comparison tree is analyzed/codegen'd once, and the window spec,
+    # offset join, and count pass all reference the column by name.
+    bcols = [f"_tpb{i}" for i in range(len(specs))]
+    base = df.select(
+        "*", *[F.expr(sql).alias(n) for sql, n in zip(bucket_sqls, bcols)]
+    )
+
+    # ---- pass 2 (fused): per-bucket counts for every spec at once.
+    sel = base.select(*pcols, *bcols)
+    if len(specs) == 1:
+        cnt_rows = sel.groupBy(*pcols, bcols[0]).count().collect()
+    else:
+        cnt_rows = (
+            sel.groupingSets([[*pcols, b] for b in bcols], *pcols, *bcols)
+            .count()
+            .collect()
+        )
+    # offsets[i][part][bucket] = rows strictly before this bucket
+    per_spec: list[dict] = [dict() for _ in specs]
+    for r in cnt_rows:
+        part = tuple(r[c] for c in pcols)
+        for i, b in enumerate(bcols):
+            if r[b] is not None:
+                per_spec[i].setdefault(part, {})[r[b]] = r["count"]
+    totals: dict = {}
+    offsets: list[dict] = [dict() for _ in specs]
+    for i, spec_counts in enumerate(per_spec):
+        for part, cmap in spec_counts.items():
+            running = 0
+            offs = {}
+            for b in sorted(cmap):
+                offs[b] = running
+                running += cmap[b]
+            offsets[i][part] = offs
+            if i == 0:
+                totals[part] = running
+    if not totals:  # empty input
+        totals[()] = 0
+
+    # ---- pass 3: per-bucket row_number + exact offset, joined in from
+    # a BROADCAST offsets table (O(partitions·buckets) rows, one
+    # createDataFrame payload — a create_map of literals costs a py4j
+    # round trip per entry, hundreds of ms of pure driver time).
+    spark = df.sparkSession
+    out = base
+    for i, s in enumerate(specs):
+        order = [
+            F.col(s.value_col).desc() if s.value_desc else F.col(s.value_col).asc(),
+            F.col(s.tiebreak_col).desc()
+            if s.tiebreak_desc
+            else F.col(s.tiebreak_col).asc(),
+        ]
+        w = Window.partitionBy(*pcols, bcols[i]).orderBy(*order)
+        rows = []
+        for part, offs in offsets[i].items():
+            for b, off in offs.items():
+                key = (
+                    _SEP.join([*(str(v) for v in part), str(b)])
+                    if pcols
+                    else str(b)
+                )
+                rows.append((key, off))
+        if not rows:
+            out = out.withColumn(s.out_col, F.lit(None).cast("long"))
+            continue
+        kcol, ocol = f"_tpk{i}", f"_tpo{i}"
+        odf = spark.createDataFrame(rows, f"`{kcol}` string, `{ocol}` long")
+        key_expr = F.concat_ws(
+            _SEP,
+            *[F.col(c).cast("string") for c in pcols],
+            F.col(bcols[i]).cast("string"),
+        )
+        out = (
+            out.withColumn(kcol, key_expr)
+            .join(F.broadcast(odf), kcol, "left")
+            .withColumn(
+                s.out_col, (F.row_number().over(w) + F.col(ocol)).cast("long")
+            )
+            .drop(kcol, ocol)
+        )
+    return out.drop(*bcols), totals
+
+
+def ntile_from_rank(rank_col: Column, n: int, k: int) -> Column:
+    """Exact SQL NTILE(k) from a 1-based global rank over n rows:
+    first (n % k) tiles get ceil(n/k) rows — computed in closed form,
+    all scalars driver-side."""
+    q, rem = divmod(n, k)
+    cut = rem * (q + 1)
+    first = F.floor((rank_col - 1) / F.lit(max(q + 1, 1))) + 1
+    rest = F.lit(rem) + F.floor((rank_col - F.lit(cut) - 1) / F.lit(max(q, 1))) + 1
+    return F.when(rank_col <= F.lit(cut), first).otherwise(rest).cast("int")
+
+
+def two_phase_ntile(
+    df: DataFrame,
+    k: int,
+    spec: RankSpec,
+    *,
+    partition_cols: Sequence[str] = (),
+    num_buckets: int = 16,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """NTILE(k) OVER ([PARTITION BY partition_cols] ORDER BY spec)
+    without a single-partition window; exact standard-SQL tiling."""
+    rank_col = f"_tpr_{out_col}"
+    ranked, totals = two_phase_ranks(
+        df,
+        [RankSpec(**{**spec.__dict__, "out_col": rank_col})],
+        partition_cols=partition_cols,
+        num_buckets=num_buckets,
+    )
+    r = F.col(rank_col)
+    if not partition_cols:
+        expr = ntile_from_rank(r, totals.get((), 0), k)
+    else:
+        items = []
+        for part, n in totals.items():
+            items.extend([F.lit(_SEP.join(str(v) for v in part)), F.lit(n)])
+        nmap = F.create_map(*items)
+        n = nmap[
+            F.concat_ws(_SEP, *[F.col(c).cast("string") for c in partition_cols])
+        ].cast("long")
+        q = F.floor(n / F.lit(k))
+        rem = n - q * k
+        cut = rem * (q + 1)
+        first = F.floor((r - 1) / F.greatest(q + 1, F.lit(1))) + 1
+        rest = rem + F.floor((r - cut - 1) / F.greatest(q, F.lit(1))) + 1
+        expr = F.when(r <= cut, first).otherwise(rest).cast("int")
+    return ranked.withColumn(out_col, expr).drop(rank_col)

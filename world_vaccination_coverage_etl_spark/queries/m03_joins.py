@@ -1368,18 +1368,33 @@ def q_props_json_extract(spark, sf_dir):
            CAST(max(n_chars) AS BIGINT) AS max_chars
     FROM b GROUP BY lang, bin ORDER BY lang, bin
     """,
-    note="quartile binning per language via ntile() (curriculum/bucketing "
-    "shape): one window shuffle partitioned by lang with a deterministic "
-    "(n_chars, doc_id) order, then a partial-agged roll-up; ntile's "
-    "extra-rows-to-early-buckets rule is identical across engines",
+    note="quartile binning per language via exact NTILE semantics "
+    "(curriculum/bucketing shape).  A window partitioned only by lang "
+    "is a skew trap at 100 TB — one language is half the corpus "
+    "through one reducer — so the cut uses the two-phase bucketed "
+    "ntile (operators/ranks.py, r11 verdict item 4) in per-partition "
+    "mode: per-lang n_chars range buckets (boundary-value ties "
+    "sub-split by doc_id range) computed in one fused quantile job, "
+    "per-(lang,bucket) exact offsets in one count job, then a "
+    "(lang,bucket)-parallel window + the closed-form tile map; "
+    "ntile's extra-rows-to-early-buckets rule is identical across "
+    "engines",
 )
 def q_doc_length_ntile_bins(spark, sf_dir):
-    from pyspark.sql import Window
+    from ..operators.ranks import RankSpec, two_phase_ntile
 
-    d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    # narrow projection BEFORE the rank: the bucket window shuffles
+    # (lang, n_chars, doc_id), never the text payload
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
     return (
-        d.withColumn("bin", F.ntile(4).over(w))
+        two_phase_ntile(
+            d,
+            4,
+            RankSpec("n_chars", "doc_id"),
+            partition_cols=["lang"],
+            out_col="bin",
+            num_buckets=8,
+        )
         .groupBy("lang", "bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
