@@ -169,7 +169,10 @@ def retrieve_ivfpq(index, sample, query: str, k: int = 5, nprobe: int = 4):
     cand = index.filter(
         F.col("list_id").isin([cid for _, cid in probe])
     )
-    top = pq_adc_topk(cand, qv, sample, k=k, m=8, vec_col="emb")
+    # codes_col reuses the codes built by build_ivfpq_index: the ADC
+    # scan reads (list_id, codes) only — never re-encodes, never
+    # touches the raw emb column (r11 ADVICE)
+    top = pq_adc_topk(cand, qv, sample, k=k, m=8, codes_col="codes")
     return top.join(
         index.select("vec_id", "doc_id", "chunk_idx", "chunk_text"),
         on="vec_id",

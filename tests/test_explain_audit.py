@@ -1,0 +1,54 @@
+"""The nested-loop/cartesian plan warning stays meaningful (r11
+verdict item 3): a scalar crossJoin (1-row global-aggregate broadcast
+side) is whitelisted, a REAL cartesian still trips it."""
+
+import importlib.util
+import os
+
+from pyspark.sql import functions as F
+
+_SPEC = importlib.util.spec_from_file_location(
+    "explain_audit",
+    os.path.join(os.path.dirname(__file__), "..", "tools", "explain_audit.py"),
+)
+_MOD = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(_MOD)
+summarize = _MOD.summarize
+
+
+def _plans(df):
+    df.collect()
+    qe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+    return qe.explainString(mode("formatted")), qe.explainString(mode("simple"))
+
+
+def test_scalar_broadcast_crossjoin_not_flagged(spark):
+    base = spark.range(100).withColumn("v", F.col("id") * 2)
+    total = base.agg(F.sum("v").alias("tot"))
+    df = base.crossJoin(F.broadcast(total)).select(
+        "id", (F.col("v") / F.col("tot")).alias("share")
+    )
+    plan, simple = _plans(df)
+    assert "BroadcastNestedLoopJoin" in simple
+    notes = summarize(plan, simple)
+    assert not any("WARNING: nested-loop" in n for n in notes), notes
+    assert any("scalar-broadcast" in n for n in notes), notes
+
+
+def test_real_cartesian_still_flagged(spark):
+    a = spark.range(50).withColumnRenamed("id", "a")
+    b = spark.range(40).withColumnRenamed("id", "b")
+    df = a.crossJoin(F.broadcast(b)).select((F.col("a") + F.col("b")).alias("s"))
+    plan, simple = _plans(df)
+    notes = summarize(plan, simple)
+    assert any("WARNING: nested-loop" in n for n in notes), notes
+
+
+def test_unhinted_cartesian_product_still_flagged(spark):
+    a = spark.range(30).withColumnRenamed("id", "a")
+    b = spark.range(30).withColumnRenamed("id", "b")
+    df = a.join(b, F.col("a") < F.col("b"))
+    plan, simple = _plans(df)
+    notes = summarize(plan, simple)
+    assert any("WARNING: nested-loop" in n for n in notes), notes

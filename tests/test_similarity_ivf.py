@@ -292,3 +292,84 @@ def test_ivf2_assignment_is_group_local_argmax(spark):
             for lid, lv in leaders.items()
         )[1]
         assert layout[cell] == best_leader, (vid, cell)
+
+
+def test_ivf2_empty_leader_group_gets_sentinel(spark):
+    """r11 ADVICE (medium): two nearly-identical leaders make the
+    layout remap the later leader's own cell to the earlier one
+    (rounded cosine tie at 1.0), leaving the later group EMPTY; a row
+    that still argmaxes to that later leader must come out as
+    list_id = -1 (the oracle's drop semantics), never as a silent
+    lowest-cell-id np.argmax artifact."""
+    import math
+
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        ivf2_assign_batched,
+        two_level_layout,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    # leaders 1e-3 rad apart: cos = 1 - 5e-7 rounds to 1.0 at 6 dp;
+    # the third cell sits at -0.5 rad, strictly closer to leader 0
+    cents = [(0, unit(0.0)), (1, unit(1e-3)), (2, unit(-0.5))]
+    layout = two_level_layout(cents, n_groups=2, round_dp=6)
+    assert layout[1] == 0  # leader 1's own cell remapped -> group empty
+    assert all(lid != 1 for lid in layout.values())
+
+    # a row past leader 1: strictly closer to it than to leader 0 at
+    # 6 dp (cos gap ~2e-6 > rounding quantum)
+    rows = [(0, unit(2.5e-3)), (1, unit(0.0)), (2, unit(-0.5))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: r.list_id
+        for r in ivf2_assign_batched(df, cents, n_groups=2).collect()
+    }
+    assert got[0] == -1  # empty-group row: sentinel, not cell 0
+    assert got[1] == 0 and got[2] == 2  # healthy rows unaffected
+
+
+def test_pq_adc_topk_rejects_noncontiguous_codebook(spark):
+    import pytest as _pytest
+
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 16)], ["vec_id", "embedding"]
+    )
+    bad = [(0, [0.1] * 16), (2, [0.2] * 16)]  # gap: no code 1
+    with _pytest.raises(ValueError, match="contiguous"):
+        pq_adc_topk(df, [0.0] * 16, bad, k=1, m=8)
+
+
+def test_pq_adc_topk_codes_col_reuses_prebuilt_codes(spark):
+    """codes_col passthrough: identical ranking to the inline re-encode,
+    and the plan never evaluates the encode UDF on the vector column."""
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode_batched,
+        sampled_centroids,
+    )
+
+    rows, _ = (lambda r: (r, None))(
+        [
+            (i, list(np.random.default_rng(i).standard_normal(16)))
+            for i in range(40)
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
+    )
+    sample = sampled_centroids(df, nlist=4)
+    q = [float(x) for x in np.random.default_rng(99).standard_normal(16)]
+    inline = pq_adc_topk(df, q, sample, k=5, m=8).collect()
+    prebuilt = pq_encode_batched(df, sample, m=8).drop("embedding")
+    reused = pq_adc_topk(
+        prebuilt, q, sample, k=5, m=8, codes_col="codes"
+    ).collect()
+    assert [(r.vec_id, r.adc_dist) for r in inline] == [
+        (r.vec_id, r.adc_dist) for r in reused
+    ]

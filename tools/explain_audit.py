@@ -166,9 +166,44 @@ def summarize(plan: str, simple: str) -> list[str]:
         notes.append(f"python: {simple.count('ArrowEvalPython')} Arrow-batched UDF eval(s)")
     if "BatchEvalPython" in simple:
         notes.append("WARNING: row-at-a-time Python UDF in plan")
-    if "CartesianProduct" in simple or "BroadcastNestedLoopJoin" in simple:
+    if "CartesianProduct" in simple:
         notes.append("WARNING: nested-loop/cartesian join in plan")
+    elif "BroadcastNestedLoopJoin" in simple:
+        # r12 (r11 verdict item 3): a BroadcastNestedLoopJoin whose
+        # broadcast side is a GLOBAL aggregate (keys=[] -> exactly one
+        # row) is the scalar-subquery pattern (crossJoin(broadcast(agg))
+        # — bounded by construction, not a real cartesian.  Only flag
+        # builds that are NOT provably single-row.
+        n_scalar = _scalar_broadcast_builds(simple)
+        n_bnlj = simple.count("BroadcastNestedLoopJoin")
+        if n_scalar >= n_bnlj:
+            notes.append(
+                f"scalar-broadcast nested-loop join(s): {n_bnlj} "
+                "(1-row global-aggregate build side — bounded)"
+            )
+        else:
+            notes.append("WARNING: nested-loop/cartesian join in plan")
     return notes
+
+
+def _scalar_broadcast_builds(simple: str) -> int:
+    """Count IdentityBroadcastMode exchanges (the BNLJ build side)
+    whose subtree is a global aggregate — keys=[] means exactly one
+    output row, so the 'nested loop' is a scalar annotate."""
+    lines = simple.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in line:
+            continue
+        depth = len(re.match(r"^[\s:+|-]*", line).group(0))
+        for sub in lines[i + 1 :]:
+            sdepth = len(re.match(r"^[\s:+|-]*", sub).group(0))
+            if sub.strip() and sdepth <= depth:
+                break
+            if re.search(r"(Hash|Sort|ObjectHash)Aggregate\(keys=\[\]", sub):
+                n += 1
+                break
+    return n
 
 
 def main() -> int:

@@ -705,10 +705,17 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_dp: int = 6,
+    codes_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance (ADC): the query stays
     full-precision, every corpus vector is its PQ codes, and the
     distance is the sum of per-subspace query-to-code squared L2s.
+
+    ``codes_col``: name of a PREBUILT codes column (from
+    ``pq_encode_batched`` at index-build time) — when given, the scan
+    reuses it and never touches ``vec_col``; when None, the inline
+    form re-encodes from the raw vectors (r11 ADVICE: the build-once
+    index path and the self-contained inline path are both real).
 
     The per-(subspace, code) distances are precomputed DRIVER-side
     with a left-to-right double fold (bit-identical to the SQL
@@ -727,6 +734,14 @@ def pq_adc_topk(
     d = pq_subspaces(dim, m)
     by_code = {c: v for c, v in codebook_rows}
     n_codes = len(codebook_rows)
+    # element_at(lut, code+1) positions the LUT by code VALUE, so the
+    # codebook ids must be exactly 0..n-1 (r11 ADVICE: fail loud, not
+    # KeyError mid-build, on a non-contiguous codebook)
+    if sorted(by_code) != list(range(n_codes)):
+        raise ValueError(
+            "pq_adc_topk requires contiguous codebook ids 0..n-1, got "
+            f"{sorted(by_code)[:8]}..."
+        )
     luts = []
     for j in range(m):
         row = []
@@ -739,9 +754,12 @@ def pq_adc_topk(
             row.append(int(math.floor(acc * (10.0 ** round_dp) + 0.5)))
         luts.append(row)
 
-    encoded = pq_encode_batched(
-        df, codebook_rows, m=m, vec_col=vec_col, round_dp=round_dp
-    )
+    if codes_col is not None:
+        encoded = df.withColumnRenamed(codes_col, "codes")
+    else:
+        encoded = pq_encode_batched(
+            df, codebook_rows, m=m, vec_col=vec_col, round_dp=round_dp
+        )
     micros = None
     for j in range(m):
         # bigint lanes: a per-subspace term fits int32 only for small
@@ -811,8 +829,15 @@ def ivf2_assign_batched(
     standard hierarchical-quantizer approximation, bought for
     O(G + nlist/G) per-row work.  One Arrow batch per partition, no
     shuffle; the same ulp channel as the other batched kernels.
+
+    A row whose best leader heads an EMPTY group (possible when the
+    layout remaps a leader cell to an earlier leader on a rounded
+    cosine tie at 1.0 while the row still argmaxes to the later
+    leader) gets ``list_id = -1`` — the same drop semantics as the
+    SQL oracle, which inner-joins away such rows — instead of the
+    silent lowest-cell-id np.argmax artifact (r11 ADVICE, medium).
     """
-    layout = two_level_layout(centroids, n_groups, round_dp=6)
+    layout = two_level_layout(centroids, n_groups, round_dp=round_dp)
     leaders = centroids[:n_groups]
     Lm = np.stack([np.asarray(v, dtype="float64") for _, v in leaders])
     lids = np.asarray([lid for lid, _ in leaders], dtype=np.int64)
@@ -850,7 +875,11 @@ def ivf2_assign_batched(
         member = group_of[None, :] == glead[:, None]
         masked = np.where(member[:, corder], cs[:, corder], -np.inf)
         best = corder[np.argmax(masked, axis=1)]
-        return pd.Series(cids[best].astype("int32"))
+        out = cids[best].astype("int32")
+        # empty leader group -> all -inf -> argmax's column 0 is an
+        # artifact; emit the -1 sentinel (oracle drop semantics)
+        out[~member.any(axis=1)] = -1
+        return pd.Series(out)
 
     return df.withColumn(list_col, _assign(F.col(vec_col)))
 
@@ -872,7 +901,7 @@ def cosine_topk_ivf2(
     brute-force cosine within.  The probe walk is driver-side
     model-sized arithmetic in the oracle's exact fold order."""
     qvec = [float(x) for x in query]
-    layout = two_level_layout(centroids, n_groups, round_dp=6)
+    layout = two_level_layout(centroids, n_groups, round_dp=round_dp)
     leaders = centroids[:n_groups]
 
     def ranked(cands: list[tuple[int, list[float]]]) -> list[int]:

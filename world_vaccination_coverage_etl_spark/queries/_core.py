@@ -237,6 +237,11 @@ POOLED_QUERIES = frozenset(
         "dup_cluster_sizes",
         "semantic_dedup_clusters",
         "fuzzy_entity_clusters",
+        # r12 (r11 verdict item 2): the near-dup PAIR GRAPHS are pooled
+        # too — these three consume them
+        "dup_graph_triangles",
+        "clustering_coeff_dup_graph",
+        "pagerank_dup_graph",
     }
 )
 

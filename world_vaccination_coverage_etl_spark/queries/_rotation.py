@@ -24,10 +24,12 @@ from ._core import QueryDef  # noqa: F401
 # zero never-certified at round start), so the whole r10 registry sits
 # in _CERT_LATE sorted least-recently-certified first — the 50-entry
 # driver window re-certifies the STALEST green rows, starting at
-# events_daily_ewma (r10 verdict item 6).  The one NEW registration
-# this round (cosine_topk_ivf) is deliberately absent from both lists:
-# _rotated places unlisted names at the head, so it leads the window
-# per policy rule 2.  The four
+# events_daily_ewma (r10 verdict item 6).  The r11 ANN registrations
+# (cosine_topk_ivf, ivf_cell_occupancy, pq_topk_adc, ivfpq_topk_adc,
+# cosine_topk_ivf2) and r12's event_value_decile_stats are
+# deliberately absent from both lists: _rotated places unlisted names
+# at the head, so each new registration leads its round's window per
+# policy rule 2.  The four
 # queries whose plans changed this round (naive_bayes restructure,
 # degree-oriented triangles, pooled CC) keep their positions: the
 # stalest-first rule already resurfaces each within a few rounds, and

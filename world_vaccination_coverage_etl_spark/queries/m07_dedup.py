@@ -167,6 +167,36 @@ def q_dup_connected_components(spark, sf_dir):
     return _minhash_components(spark, sf_dir).orderBy("doc_id")
 
 
+def _minhash_pairs_u(spark, sf_dir):
+    """Pooled MinHash>=0.7 near-dup PAIR SET over the self-union corpus
+    (r11 verdict item 2): the deterministic, certified edge list is the
+    expensive intermediate — materialize it once per (sf_dir, process)
+    and let connected components, triangle enumeration, and cluster
+    roll-ups consume the same parquet, exactly as a production pipeline
+    stages its candidate-pair table.  Cold cost stays observable via
+    bench cold_norm; the perturbation sweep clears the pool."""
+    from ._core import pooled_parquet
+
+    def build(spark, sf_dir):
+        u = _docs_self_union(spark, sf_dir)
+        return minhash_near_dup_pairs(u, threshold=0.7)
+
+    return pooled_parquet("minhash_pairs_u07", spark, sf_dir, build)
+
+
+def _ngram_pairs_500(spark, sf_dir):
+    """Pooled exact n-gram Jaccard>=0.5 lang-blocked pair set on the
+    bounded 500-doc slice — shared by the clustering-coefficient and
+    PageRank graph queries (r11 verdict item 2)."""
+    from ._core import pooled_parquet
+
+    def build(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        return ngram_jaccard_pairs(d, block_col="lang", n=3, threshold=0.5)
+
+    return pooled_parquet("ngram_pairs_500_l05", spark, sf_dir, build)
+
+
 def _minhash_components(spark, sf_dir):
     """Pooled CC assignment over the MinHash>=0.7 near-dup graph."""
     from ._core import pooled_parquet
@@ -175,7 +205,7 @@ def _minhash_components(spark, sf_dir):
         from ..operators.components import connected_components
 
         u = _docs_self_union(spark, sf_dir)
-        pairs = minhash_near_dup_pairs(u, threshold=0.7)
+        pairs = _minhash_pairs_u(spark, sf_dir)
         return connected_components(u.select("doc_id"), pairs, id_col="doc_id")
 
     return pooled_parquet("minhash_cc07", spark, sf_dir, build)

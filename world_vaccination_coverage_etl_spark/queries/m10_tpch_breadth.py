@@ -1947,20 +1947,24 @@ def q_events_cusum_drift(spark, sf_dir):
     "O(max-degree²) when a hub's id sorts low.  Output stays sorted "
     "a<b<c by ID, so the id-oriented exhaustive oracle certifies the "
     "orientation change is invisible.  The oracle reuses the "
-    "certified Jaccard edge set",
+    "certified Jaccard edge set.  r12 (r11 verdict item 2): the pair "
+    "graph comes from the POOLED minhash edge set (m07_dedup."
+    "_minhash_pairs_u) — r11 instrumentation showed ~99% of the sf10 "
+    "wall was regenerating the same deterministic pair set the CC "
+    "family already materializes; cold cost gated via bench cold_norm",
 )
 def q_dup_graph_triangles(spark, sf_dir):
     from ..operators.components import oriented_triangles
 
-    u = _docs_self_union(spark, sf_dir)
+    from .m07_dedup import _minhash_pairs_u
+
     pairs = (
-        minhash_near_dup_pairs(u, threshold=0.7)
+        _minhash_pairs_u(spark, sf_dir)
         .select(
             F.least("id_a", "id_b").alias("a"),
             F.greatest("id_a", "id_b").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     return oriented_triangles(pairs, src_col="a", dst_col="b").orderBy(
         "a", "b", "c"
@@ -2205,16 +2209,18 @@ def q_bm25_topk_docs(spark, sf_dir):
     "join (operators/components.oriented_triangles — each triangle "
     "exactly once, so the per-node union-count is orientation-"
     "independent); one partial-agged groupBy each for degrees and "
-    "per-node triangle counts; ANSI-safe guarded division",
+    "per-node triangle counts; ANSI-safe guarded division.  r12: the "
+    "edge set comes from the POOLED lang-blocked ngram pair table "
+    "(m07_dedup._ngram_pairs_500, shared with pagerank_dup_graph) — "
+    "verdict item 2; cold cost gated via bench cold_norm",
 )
 def q_clustering_coeff_dup_graph(spark, sf_dir):
     from ..operators.components import oriented_triangles
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    pairs = (
-        ngram_jaccard_pairs(d, block_col="lang", n=3, threshold=0.5)
-        .select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
-        .localCheckpoint(eager=False)
+    from .m07_dedup import _ngram_pairs_500
+
+    pairs = _ngram_pairs_500(spark, sf_dir).select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("t")
     )
     deg = (
         pairs.select(F.col("s").alias("node"))
@@ -2292,13 +2298,18 @@ _PR_ITERS = "".join(
     "driver sees one scalar (N) before the loop and nothing inside it. "
     "Fixed iterations make the result bit-reproducible, so the oracle "
     "unrolls the same 5 steps as plain CTEs and certifies every rank "
-    "at 6 dp — iterative graph analytics under a full value-hash gate",
+    "at 6 dp — iterative graph analytics under a full value-hash gate. "
+    "r12: the edge set comes from the POOLED lang-blocked ngram pair "
+    "table (m07_dedup._ngram_pairs_500, shared with "
+    "clustering_coeff_dup_graph) — verdict item 2",
 )
 def q_pagerank_dup_graph(spark, sf_dir):
     from ..operators.pagerank import pagerank
 
+    from .m07_dedup import _ngram_pairs_500
+
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    pairs = ngram_jaccard_pairs(d, block_col="lang", n=3, threshold=0.5)
+    pairs = _ngram_pairs_500(spark, sf_dir)
     pr = pagerank(d.select("doc_id"), pairs, damping=0.85, n_iter=5)
     return pr.select(
         "doc_id", F.round("rank", 6).alias("rank")
