@@ -36,6 +36,21 @@ def test_scalar_broadcast_crossjoin_not_flagged(spark):
     assert any("scalar-broadcast" in n for n in notes), notes
 
 
+def test_grouped_aggregate_build_gets_check_note(spark):
+    # distinct dimension crossed with another table: bounded by the
+    # group-key cardinality -> surfaced as a check-me note, not a
+    # warning and not silently scalar-whitelisted
+    base = spark.range(200).withColumn("k", F.col("id") % 4)
+    dims = base.groupBy("k").agg(F.count("*").alias("n"))
+    df = base.crossJoin(F.broadcast(dims.select("k", "n")))
+    plan, simple = _plans(df)
+    assert "BroadcastNestedLoopJoin" in simple
+    notes = summarize(plan, simple)
+    assert not any("WARNING: nested-loop" in n for n in notes), notes
+    assert not any("scalar-broadcast" in n for n in notes), notes
+    assert any("aggregate-bounded" in n for n in notes), notes
+
+
 def test_real_cartesian_still_flagged(spark):
     a = spark.range(50).withColumnRenamed("id", "a")
     b = spark.range(40).withColumnRenamed("id", "b")

@@ -136,6 +136,13 @@ HEADLINE = [
     "pq_topk_adc",
     "ivfpq_topk_adc",
     "cosine_topk_ivf2",
+    # r12: two-phase bucketed-rank rewrites + new registration, and
+    # the pooled pair-graph consumers
+    "doc_length_ntile_bins",
+    "event_value_decile_stats",
+    "dup_graph_triangles",
+    "clustering_coeff_dup_graph",
+    "pagerank_dup_graph",
 ]
 
 
@@ -172,38 +179,58 @@ def summarize(plan: str, simple: str) -> list[str]:
         # r12 (r11 verdict item 3): a BroadcastNestedLoopJoin whose
         # broadcast side is a GLOBAL aggregate (keys=[] -> exactly one
         # row) is the scalar-subquery pattern (crossJoin(broadcast(agg))
-        # — bounded by construction, not a real cartesian.  Only flag
-        # builds that are NOT provably single-row.
-        n_scalar = _scalar_broadcast_builds(simple)
+        # — bounded by construction, not a real cartesian.  AQE reuses
+        # one scalar exchange across several BNLJs (ReusedExchange has
+        # no subtree), so the classification is per IDENTITY EXCHANGE,
+        # not per join.  A grouped-aggregate build (bounded by its
+        # group-key cardinality, e.g. a distinct dimension crossed with
+        # a generated calendar) is surfaced as a check-me note; only a
+        # build that is neither is a real cartesian warning.
+        n_ident, n_scalar, n_agg = _identity_builds(simple)
         n_bnlj = simple.count("BroadcastNestedLoopJoin")
-        if n_scalar >= n_bnlj:
+        if n_ident and n_scalar == n_ident:
             notes.append(
                 f"scalar-broadcast nested-loop join(s): {n_bnlj} "
                 "(1-row global-aggregate build side — bounded)"
+            )
+        elif n_ident and n_scalar + n_agg == n_ident:
+            notes.append(
+                f"nested-loop join(s): {n_bnlj} with aggregate-bounded "
+                "build side (cardinality = group count; verify the "
+                "dimension is bounded)"
             )
         else:
             notes.append("WARNING: nested-loop/cartesian join in plan")
     return notes
 
 
-def _scalar_broadcast_builds(simple: str) -> int:
-    """Count IdentityBroadcastMode exchanges (the BNLJ build side)
-    whose subtree is a global aggregate — keys=[] means exactly one
-    output row, so the 'nested loop' is a scalar annotate."""
+def _identity_builds(simple: str) -> tuple[int, int, int]:
+    """Classify every IdentityBroadcastMode exchange (the BNLJ build
+    side): total, global-aggregate (keys=[] -> exactly one row), and
+    grouped-aggregate (bounded by group cardinality) subtrees."""
     lines = simple.splitlines()
-    n = 0
+    n_ident = n_scalar = n_agg = 0
     for i, line in enumerate(lines):
         if "BroadcastExchange IdentityBroadcastMode" not in line:
             continue
+        if "ReusedExchange" in line:
+            # a reuse POINTER to an exchange classified at its
+            # definition site; it has no subtree of its own
+            continue
+        n_ident += 1
         depth = len(re.match(r"^[\s:+|-]*", line).group(0))
         for sub in lines[i + 1 :]:
             sdepth = len(re.match(r"^[\s:+|-]*", sub).group(0))
             if sub.strip() and sdepth <= depth:
                 break
-            if re.search(r"(Hash|Sort|ObjectHash)Aggregate\(keys=\[\]", sub):
-                n += 1
+            m = re.search(r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[(.*?)\]", sub)
+            if m:
+                if m.group(1).strip():
+                    n_agg += 1
+                else:
+                    n_scalar += 1
                 break
-    return n
+    return n_ident, n_scalar, n_agg
 
 
 def main() -> int:
