@@ -159,3 +159,79 @@ def test_static_bounds_skip_stats_job(spark):
     assert totals[()] == 100
     ranks = sorted(r["r"] for r in got.collect())
     assert ranks == list(range(1, 101))
+
+
+def test_cumsum_matches_window(spark):
+    from world_vaccination_coverage_etl_spark.operators.ranks import (
+        two_phase_cumsum,
+    )
+
+    rows = [(float(i % 37), i, float((i * 13) % 7 + 1)) for i in range(1500)]
+    df = _df(spark, rows, ["v", "tid", "wt"])
+    got = two_phase_cumsum(
+        df, RankSpec("v", "tid", value_desc=True), "wt", out_col="c",
+        num_buckets=8,
+    )
+    w = (
+        Window.orderBy(F.col("v").desc(), F.col("tid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("c", F.sum("wt").over(w))
+    assert (
+        got.select("tid", "c").exceptAll(want.select("tid", "c")).isEmpty()
+    )
+
+
+def test_cumsum_exclusive_and_plan(spark):
+    from world_vaccination_coverage_etl_spark.operators.ranks import (
+        two_phase_cumsum,
+    )
+
+    rows = [(float(i % 11), i, 2.0) for i in range(400)]
+    df = _df(spark, rows, ["v", "tid", "wt"])
+    got = two_phase_cumsum(
+        df, RankSpec("v", "tid"), "wt", out_col="c", inclusive=False
+    )
+    w = (
+        Window.orderBy("v", "tid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("c", F.sum("wt").over(w) - F.col("wt"))
+    assert (
+        got.select("tid", "c").exceptAll(want.select("tid", "c")).isEmpty()
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_cumsum_tie_permute_multiset_invariance(spark):
+    """String tiebreak + heavy ties: per-row before-masses within each
+    tie group must be exactly the group's arithmetic progression (in
+    some order) — the invariance the Pareto coverage counts rely on."""
+    from world_vaccination_coverage_etl_spark.operators.ranks import (
+        two_phase_cumsum,
+    )
+
+    rows = [
+        (1.0 if i % 2 else float(i % 8 + 2), f"w{i:05d}") for i in range(2000)
+    ]
+    df = _df(spark, rows, ["f", "w"])
+    spec = RankSpec(
+        "f",
+        "w",
+        value_desc=True,
+        tie_permute=True,
+        value_bounds=list(range(1, 11)),
+        num_sub=8,
+    )
+    got = two_phase_cumsum(df, spec, "f", out_col="c", inclusive=False)
+    out = got.select("f", "c").collect()
+    by_f = {}
+    for r in out:
+        by_f.setdefault(r["f"], []).append(r["c"])
+    start = 0.0
+    for f in sorted(by_f, reverse=True):
+        vals = sorted(by_f[f])
+        m = len(vals)
+        assert vals == [start + k * f for k in range(m)], f
+        start += m * f

@@ -143,6 +143,7 @@ HEADLINE = [
     "dup_graph_triangles",
     "clustering_coeff_dup_graph",
     "pagerank_dup_graph",
+    "vocab_pareto_coverage",
 ]
 
 

@@ -150,6 +150,9 @@ PROBE = [
     ("zipf_slope_words", False),
     ("doc_length_ntile_bins", False),
     ("event_value_decile_stats", False),
+    # r12 late: the two-phase prefix-sum consumers
+    ("auc_rank_embedding", False),
+    ("vocab_pareto_coverage", False),
 ]
 
 

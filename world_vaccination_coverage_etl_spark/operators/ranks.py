@@ -365,3 +365,94 @@ def two_phase_ntile(
         rest = rem + F.floor((r - cut - 1) / F.greatest(q, F.lit(1))) + 1
         expr = F.when(r <= cut, first).otherwise(rest).cast("int")
     return ranked.withColumn(out_col, expr).drop(rank_col)
+
+
+def two_phase_cumsum(
+    df: DataFrame,
+    spec: RankSpec,
+    weight_col: str,
+    *,
+    num_buckets: int = 16,
+    out_col: str = "cumsum",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Running total of ``weight_col`` over the global ORDER BY the
+    spec defines — ``sum(w) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` without the single-partition WindowExec.
+
+    Same elementary-interval bucketing as ``two_phase_ranks`` (the
+    buckets are contiguous runs of the total order), but phase 2
+    collects per-bucket WEIGHT SUMS instead of counts, so the joined
+    offset is the exact total weight strictly before the bucket; the
+    within-bucket running sum is a bucket-parallel window.  Integer
+    weights stay exact in double up to 2^53 (count-like weights — the
+    intended use — never lose a ulp).  ``inclusive=False`` gives the
+    sum of STRICTLY-PRECEDING rows.
+
+    Ties: with a unique (value, tiebreak) key every row's running
+    total is exact.  With ``tie_permute`` (string tiebreak, xxhash64
+    sub-split of heavy boundary values) the per-row totals WITHIN a
+    tie group come out in a deterministic permutation of the group's
+    arithmetic progression {M, M+w, ..., M+(m-1)w} — the same multiset
+    as any order, so consumers that aggregate over tie groups
+    (coverage counts, share thresholds) are exact; per-row-identity
+    consumers need the unique key.
+    """
+    sprobs = [j / spec.num_sub for j in range(1, spec.num_sub)]
+    need_vb = spec.value_bounds is None
+    aggs = []
+    if need_vb:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        aggs.append(F.percentile_approx(_v_adj(spec), probs, 10000).alias("_vb"))
+    if not spec.tie_permute:
+        aggs.append(F.percentile_approx(_t_sub(spec), sprobs, 10000).alias("_sb"))
+    row = df.groupBy().agg(*aggs).collect()[0] if aggs else None
+    if need_vb:
+        vb = [float(x) for x in (row["_vb"] or [])]
+    else:
+        vb = [(-float(b)) if spec.value_desc else float(b)
+              for b in spec.value_bounds]
+    vb = sorted(set(vb))
+    if spec.tie_permute:
+        sb = _hash_sub_bounds(spec.num_sub)
+    else:
+        sb = sorted(set(float(x) for x in (row["_sb"] or [])))
+
+    bucket_sql = _bucket_sql(spec, vb, sb)
+    base = df.select("*", F.expr(bucket_sql).alias("_tpb"))
+
+    cnt_rows = (
+        base.groupBy("_tpb")
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("_w"))
+        .collect()
+    )
+    running = 0.0
+    offs = []
+    for r in sorted(cnt_rows, key=lambda r: r["_tpb"]):
+        offs.append((str(r["_tpb"]), float(running)))
+        running += r["_w"] or 0.0
+    if not offs:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    spark = df.sparkSession
+    odf = spark.createDataFrame(offs, "`_tpk` string, `_tpo` double")
+
+    order = [
+        F.col(spec.value_col).desc() if spec.value_desc
+        else F.col(spec.value_col).asc(),
+        F.col(spec.tiebreak_col).desc() if spec.tiebreak_desc
+        else F.col(spec.tiebreak_col).asc(),
+    ]
+    w = (
+        Window.partitionBy("_tpb")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.sum(F.col(weight_col).cast("double")).over(w)
+    if not inclusive:
+        within = within - F.col(weight_col).cast("double")
+    return (
+        base.withColumn("_tpk", F.col("_tpb").cast("string"))
+        .join(F.broadcast(odf), "_tpk", "left")
+        .withColumn(out_col, within + F.col("_tpo"))
+        .drop("_tpb", "_tpk", "_tpo")
+    )

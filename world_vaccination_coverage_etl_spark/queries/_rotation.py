@@ -41,6 +41,7 @@ from ._core import QueryDef  # noqa: F401
 # re-running the audit.
 
 _CERT_EARLY = [
+    "vocab_pareto_coverage",
     "event_value_decile_stats",
 ]
 

@@ -1078,6 +1078,96 @@ def q_fk_orphan_audit(spark, sf_dir):
 
 
 @register(
+    "vocab_pareto_coverage",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(
+          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+          '[^a-z0-9]+'), x -> x <> '')) AS w
+      FROM documents),
+    freq AS (SELECT w, CAST(count(*) AS DOUBLE) AS f FROM toks GROUP BY w),
+    c AS (
+      SELECT f, sum(f) OVER (ORDER BY f DESC, w
+                             ROWS UNBOUNDED PRECEDING) - f AS before
+      FROM freq),
+    t AS (SELECT sum(f) AS tot, count(*) AS v FROM freq)
+    SELECT CAST(max(t.v) AS BIGINT) AS vocab_size,
+           CAST(max(t.tot) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN c.before < 0.5 * t.tot THEN 1 ELSE 0 END)
+                AS BIGINT) AS words_50,
+           CAST(sum(CASE WHEN c.before < 0.9 * t.tot THEN 1 ELSE 0 END)
+                AS BIGINT) AS words_90,
+           CAST(sum(CASE WHEN c.before < 0.99 * t.tot THEN 1 ELSE 0 END)
+                AS BIGINT) AS words_99
+    FROM c CROSS JOIN t
+    """,
+    note="vocabulary Pareto coverage — how many distinct words cover "
+    "50/90/99% of the token mass (the Zipf head/tail cut every "
+    "tokenizer-budget and stopword decision rests on).  NEW r12, the "
+    "showcase for operators/ranks.py two_phase_cumsum: a running "
+    "total over a GLOBAL order (f desc, w) on the vocabulary-sized "
+    "frequency table without a single-partition window — static "
+    "power-of-two count bounds (no statistics job), the f=1 tie "
+    "monster hash-split across sub-buckets (valid: the coverage "
+    "counts depend on the MULTISET of strictly-before masses within "
+    "a tie group, which is permutation-invariant — each group's "
+    "before-masses are the arithmetic progression {M..M+(m-1)f} in "
+    "any order), per-bucket weight sums joined back as exact "
+    "offsets.  Integer masses keep every comparison exact in double; "
+    "threshold products 0.5/0.9/0.99 x tot are IEEE-identical across "
+    "engines",
+)
+def q_vocab_pareto_coverage(spark, sf_dir):
+    from ..operators.ranks import RankSpec, two_phase_cumsum
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
+                    r"[^a-z0-9]+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("w")
+    )
+    freq = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("f"))
+        .localCheckpoint(eager=False)
+    )
+    spec = RankSpec(
+        "f",
+        "w",
+        value_desc=True,
+        tie_permute=True,
+        value_bounds=list(range(1, 65)) + [1 << i for i in range(7, 41)],
+        num_sub=32,
+    )
+    c = two_phase_cumsum(freq, spec, "f", out_col="_cum", inclusive=False)
+    t = freq.agg(
+        F.sum("f").alias("tot"), F.count(F.lit(1)).alias("v")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.max("v").cast("long").alias("vocab_size"),
+            F.max("tot").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("_cum") < 0.5 * F.col("tot"), 1).otherwise(0)
+            ).cast("long").alias("words_50"),
+            F.sum(
+                F.when(F.col("_cum") < 0.9 * F.col("tot"), 1).otherwise(0)
+            ).cast("long").alias("words_90"),
+            F.sum(
+                F.when(F.col("_cum") < 0.99 * F.col("tot"), 1).otherwise(0)
+            ).cast("long").alias("words_99"),
+        )
+    )
+
+
+@register(
     "zipf_slope_words",
     r"""
     WITH toks AS (
@@ -1802,14 +1892,18 @@ def q_sql_recursive_calendar(spark, sf_dir):
     "the even-label class by embedding L2 norm — the model-eval metric "
     "computed WITHOUT sorting the data: scores aggregate to "
     "(score, n, n_pos) groups first (partial-agged; 6-dp rounding "
-    "defines tie groups identically in both engines), the rank window "
-    "then runs over the aggregated distinct-score rows only, and "
-    "avg-rank-per-group feeds the closed-form U.  At 100 TB the full "
-    "pass is one hash aggregation; the single-partition window touches "
-    "distinct-score cardinality, bounded by the 6-dp score grid — the "
-    "same aggregate-first shape as the histogram/ntile queries",
+    "defines tie groups identically in both engines), the running "
+    "rank-mass then comes from the two-phase bucketed prefix sum "
+    "(operators/ranks.py two_phase_cumsum, r12) over the aggregated "
+    "distinct-score rows — distinct-score cardinality is bounded by "
+    "the 6-dp grid, but even that no longer funnels through a "
+    "single-partition window — and avg-rank-per-group feeds the "
+    "closed-form U.  At 100 TB the full pass is one hash aggregation "
+    "plus a bucket-parallel running sum; integer group counts keep "
+    "the prefix sums exact in double",
 )
 def q_auc_rank_embedding(spark, sf_dir):
+    from ..operators.ranks import RankSpec, two_phase_cumsum
     from ..operators.similarity import _norm
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1817,18 +1911,21 @@ def q_auc_rank_embedding(spark, sf_dir):
         F.round(_norm(F.col("embedding")), 6).alias("score"),
         F.when(F.col("label") % 2 == 0, 1).otherwise(0).alias("pos"),
     )
-    g = s.groupBy("score").agg(
-        F.count(F.lit(1)).cast("double").alias("n_g"),
-        F.sum("pos").cast("double").alias("pos_g"),
+    g = (
+        s.groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_g"),
+            F.sum("pos").cast("double").alias("pos_g"),
+        )
+        .localCheckpoint(eager=False)
     )
-    w = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = g.select(
-        "pos_g",
+    r = two_phase_cumsum(
+        g,
+        RankSpec("score", "score"),
         "n_g",
-        (F.sum("n_g").over(w) - F.col("n_g")).alias("cum_before"),
-    )
+        out_col="cum_before",
+        inclusive=False,
+    ).select("pos_g", "n_g", "cum_before")
     tot = r.agg(
         F.sum("pos_g").alias("np"),
         (F.sum("n_g") - F.sum("pos_g")).alias("nn"),
