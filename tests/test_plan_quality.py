@@ -73,6 +73,8 @@ NESTED_LOOP_OK = {
     "gains_table_embedding",
     # FK audit: 1-row (child count) x 1-row (orphan count) combines
     "fk_orphan_audit",
+    # Pareto coverage: 1-row (total tokens, vocab size) scalar broadcast
+    "vocab_pareto_coverage",
 }
 
 _LAZY = [n for n in REGISTRY if n not in _EXECUTES]

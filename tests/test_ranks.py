@@ -235,3 +235,51 @@ def test_cumsum_tie_permute_multiset_invariance(spark):
         m = len(vals)
         assert vals == [start + k * f for k in range(m)], f
         start += m * f
+
+
+@pytest.mark.parametrize("seed", [3, 17, 42, 99])
+def test_randomized_differential_vs_window(spark, seed):
+    """Seeded-random differential: random value distributions (heavy
+    ties included), random weights, both directions, random bucket
+    counts — two-phase rank/ntile/cumsum must equal the single-window
+    forms row for row."""
+    import random
+
+    from world_vaccination_coverage_etl_spark.operators.ranks import (
+        two_phase_cumsum,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(50, 800)
+    vals = [float(rng.choice([rng.randint(0, 8), rng.randint(0, 10**6)]))
+            for _ in range(n)]
+    rows = [(vals[i], i, float(rng.randint(1, 9))) for i in range(n)]
+    df = _df(spark, rows, ["v", "tid", "wt"])
+    desc = bool(rng.getrandbits(1))
+    k = rng.randint(2, 9)
+    b = rng.choice([2, 4, 8, 16])
+    spec = RankSpec("v", "tid", out_col="r", value_desc=desc)
+    order = [F.col("v").desc() if desc else F.col("v").asc(),
+             F.col("tid").asc()]
+
+    got, totals = two_phase_ranks(df, [spec], num_buckets=b)
+    want = df.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+    assert totals[()] == n
+    assert got.select("tid", "r").exceptAll(want.select("tid", "r")).isEmpty()
+
+    gnt = two_phase_ntile(df, k, spec, out_col="nt", num_buckets=b)
+    wnt = df.withColumn("nt", F.ntile(k).over(Window.orderBy(*order)))
+    assert (
+        gnt.select("tid", "nt").exceptAll(wnt.select("tid", "nt")).isEmpty()
+    )
+
+    gc = two_phase_cumsum(df, spec, "wt", out_col="c", num_buckets=b)
+    wc = df.withColumn(
+        "c",
+        F.sum("wt").over(
+            Window.orderBy(*order).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    assert gc.select("tid", "c").exceptAll(wc.select("tid", "c")).isEmpty()
