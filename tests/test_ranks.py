@@ -283,3 +283,19 @@ def test_randomized_differential_vs_window(spark, seed):
         ),
     )
     assert gc.select("tid", "c").exceptAll(wc.select("tid", "c")).isEmpty()
+
+
+def test_empty_input_all_modes(spark):
+    from world_vaccination_coverage_etl_spark.operators.ranks import (
+        two_phase_cumsum,
+    )
+
+    df = spark.createDataFrame([], "v double, tid long, wt double, p string")
+    got, totals = two_phase_ranks(df, [RankSpec("v", "tid", out_col="r")])
+    assert got.count() == 0 and totals == {(): 0}
+    gp = two_phase_ntile(
+        df, 4, RankSpec("v", "tid"), partition_cols=["p"], out_col="nt"
+    )
+    assert gp.count() == 0
+    gc = two_phase_cumsum(df, RankSpec("v", "tid"), "wt", out_col="c")
+    assert gc.count() == 0

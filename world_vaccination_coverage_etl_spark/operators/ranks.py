@@ -232,7 +232,13 @@ def two_phase_ranks(
                 arms.append(
                     f"WHEN {cond} THEN {_bucket_sql(s, *bounds_for(part, i, s))}"
                 )
-            bucket_sqls.append("CASE " + " ".join(arms) + " END")
+            # empty input -> no partitions -> a bare "CASE END" would
+            # not parse; any constant works (there are no rows)
+            bucket_sqls.append(
+                "CASE " + " ".join(arms) + " END"
+                if arms
+                else "CAST(NULL AS INT)"
+            )
 
     # Materialize each bucket id as ONE column: the (potentially deep)
     # comparison tree is analyzed/codegen'd once, and the window spec,
