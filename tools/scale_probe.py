@@ -182,25 +182,37 @@ def main() -> None:
 
     print(json.dumps({"sf": sf, "probes": results}))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALING.md"), "w") as fh:
-        fh.write(
-            "# SCALING — empirical 1x vs 10x cost-curve probe\n\n"
-            "Generated by `tools/scale_probe.py` on the sf0.1 tables vs a "
-            "deterministic\n10x amplification (disjoint id ranges, "
-            "perturbed text; minhash uses 4x to keep\nthe probe under a "
-            "minute).  `time_ratio` well under ~12x on a 10x input ⇒ the\n"
-            "operator's cost curve is linear-ish (fixed overheads "
-            "amortize); a blocked\ndesign gone quadratic would blow far "
-            "past it.\n\n"
-            "| operator | 1x time (s) | big time (s) | input factor | "
-            "time ratio |\n|---|---|---|---|---|\n"
+    # Rewrite ONLY this tool's section (the file preamble up to the
+    # first "## " heading) — SCALING.md has since grown sections owned
+    # by other tools (sf1 stress, probe100, streaming) plus hand notes;
+    # the r1-era whole-file overwrite would destroy them.
+    head = (
+        "# SCALING — empirical 1x vs 10x cost-curve probe\n\n"
+        "Generated by `tools/scale_probe.py` on the sf0.1 tables vs a "
+        "deterministic\n10x amplification (disjoint id ranges, "
+        "perturbed text; minhash uses 4x to keep\nthe probe under a "
+        "minute).  `time_ratio` well under ~12x on a 10x input ⇒ the\n"
+        "operator's cost curve is linear-ish (fixed overheads "
+        "amortize); a blocked\ndesign gone quadratic would blow far "
+        "past it.\n\n"
+        "| operator | 1x time (s) | big time (s) | input factor | "
+        "time ratio |\n|---|---|---|---|---|\n"
+    )
+    factors = {"minhash_near_dup": 4, "pagerank_minhash_graph": 4}
+    for name, r in results.items():
+        head += (
+            f"| {name} | {r['t_1x_s']} | {r['t_big_s']} | "
+            f"{factors.get(name, 10)}x | {r['time_ratio']}x |\n"
         )
-        factors = {"minhash_near_dup": 4, "pagerank_minhash_graph": 4}
-        for name, r in results.items():
-            fh.write(
-                f"| {name} | {r['t_1x_s']} | {r['t_big_s']} | "
-                f"{factors.get(name, 10)}x | {r['time_ratio']}x |\n"
-            )
+    path = os.path.join(root, "SCALING.md")
+    rest = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            rest = old[idx:]
+    with open(path, "w") as fh:
+        fh.write(head + rest)
 
 
 if __name__ == "__main__":
