@@ -90,6 +90,15 @@ def _t_sub(spec: RankSpec) -> Column:
     return (-c) if spec.tiebreak_desc else c
 
 
+# Static bounds for integer COUNT columns (word/document/item
+# frequencies): every count <= 64 is its own singleton bucket — the
+# heavy-tie zone of any Zipfian distribution — powers of two above,
+# up to 2^40 (the bucketed rows are one per DISTINCT value, so the
+# sparse head above the cap shares one near-empty interval bucket).
+# Data-independent: specs using these skip the quantile job entirely.
+INT_COUNT_BOUNDS = tuple(range(1, 65)) + tuple(1 << i for i in range(7, 41))
+
+
 def _hash_sub_bounds(num_sub: int) -> list:
     """Static uniform int64 bounds for an xxhash64 sub-key."""
     span = 1 << 64

@@ -1118,7 +1118,11 @@ def q_fk_orphan_audit(spark, sf_dir):
     "engines",
 )
 def q_vocab_pareto_coverage(spark, sf_dir):
-    from ..operators.ranks import RankSpec, two_phase_cumsum
+    from ..operators.ranks import (
+        INT_COUNT_BOUNDS,
+        RankSpec,
+        two_phase_cumsum,
+    )
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -1142,7 +1146,7 @@ def q_vocab_pareto_coverage(spark, sf_dir):
         "w",
         value_desc=True,
         tie_permute=True,
-        value_bounds=list(range(1, 65)) + [1 << i for i in range(7, 41)],
+        value_bounds=INT_COUNT_BOUNDS,
         num_sub=32,
     )
     c = two_phase_cumsum(freq, spec, "f", out_col="_cum", inclusive=False)
@@ -1209,7 +1213,11 @@ def q_vocab_pareto_coverage(spark, sf_dir):
     "contract",
 )
 def q_zipf_slope_words(spark, sf_dir):
-    from ..operators.ranks import RankSpec, two_phase_ranks
+    from ..operators.ranks import (
+        INT_COUNT_BOUNDS,
+        RankSpec,
+        two_phase_ranks,
+    )
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -1239,7 +1247,7 @@ def q_zipf_slope_words(spark, sf_dir):
         # counts are integers: every value <= 64 is its own singleton
         # bucket (the heavy-tie zone of any Zipf corpus), powers of two
         # above; data-independent, so no boundary-statistics job runs.
-        value_bounds=list(range(1, 65)) + [1 << i for i in range(7, 41)],
+        value_bounds=INT_COUNT_BOUNDS,
         num_sub=32,
     )
     ranked_df, _ = two_phase_ranks(freq, [spec])
