@@ -67,3 +67,22 @@ def test_unhinted_cartesian_product_still_flagged(spark):
     plan, simple = _plans(df)
     notes = summarize(plan, simple)
     assert any("WARNING: nested-loop" in n for n in notes), notes
+
+
+def test_row_expanding_scalar_build_still_flagged(spark):
+    # explode(collect_list(...)) on the broadcast side: the subtree
+    # CONTAINS a keys=[] aggregate but Generate multiplies its one row
+    # back to N — must stay a WARNING, not a scalar whitelist hit
+    base = spark.range(60).withColumn("v", F.col("id") % 7)
+    blown = (
+        base.agg(F.collect_list("v").alias("vs"))
+        .select(F.explode("vs").alias("v2"))
+    )
+    df = base.crossJoin(F.broadcast(blown))
+    plan, simple = _plans(df)
+    if "BroadcastNestedLoopJoin" not in simple:
+        import pytest as _pytest
+
+        _pytest.skip("planner chose a non-BNLJ shape")
+    notes = summarize(plan, simple)
+    assert any("WARNING: nested-loop" in n for n in notes), notes

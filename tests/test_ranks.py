@@ -299,3 +299,29 @@ def test_empty_input_all_modes(spark):
     assert gp.count() == 0
     gc = two_phase_cumsum(df, RankSpec("v", "tid"), "wt", out_col="c")
     assert gc.count() == 0
+
+
+def test_partitioned_null_and_weird_keys(spark):
+    from world_vaccination_coverage_etl_spark.operators.ranks import (
+        two_phase_ntile,
+    )
+
+    rows = [("en" if i % 3 == 0 else (None if i % 3 == 1 else "d'e"),
+             float(i % 13), i) for i in range(300)]
+    df = spark.createDataFrame(rows, ["lang", "v", "tid"])
+    got = two_phase_ntile(
+        df, 4, RankSpec("v", "tid"), partition_cols=["lang"], out_col="nt"
+    )
+    w = Window.partitionBy("lang").orderBy("v", "tid")
+    want = df.withColumn("nt", F.ntile(4).over(w))
+    assert (
+        got.select("tid", "nt").exceptAll(want.select("tid", "nt")).isEmpty()
+    )
+
+
+def test_partitioned_rejects_float_keys(spark):
+    df = spark.createDataFrame(
+        [(1.5, 2.0, 1), (2.5, 3.0, 2)], ["p", "v", "tid"]
+    )
+    with pytest.raises(TypeError, match="string/int/NULL"):
+        two_phase_ranks(df, [RankSpec("v", "tid")], partition_cols=["p"])

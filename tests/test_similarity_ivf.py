@@ -373,3 +373,22 @@ def test_pq_adc_topk_codes_col_reuses_prebuilt_codes(spark):
     assert [(r.vec_id, r.adc_dist) for r in inline] == [
         (r.vec_id, r.adc_dist) for r in reused
     ]
+
+
+def test_pq_adc_topk_codes_col_wrong_m_fails_loud(spark):
+    import pytest as _pytest
+
+    from world_vaccination_coverage_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode_batched,
+        sampled_centroids,
+    )
+
+    rows = [(i, [float(x) for x in np.random.default_rng(i).standard_normal(16)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sample = sampled_centroids(df, nlist=4)
+    pre = pq_encode_batched(df, sample, m=4).drop("embedding")  # 4 codes/row
+    q = [0.0] * 16
+    with _pytest.raises(Exception, match="expected m=8"):
+        pq_adc_topk(pre, q, sample, k=3, m=8, codes_col="codes").collect()

@@ -224,6 +224,13 @@ def _identity_builds(simple: str) -> tuple[int, int, int]:
             sdepth = len(re.match(r"^[\s:+|-]*", sub).group(0))
             if sub.strip() and sdepth <= depth:
                 break
+            # a row-EXPANDING operator between the exchange and the
+            # aggregate voids the bound: explode(collect_list(...)) or
+            # a join ON TOP of a global aggregate is N rows, not 1 —
+            # classify by the aggregate only if nothing above it in
+            # the build subtree can multiply rows
+            if re.search(r"\b(Generate|Expand|\w*Join\w*)\b", sub):
+                break
             m = re.search(r"(?:Hash|Sort|ObjectHash)Aggregate\(keys=\[(.*?)\]", sub)
             if m:
                 if m.group(1).strip():

@@ -207,10 +207,21 @@ def main() -> None:
     path = os.path.join(root, "SCALING.md")
     rest = ""
     if os.path.exists(path):
-        old = open(path).read()
-        idx = old.find("\n## ")
-        if idx >= 0:
-            rest = old[idx:]
+        # preserve everything after THIS tool's own table (scan past
+        # the preamble to the table, then past its contiguous "|" rows)
+        # rather than jumping to the next "## " heading — hand notes
+        # between the table and the first section must survive too
+        old_lines = open(path).read().splitlines(keepends=True)
+        i = 0
+        while i < len(old_lines) and not old_lines[i].startswith("| operator |"):
+            i += 1
+        if i < len(old_lines):
+            i += 1  # the |---| separator
+            while i < len(old_lines) and old_lines[i].startswith("|"):
+                i += 1
+            rest = "".join(old_lines[i:])
+            if rest and not rest.startswith("\n"):
+                rest = "\n" + rest.lstrip("\n")
     with open(path, "w") as fh:
         fh.write(head + rest)
 

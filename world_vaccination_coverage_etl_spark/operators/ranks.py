@@ -160,9 +160,49 @@ def _bucket_sql(spec: RankSpec, vbounds: Sequence, sbounds: Sequence) -> str:
 
 
 def _sql_str(v) -> str:
+    if v is None:
+        return "NULL"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     return _sql_num(v)
+
+
+# sentinel for NULL partition values in the Python-side string keys
+# that must round-trip through the Spark-side key expression below
+_NULL_KEY = "\x00NULL"
+
+
+def _part_key(part: tuple) -> str:
+    return _SEP.join(_NULL_KEY if v is None else str(v) for v in part)
+
+
+def _part_key_expr(pcols: Sequence[str], *extra: Column) -> Column:
+    """Spark-side join key matching ``_part_key``: NULLs become the
+    sentinel (concat_ws would silently DROP them and mis-key the
+    broadcast lookup)."""
+    cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_KEY)) for c in pcols
+    ]
+    return F.concat_ws(_SEP, *cols, *[e.cast("string") for e in extra])
+
+
+def _check_part_values(parts, pcols) -> None:
+    """Partition values must round-trip exactly between Python str()
+    and Spark's string cast (the broadcast-key contract) — true for
+    str/int/None, NOT for float/decimal/date (str(1e20) vs Spark's
+    '1.0E20' would silently miss the join and NULL the ranks)."""
+    for part in parts:
+        for c, v in zip(pcols, part):
+            if v is not None and not isinstance(v, (str, int)):
+                raise TypeError(
+                    f"partition column `{c}` has a {type(v).__name__} "
+                    "value; two-phase partition keys must be "
+                    "string/int/NULL (cast or bucket the column first)"
+                )
+
+
+def _part_sort_key(part: tuple) -> tuple:
+    return tuple((v is None, str(v)) for v in part)
 
 
 def two_phase_ranks(
@@ -219,24 +259,28 @@ def two_phase_ranks(
     # Per-partition bounds may differ -> bucket expr is a CASE chain
     # over partition values (bounded dimension) or the plain expr; the
     # whole thing is ONE SQL string handed to F.expr in one py4j hop.
-    parts = sorted(stats.keys()) if pcols else [()]
+    parts = sorted(stats.keys(), key=_part_sort_key) if pcols else [()]
     if not pcols:
         bucket_sqls = [
             _bucket_sql(s, *bounds_for((), i, s)) for i, s in enumerate(specs)
         ]
     else:
         if not parts:  # pure-static bounds with partitions: need keys
-            parts = [
-                tuple(r[c] for c in pcols)
-                for r in df.select(*pcols).distinct().collect()
-            ]
+            parts = sorted(
+                (
+                    tuple(r[c] for c in pcols)
+                    for r in df.select(*pcols).distinct().collect()
+                ),
+                key=_part_sort_key,
+            )
             stats = {p: {} for p in parts}
+        _check_part_values(parts, pcols)
         bucket_sqls = []
         for i, s in enumerate(specs):
             arms = []
             for part in parts:
                 cond = " AND ".join(
-                    f"`{c}` = {_sql_str(v)}" for c, v in zip(pcols, part)
+                    f"`{c}` <=> {_sql_str(v)}" for c, v in zip(pcols, part)
                 )
                 arms.append(
                     f"WHEN {cond} THEN {_bucket_sql(s, *bounds_for(part, i, s))}"
@@ -307,9 +351,7 @@ def two_phase_ranks(
         for part, offs in offsets[i].items():
             for b, off in offs.items():
                 key = (
-                    _SEP.join([*(str(v) for v in part), str(b)])
-                    if pcols
-                    else str(b)
+                    _SEP.join([_part_key(part), str(b)]) if pcols else str(b)
                 )
                 rows.append((key, off))
         if not rows:
@@ -317,11 +359,7 @@ def two_phase_ranks(
             continue
         kcol, ocol = f"_tpk{i}", f"_tpo{i}"
         odf = spark.createDataFrame(rows, f"`{kcol}` string, `{ocol}` long")
-        key_expr = F.concat_ws(
-            _SEP,
-            *[F.col(c).cast("string") for c in pcols],
-            F.col(bcols[i]).cast("string"),
-        )
+        key_expr = _part_key_expr(pcols, F.col(bcols[i]))
         out = (
             out.withColumn(kcol, key_expr)
             .join(F.broadcast(odf), kcol, "left")
@@ -364,22 +402,29 @@ def two_phase_ntile(
     )
     r = F.col(rank_col)
     if not partition_cols:
-        expr = ntile_from_rank(r, totals.get((), 0), k)
-    else:
-        items = []
-        for part, n in totals.items():
-            items.extend([F.lit(_SEP.join(str(v) for v in part)), F.lit(n)])
-        nmap = F.create_map(*items)
-        n = nmap[
-            F.concat_ws(_SEP, *[F.col(c).cast("string") for c in partition_cols])
-        ].cast("long")
-        q = F.floor(n / F.lit(k))
-        rem = n - q * k
-        cut = rem * (q + 1)
-        first = F.floor((r - 1) / F.greatest(q + 1, F.lit(1))) + 1
-        rest = rem + F.floor((r - cut - 1) / F.greatest(q, F.lit(1))) + 1
-        expr = F.when(r <= cut, first).otherwise(rest).cast("int")
-    return ranked.withColumn(out_col, expr).drop(rank_col)
+        return ranked.withColumn(
+            out_col, ntile_from_rank(r, totals.get((), 0), k)
+        ).drop(rank_col)
+    # per-partition n joined in from a broadcast totals table (one
+    # createDataFrame payload — a create_map of 2·P literals costs a
+    # py4j round trip per literal, the pass-3 lesson)
+    rows = [(_part_key(part), n) for part, n in totals.items()]
+    tdf = ranked.sparkSession.createDataFrame(
+        rows, "`_tpnk` string, `_tpn` long"
+    )
+    n = F.col("_tpn")
+    q = F.floor(n / F.lit(k))
+    rem = n - q * k
+    cut = rem * (q + 1)
+    first = F.floor((r - 1) / F.greatest(q + 1, F.lit(1))) + 1
+    rest = rem + F.floor((r - cut - 1) / F.greatest(q, F.lit(1))) + 1
+    expr = F.when(r <= cut, first).otherwise(rest).cast("int")
+    return (
+        ranked.withColumn("_tpnk", _part_key_expr(partition_cols))
+        .join(F.broadcast(tdf), "_tpnk", "left")
+        .withColumn(out_col, expr)
+        .drop(rank_col, "_tpnk", "_tpn")
+    )
 
 
 def two_phase_cumsum(

@@ -755,7 +755,25 @@ def pq_adc_topk(
         luts.append(row)
 
     if codes_col is not None:
-        encoded = df.withColumnRenamed(codes_col, "codes")
+        # withColumn (not rename): unambiguous if a stale 'codes'
+        # column already exists alongside codes_col.  Guard the m
+        # contract per row — a codes array built with a different m
+        # would otherwise yield NULL adc distances that sort FIRST
+        # and silently win the top-k.
+        encoded = df.withColumn(
+            "codes",
+            F.when(F.size(F.col(codes_col)) == m, F.col(codes_col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"pq_adc_topk: prebuilt {codes_col} has "
+                        ),
+                        F.size(F.col(codes_col)).cast("string"),
+                        F.lit(f" codes per row, expected m={m}"),
+                    )
+                ).cast("array<int>")
+            ),
+        )
     else:
         encoded = pq_encode_batched(
             df, codebook_rows, m=m, vec_col=vec_col, round_dp=round_dp

@@ -26,10 +26,11 @@ from ._core import QueryDef  # noqa: F401
 # driver window re-certifies the STALEST green rows, starting at
 # events_daily_ewma (r10 verdict item 6).  The r11 ANN registrations
 # (cosine_topk_ivf, ivf_cell_occupancy, pq_topk_adc, ivfpq_topk_adc,
-# cosine_topk_ivf2) and r12's event_value_decile_stats are
-# deliberately absent from both lists: _rotated places unlisted names
-# at the head, so each new registration leads its round's window per
-# policy rule 2.  The four
+# cosine_topk_ivf2) led the r11 window as UNLISTED names (rule 2);
+# after their r11 certification the r12 registrations
+# (vocab_pareto_coverage, event_value_decile_stats) were emitted into
+# _CERT_EARLY by `tools/rotation_audit.py --emit` so they lead the
+# r12 window explicitly.  The four
 # queries whose plans changed this round (naive_bayes restructure,
 # degree-oriented triangles, pooled CC) keep their positions: the
 # stalest-first rule already resurfaces each within a few rounds, and
