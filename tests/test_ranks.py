@@ -325,3 +325,128 @@ def test_partitioned_rejects_float_keys(spark):
     )
     with pytest.raises(TypeError, match="string/int/NULL"):
         two_phase_ranks(df, [RankSpec("v", "tid")], partition_cols=["p"])
+
+
+def test_partitioned_rejects_bool_keys(spark):
+    # bool is an int subclass, but str(True)='True' while Spark's
+    # string cast yields 'true' — the broadcast key would silently
+    # miss; the guard must reject it loudly (r12 ADVICE, medium).
+    df = spark.createDataFrame(
+        [(True, 2.0, 1), (False, 3.0, 2)], ["p", "v", "tid"]
+    )
+    with pytest.raises(TypeError, match="bool.*string/int/NULL"):
+        two_phase_ranks(df, [RankSpec("v", "tid")], partition_cols=["p"])
+
+
+def test_partitioned_separator_keys_do_not_collide(spark):
+    """Adversarial partition values: with two partition columns, the
+    tuples ('a\\x1fb', 'c') and ('a', 'b\\x1fc') concatenate to the
+    same unescaped key, and a value equal to the NULL sentinel would
+    alias an actual NULL — component escaping must keep all of them
+    distinct (r12 ADVICE)."""
+    from world_vaccination_coverage_etl_spark.operators.ranks import (
+        two_phase_ntile,
+    )
+
+    parts = [("a\x1fb", "c"), ("a", "b\x1fc"), ("\x00NULL", "c"),
+             (None, "c"), ("a\x1b", "_b"), ("a", "\x1b_b")]
+    rows = []
+    for j, (p1, p2) in enumerate(parts):
+        for i in range(40):
+            rows.append((p1, p2, float(i % 7), j * 1000 + i))
+    df = spark.createDataFrame(rows, ["p1", "p2", "v", "tid"])
+    got = two_phase_ntile(
+        df, 4, RankSpec("v", "tid"), partition_cols=["p1", "p2"],
+        out_col="nt",
+    )
+    w = Window.partitionBy("p1", "p2").orderBy("v", "tid")
+    want = df.withColumn("nt", F.ntile(4).over(w))
+    assert (
+        got.select("tid", "nt").exceptAll(want.select("tid", "nt")).isEmpty()
+    )
+
+
+def test_partition_cardinality_ceiling(spark):
+    """At MAX_PART_VALUES partitions the CASE-chain plan must build,
+    codegen, and produce exact results; one more partition value must
+    be rejected loudly (r12 verdict hardening #1)."""
+    from world_vaccination_coverage_etl_spark.operators.ranks import (
+        MAX_PART_VALUES,
+    )
+
+    rows = [
+        (f"p{j:03d}", float((i * 7 + j) % 11), j * 100 + i)
+        for j in range(MAX_PART_VALUES)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["p", "v", "tid"])
+    got, _ = two_phase_ranks(
+        df, [RankSpec("v", "tid", out_col="r")], partition_cols=["p"],
+        num_buckets=16,
+    )
+    w = Window.partitionBy("p").orderBy("v", "tid")
+    want = df.withColumn("r", F.row_number().over(w).cast("long"))
+    assert got.select("tid", "r").exceptAll(want.select("tid", "r")).isEmpty()
+
+    over = df.unionAll(
+        spark.createDataFrame([("p_overflow", 1.0, 999999)], df.columns)
+    )
+    with pytest.raises(ValueError, match="ceiling"):
+        two_phase_ranks(over, [RankSpec("v", "tid")], partition_cols=["p"])
+
+
+def test_non_numeric_tiebreak_requires_tie_permute(spark):
+    df = spark.createDataFrame(
+        [(1.0, "wa"), (2.0, "wb")], ["v", "w"]
+    )
+    with pytest.raises(TypeError, match="tie_permute=True"):
+        two_phase_ranks(df, [RankSpec("v", "w")])
+    # permute path accepts the same spec
+    got, totals = two_phase_ranks(
+        df, [RankSpec("v", "w", out_col="r", tie_permute=True)]
+    )
+    assert totals[()] == 2 and sorted(
+        r["r"] for r in got.collect()
+    ) == [1, 2]
+
+
+def test_non_numeric_value_col_rejected(spark):
+    df = spark.createDataFrame([("x", 1), ("y", 2)], ["v", "tid"])
+    with pytest.raises(TypeError, match="value_col"):
+        two_phase_ranks(df, [RankSpec("v", "tid")])
+
+
+def test_cumsum_weight_kind_contract(spark):
+    """Default weight_kind='count' must reject fractional weights
+    loudly (the double accumulator is only exact for integer-valued
+    weights); weight_kind='fractional' opts in and matches the window
+    form up to fp tolerance (r12 verdict hardening #2)."""
+    from world_vaccination_coverage_etl_spark.operators.ranks import (
+        two_phase_cumsum,
+    )
+
+    rows = [(float(i % 9), i, 0.25 + (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["v", "tid", "wt"])
+    with pytest.raises(ValueError, match="fractional"):
+        two_phase_cumsum(df, RankSpec("v", "tid"), "wt", out_col="c")
+
+    got = two_phase_cumsum(
+        df, RankSpec("v", "tid"), "wt", out_col="c",
+        weight_kind="fractional",
+    )
+    w = (
+        Window.orderBy("v", "tid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("c", F.sum("wt").over(w))
+    joined = (
+        got.select("tid", F.col("c").alias("got_c"))
+        .join(want.select("tid", F.col("c").alias("want_c")), "tid")
+        .withColumn("diff", F.abs(F.col("got_c") - F.col("want_c")))
+    )
+    assert joined.agg(F.max("diff")).collect()[0][0] < 1e-9
+
+    with pytest.raises(ValueError, match="weight_kind"):
+        two_phase_cumsum(
+            df, RankSpec("v", "tid"), "wt", out_col="c", weight_kind="bogus"
+        )

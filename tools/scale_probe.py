@@ -222,6 +222,27 @@ def main() -> None:
             rest = "".join(old_lines[i:])
             if rest and not rest.startswith("\n"):
                 rest = "\n" + rest.lstrip("\n")
+        else:
+            # Table header absent (e.g. a hand-edited preamble): do NOT
+            # treat the whole file as this tool's section — that would
+            # silently destroy the sections owned by sf1-stress /
+            # probe100 / streaming tools (the r1-era bug this rewrite
+            # exists to prevent).  Preserve everything from the first
+            # "## " heading; if there is none either, refuse to touch
+            # the file and leave the probe JSON on stdout as the record.
+            j = 0
+            while j < len(old_lines) and not old_lines[j].startswith("## "):
+                j += 1
+            if j < len(old_lines):
+                rest = "\n" + "".join(old_lines[j:])
+            else:
+                print(
+                    "[probe] SCALING.md has neither this tool's table "
+                    "header nor any '## ' section — refusing to "
+                    "overwrite; results are in the JSON line above",
+                    file=sys.stderr,
+                )
+                return
     with open(path, "w") as fh:
         fh.write(head + rest)
 

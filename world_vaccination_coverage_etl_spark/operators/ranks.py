@@ -53,8 +53,20 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _SEP = "\x1f"
+_ESC = "\x1b"
+
+# Partitioned mode builds ONE CASE arm per partition value (driver
+# collects per-partition bounds; the offsets table is O(parts*buckets)
+# broadcast rows).  That design is for BOUNDED dimensions (lang,
+# country, category) — a high-cardinality column (user_id) would melt
+# the driver and blow past Janino's method-size limits before any
+# error said why.  The ceiling is deliberately low; raising it is a
+# design review, not a knob (codegen sanity at the ceiling is pinned
+# in tests/test_ranks.py).
+MAX_PART_VALUES = 64
 
 
 @dataclass(frozen=True)
@@ -171,18 +183,39 @@ def _sql_str(v) -> str:
 # that must round-trip through the Spark-side key expression below
 _NULL_KEY = "\x00NULL"
 
+# Component escaping so a partition VALUE containing the separator (or
+# the NULL sentinel's \x00) can never make two distinct partition
+# tuples collide on one joined key: escape the escape char first, then
+# map the separator and NUL to escaped forms.  The Spark-side chain in
+# ``_part_key_expr`` applies the SAME replacements in the SAME order.
+_ESC_STEPS = ((_ESC, _ESC + _ESC), (_SEP, _ESC + "_"), ("\x00", _ESC + "0"))
+
+
+def _esc_component(s: str) -> str:
+    for a, b in _ESC_STEPS:
+        s = s.replace(a, b)
+    return s
+
 
 def _part_key(part: tuple) -> str:
-    return _SEP.join(_NULL_KEY if v is None else str(v) for v in part)
+    return _SEP.join(
+        _NULL_KEY if v is None else _esc_component(str(v)) for v in part
+    )
 
 
 def _part_key_expr(pcols: Sequence[str], *extra: Column) -> Column:
     """Spark-side join key matching ``_part_key``: NULLs become the
     sentinel (concat_ws would silently DROP them and mis-key the
-    broadcast lookup)."""
-    cols = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL_KEY)) for c in pcols
-    ]
+    broadcast lookup); components are escaped so embedded separator /
+    sentinel bytes cannot alias two partition tuples onto one key.
+    ``extra`` columns (bucket ids — generated ints) are appended raw,
+    matching the raw ``str(b)`` suffix on the Python side."""
+    cols = []
+    for c in pcols:
+        e = F.col(c).cast("string")
+        for a, b in _ESC_STEPS:
+            e = F.replace(e, F.lit(a), F.lit(b))
+        cols.append(F.coalesce(e, F.lit(_NULL_KEY)))
     return F.concat_ws(_SEP, *cols, *[e.cast("string") for e in extra])
 
 
@@ -190,15 +223,73 @@ def _check_part_values(parts, pcols) -> None:
     """Partition values must round-trip exactly between Python str()
     and Spark's string cast (the broadcast-key contract) — true for
     str/int/None, NOT for float/decimal/date (str(1e20) vs Spark's
-    '1.0E20' would silently miss the join and NULL the ranks)."""
+    '1.0E20' would silently miss the join and NULL the ranks) and NOT
+    for bool (an int subclass, but str(True)='True' vs Spark's
+    'true')."""
+    if len(parts) > MAX_PART_VALUES:
+        raise ValueError(
+            f"two-phase partitioned mode saw {len(parts)} distinct "
+            f"partition values (ceiling {MAX_PART_VALUES}): the "
+            "per-partition CASE chain and driver-side bounds are "
+            "designed for BOUNDED dimensions (lang, country). For a "
+            "high-cardinality partition column use a plain "
+            "Window.partitionBy(...) — many partitions already "
+            "parallelize — or bucket the column first"
+        )
     for part in parts:
         for c, v in zip(pcols, part):
-            if v is not None and not isinstance(v, (str, int)):
+            if v is not None and (
+                isinstance(v, bool) or not isinstance(v, (str, int))
+            ):
                 raise TypeError(
                     f"partition column `{c}` has a {type(v).__name__} "
                     "value; two-phase partition keys must be "
                     "string/int/NULL (cast or bucket the column first)"
                 )
+
+
+def _check_spec_types(df: DataFrame, specs: Sequence[RankSpec]) -> None:
+    """Value and non-permute tiebreak columns must be numeric: the
+    bucket expression casts both to DOUBLE, so a string column would
+    yield NULL buckets (or an ANSI cast error) instead of a clear
+    contract failure.  String tiebreaks are supported via
+    ``tie_permute=True`` (xxhash64 sub-split, permutation contract)."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for s in specs:
+        vt = fields.get(s.value_col)
+        if vt is not None and not isinstance(vt, T.NumericType):
+            raise TypeError(
+                f"RankSpec.value_col `{s.value_col}` is {vt.simpleString()}; "
+                "two-phase ranking orders by a DOUBLE cast — cast or "
+                "pre-bucket non-numeric order keys first"
+            )
+        if not s.tie_permute:
+            tt = fields.get(s.tiebreak_col)
+            if tt is not None and not isinstance(tt, T.NumericType):
+                raise TypeError(
+                    f"RankSpec.tiebreak_col `{s.tiebreak_col}` is "
+                    f"{tt.simpleString()} but tie_permute=False; "
+                    "non-numeric tiebreaks need tie_permute=True "
+                    "(xxhash64 sub-split — ranks within a tied value "
+                    "become a deterministic permutation)"
+                )
+
+
+def _offset_or_die(ocol: str, op: str) -> Column:
+    """The broadcast offsets/totals join can only miss when the input
+    DataFrame re-evaluated DIFFERENTLY between the count pass and the
+    rank pass (non-deterministic lineage that was not checkpointed).
+    Failing loudly beats the silent NULL ranks a plain left join
+    would emit."""
+    return F.coalesce(
+        F.col(ocol),
+        F.expr(
+            f"raise_error('{op}: bucket key missing from the broadcast "
+            "offset table — the input DataFrame re-evaluated "
+            "differently between passes; localCheckpoint() "
+            "non-deterministic inputs before ranking')"
+        ).cast("long"),
+    )
 
 
 def _part_sort_key(part: tuple) -> tuple:
@@ -217,10 +308,16 @@ def two_phase_ranks(
     where ``totals[partition_tuple]`` is that group's row count
     (``totals[()]`` for the global case) — the scalar ntile needs.
 
-    Value and tiebreak columns must be non-null.
+    Value and tiebreak columns must be non-null.  ``df`` must be
+    DETERMINISTIC across re-evaluation (counts are collected in one
+    pass, ranks computed in another): ``localCheckpoint()`` any
+    lineage containing sampling/UUID/non-deterministic UDFs first —
+    a mismatch fails loudly via the offset-join guard instead of
+    emitting silent NULL ranks.
     """
     pcols = list(partition_cols)
     specs = list(specs)
+    _check_spec_types(df, specs)
 
     # ---- pass 1 (fused; skipped when every spec has static bounds):
     # per-partition quantile lists for values and numeric sub-keys.
@@ -364,7 +461,11 @@ def two_phase_ranks(
             out.withColumn(kcol, key_expr)
             .join(F.broadcast(odf), kcol, "left")
             .withColumn(
-                s.out_col, (F.row_number().over(w) + F.col(ocol)).cast("long")
+                s.out_col,
+                (
+                    F.row_number().over(w)
+                    + _offset_or_die(ocol, "two_phase_ranks")
+                ).cast("long"),
             )
             .drop(kcol, ocol)
         )
@@ -422,6 +523,7 @@ def two_phase_ntile(
     return (
         ranked.withColumn("_tpnk", _part_key_expr(partition_cols))
         .join(F.broadcast(tdf), "_tpnk", "left")
+        .withColumn("_tpn", _offset_or_die("_tpn", "two_phase_ntile"))
         .withColumn(out_col, expr)
         .drop(rank_col, "_tpnk", "_tpn")
     )
@@ -435,6 +537,7 @@ def two_phase_cumsum(
     num_buckets: int = 16,
     out_col: str = "cumsum",
     inclusive: bool = True,
+    weight_kind: str = "count",
 ) -> DataFrame:
     """Running total of ``weight_col`` over the global ORDER BY the
     spec defines — ``sum(w) OVER (ORDER BY ... ROWS UNBOUNDED
@@ -444,10 +547,18 @@ def two_phase_cumsum(
     buckets are contiguous runs of the total order), but phase 2
     collects per-bucket WEIGHT SUMS instead of counts, so the joined
     offset is the exact total weight strictly before the bucket; the
-    within-bucket running sum is a bucket-parallel window.  Integer
-    weights stay exact in double up to 2^53 (count-like weights — the
-    intended use — never lose a ulp).  ``inclusive=False`` gives the
-    sum of STRICTLY-PRECEDING rows.
+    within-bucket running sum is a bucket-parallel window.
+    ``inclusive=False`` gives the sum of STRICTLY-PRECEDING rows.
+
+    Weight exactness contract (``weight_kind``): the accumulator is a
+    DOUBLE, so only INTEGER-VALUED weights with |w| and every prefix
+    sum below 2^53 are bit-exact — the count-like weights this was
+    built for.  The default ``weight_kind="count"`` ENFORCES that
+    contract with a zero-extra-shuffle runtime check piggybacked on
+    the phase-2 aggregation (a fractional or >2^53 weight fails
+    loudly, naming the fix).  ``weight_kind="fractional"`` opts into
+    floating-point rounding: the running totals are then ordinary fp
+    prefix sums, reproducible only up to summation order.
 
     Ties: with a unique (value, tiebreak) key every row's running
     total is exact.  With ``tie_permute`` (string tiebreak, xxhash64
@@ -458,6 +569,11 @@ def two_phase_cumsum(
     (coverage counts, share thresholds) are exact; per-row-identity
     consumers need the unique key.
     """
+    if weight_kind not in ("count", "fractional"):
+        raise ValueError(
+            f"weight_kind must be 'count' or 'fractional', got {weight_kind!r}"
+        )
+    _check_spec_types(df, [spec])
     sprobs = [j / spec.num_sub for j in range(1, spec.num_sub)]
     need_vb = spec.value_bounds is None
     aggs = []
@@ -481,16 +597,36 @@ def two_phase_cumsum(
     bucket_sql = _bucket_sql(spec, vb, sb)
     base = df.select("*", F.expr(bucket_sql).alias("_tpb"))
 
-    cnt_rows = (
-        base.groupBy("_tpb")
-        .agg(F.sum(F.col(weight_col).cast("double")).alias("_w"))
-        .collect()
-    )
+    wd = F.col(weight_col).cast("double")
+    aggs2 = [F.sum(wd).alias("_w")]
+    if weight_kind == "count":
+        # free exactness audit: same shuffle, one extra CASE sum
+        bad = (wd != F.floor(wd)) | (F.abs(wd) > F.lit(float(1 << 53)))
+        aggs2.append(
+            F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0))).alias("_nonint")
+        )
+    cnt_rows = base.groupBy("_tpb").agg(*aggs2).collect()
+    if weight_kind == "count":
+        n_bad = sum(r["_nonint"] or 0 for r in cnt_rows)
+        if n_bad:
+            raise ValueError(
+                f"two_phase_cumsum: {n_bad} rows of `{weight_col}` are "
+                "fractional or exceed 2^53 — the double accumulator is "
+                "only exact for integer-valued count-like weights; pass "
+                "weight_kind='fractional' to accept floating-point "
+                "rounding in the running totals"
+            )
     running = 0.0
     offs = []
     for r in sorted(cnt_rows, key=lambda r: r["_tpb"]):
         offs.append((str(r["_tpb"]), float(running)))
         running += r["_w"] or 0.0
+    if weight_kind == "count" and abs(running) > float(1 << 53):
+        raise ValueError(
+            f"two_phase_cumsum: total weight {running} exceeds 2^53 — "
+            "prefix sums are no longer exact in double; pass "
+            "weight_kind='fractional' or pre-scale the weights"
+        )
     if not offs:
         return df.withColumn(out_col, F.lit(None).cast("double"))
     spark = df.sparkSession
@@ -513,6 +649,9 @@ def two_phase_cumsum(
     return (
         base.withColumn("_tpk", F.col("_tpb").cast("string"))
         .join(F.broadcast(odf), "_tpk", "left")
-        .withColumn(out_col, within + F.col("_tpo"))
+        .withColumn(
+            out_col,
+            within + _offset_or_die("_tpo", "two_phase_cumsum").cast("double"),
+        )
         .drop("_tpb", "_tpk", "_tpo")
     )
