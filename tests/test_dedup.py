@@ -569,3 +569,58 @@ def test_jaccard_boundary_pair_not_dropped(spark):
         )
         got = {(p.id_a, p.id_b) for p in pairs.collect()}
         assert got == {(1, 2)}, (r, got)
+
+
+def test_minhash_screen_new_batch_vs_base_index(spark):
+    """Incremental ingest screen: batch docs near-duplicating a BASE
+    doc are caught via the materialized band index; a batch doc that
+    only near-duplicates ANOTHER BATCH doc is not (the screen is
+    batch-vs-base by design); empty docs pass through as keeps."""
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        minhash_band_signatures,
+        minhash_screen_new_batch,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (1, "completely different content about spark engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-dup of base 0 (last token changed: exact trigram
+            # jaccard 10/12 = 0.833, well above threshold and caught
+            # by every band config)
+            (10, "the quick brown fox jumps over the lazy dog near the river edge"),
+            # unique vs base; 12 is its near-dup WITHIN the batch
+            (11, "a totally novel document about distributed query planning today"),
+            (12, "a totally novel document about distributed query planning now"),
+            (13, ""),  # empty: no signature, must not match or crash
+        ],
+        "doc_id long, text string",
+    )
+    index = minhash_band_signatures(base)
+    pairs = minhash_screen_new_batch(index, base, new, threshold=0.7)
+    rows = pairs.collect()
+    got = {(r.new_id, r.base_id) for r in rows}
+    assert got == {(10, 0)}
+    for r in rows:
+        assert 0.7 <= r.jaccard <= 1.0
+
+
+def test_minhash_screen_empty_batch(spark):
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        minhash_band_signatures,
+        minhash_screen_new_batch,
+    )
+
+    base = spark.createDataFrame(
+        [(0, "some base corpus text that exists")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([], "doc_id long, text string")
+    out = minhash_screen_new_batch(
+        minhash_band_signatures(base), base, new
+    )
+    assert out.count() == 0

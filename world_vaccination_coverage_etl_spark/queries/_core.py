@@ -242,6 +242,11 @@ POOLED_QUERIES = frozenset(
         "dup_graph_triangles",
         "clustering_coeff_dup_graph",
         "pagerank_dup_graph",
+        # r13 (r12 verdict item 2): the base corpus's banded MinHash
+        # signature INDEX is pooled — the incremental ingest screen's
+        # steady-state cost is batch-sized (pool-warm), index build is
+        # its cold first run
+        "incremental_neardup_new_docs",
     }
 )
 

@@ -42,57 +42,11 @@ from ._core import QueryDef  # noqa: F401
 # re-running the audit.
 
 _CERT_EARLY = [
-    "vocab_pareto_coverage",
-    "event_value_decile_stats",
+    "incremental_neardup_new_docs",
 ]
 
 
 _CERT_LATE = [
-    "events_daily_ewma",
-    "events_daily_anomaly",
-    "limit_head",
-    "set_ops",
-    "window_lag_delta",
-    "window_moving_avg",
-    "event_tumbling_daily",
-    "event_sliding_2d",
-    "sessionize_counts",
-    "doc_fingerprint",
-    "doc_token_counts",
-    "doc_language_id",
-    "window_range_1h_user",
-    "orders_price_histogram",
-    "agg_median_acctbal",
-    "multimodal_decode_png",
-    "q11_important_parts",
-    "q12_priority_by_returnflag",
-    "q20_dominant_promo_supplier",
-    "full_outer_reconcile_users",
-    "window_rank_family",
-    "events_gapfill_locf",
-    "regr_trend_daily_value",
-    "hll_sketch_union_users",
-    "fuzzy_blocked_match_docs",
-    "doc_bigram_logprob",
-    "skew_report_events",
-    "assoc_rules_event_types",
-    "multi_touch_attribution",
-    "revenue_share_window",
-    "mad_outliers_value",
-    "rolling_7d_unique_users",
-    "markov_transition_matrix",
-    "conversion_latency_percentiles",
-    "null_safe_join_nation",
-    "scd2_point_in_time_join",
-    "embedding_hof_flags",
-    "feature_hashing_docs",
-    "variant_props_extract",
-    "fuzzy_entity_clusters",
-    "naive_bayes_lang_confusion",
-    "winsorize_values",
-    "benford_first_digit",
-    "events_cusum_drift",
-    "dup_graph_triangles",
     "user_activity_streaks",
     "twap_value_by_type",
     "bm25_topk_docs",
@@ -249,6 +203,58 @@ _CERT_LATE = [
     "check_constraints_orders",
     "scd2_user_event_type",
     "fuzzy_match_topk_docs",
+    "events_cusum_drift",
+    "dup_graph_triangles",
+    "limit_head",
+    "set_ops",
+    "window_lag_delta",
+    "window_moving_avg",
+    "event_tumbling_daily",
+    "event_sliding_2d",
+    "sessionize_counts",
+    "doc_fingerprint",
+    "doc_token_counts",
+    "doc_language_id",
+    "cosine_topk_ivf",
+    "ivf_cell_occupancy",
+    "pq_topk_adc",
+    "ivfpq_topk_adc",
+    "cosine_topk_ivf2",
+    "vocab_pareto_coverage",
+    "event_value_decile_stats",
+    "events_daily_ewma",
+    "events_daily_anomaly",
+    "window_range_1h_user",
+    "orders_price_histogram",
+    "agg_median_acctbal",
+    "multimodal_decode_png",
+    "q11_important_parts",
+    "q12_priority_by_returnflag",
+    "q20_dominant_promo_supplier",
+    "full_outer_reconcile_users",
+    "window_rank_family",
+    "events_gapfill_locf",
+    "regr_trend_daily_value",
+    "hll_sketch_union_users",
+    "fuzzy_blocked_match_docs",
+    "doc_bigram_logprob",
+    "skew_report_events",
+    "assoc_rules_event_types",
+    "multi_touch_attribution",
+    "revenue_share_window",
+    "mad_outliers_value",
+    "rolling_7d_unique_users",
+    "markov_transition_matrix",
+    "conversion_latency_percentiles",
+    "null_safe_join_nation",
+    "scd2_point_in_time_join",
+    "embedding_hof_flags",
+    "feature_hashing_docs",
+    "variant_props_extract",
+    "fuzzy_entity_clusters",
+    "naive_bayes_lang_confusion",
+    "winsorize_values",
+    "benford_first_digit",
 ]
 
 

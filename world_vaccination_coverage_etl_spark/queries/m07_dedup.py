@@ -88,6 +88,127 @@ def q_minhash_near_dup(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# deterministic salted-md5 batch split for the incremental NEAR-dup
+# ingest query: ~75% 'base' (the existing corpus), ~25% 'new' (the
+# incoming crawl batch).  Different salt from the exact incremental
+# query ('incr:') so the two splits decorrelate.
+_INCRND_PRED_SQL = (
+    "substr(md5('incrnd:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'"
+)
+
+
+def _incrnd_batch_col():
+    return F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("incrnd:"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        )
+        < "c000",
+        F.lit("base"),
+    ).otherwise(F.lit("new"))
+
+
+def _incrnd_base_index(spark, sf_dir):
+    """Pooled banded-signature INDEX of the base corpus — the
+    materialized intermediate a continuous-ingest pipeline stages once
+    and screens every incoming batch against (pooled per (sf_dir,
+    process) like the pair graphs; the perturbation sweep clears it so
+    index construction is re-proven, never replayed)."""
+    from ._core import pooled_parquet
+
+    def build(spark, sf_dir):
+        from ..operators.dedup import minhash_band_signatures
+
+        d = _t(spark, sf_dir, "documents")
+        return minhash_band_signatures(d.filter(_incrnd_batch_col() == "base"))
+
+    return pooled_parquet("minhash_incr_base_idx", spark, sf_dir, build)
+
+
+@register(
+    "incremental_neardup_new_docs",
+    rf"""
+    WITH assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN {_INCRND_PRED_SQL} THEN 'base' ELSE 'new' END AS batch
+      FROM documents),
+    toks AS (
+      SELECT doc_id, batch,
+             list_filter(string_split_regex(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                 '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM assigned),
+    sh AS (
+      SELECT doc_id, batch,
+             list_distinct(list_transform(
+                 range(0, greatest(len(toks) - 3, 0) + 1),
+                 i -> array_to_string(toks[i+1:i+3], ' '))) AS grams
+      FROM toks WHERE len(toks) > 0),
+    pairs AS (
+      SELECT n.doc_id AS new_id,
+             len(list_intersect(n.grams, b.grams))::DOUBLE
+               / len(list_distinct(list_concat(n.grams, b.grams))) AS jaccard
+      FROM sh n JOIN sh b ON n.batch = 'new' AND b.batch = 'base'),
+    m AS (
+      SELECT new_id, CAST(count(*) AS BIGINT) AS n_base_dups,
+             max(jaccard) AS best_j
+      FROM pairs WHERE jaccard >= 0.7 GROUP BY new_id)
+    SELECT a.doc_id,
+           CASE WHEN m.new_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+           CAST(coalesce(m.n_base_dups, 0) AS BIGINT) AS n_base_dups,
+           round(m.best_j, 6) AS best_jaccard
+    FROM assigned a LEFT JOIN m ON m.new_id = a.doc_id
+    WHERE a.batch = 'new'
+    ORDER BY a.doc_id
+    """,
+    note="incremental NEAR-dup ingest (r12 verdict item 2): the "
+    "continuous-crawl step — an incoming batch ('new', 25% by the "
+    "salted-md5 split) is screened against the BASE corpus's "
+    "materialized banded MinHash signature index "
+    "(operators/dedup.py minhash_screen_new_batch over "
+    "minhash_band_signatures; index pooled via _core.pooled_parquet "
+    "exactly as a production pipeline stages it), candidates verified "
+    "with exact shingle Jaccard >= 0.7 against CANDIDATE base docs "
+    "only (id semi-join fetch, never a base re-scan), emitting a "
+    "keep/drop verdict + match count + best score per batch doc. "
+    "Per-batch cost is batch-sized: batch signatures + index join + "
+    "candidate-bounded verify. Oracle recomputes exact batch-x-base "
+    "Jaccard brute-force; LSH at b=16/r=4 catches every pair at "
+    "j>=0.7 on this corpus deterministically (same guarantee "
+    "minhash_near_dup certifies, and these cross pairs are a subset "
+    "of that query's all-pairs set)",
+)
+def q_incremental_neardup_new_docs(spark, sf_dir):
+    from ..operators.dedup import minhash_screen_new_batch
+
+    d = _t(spark, sf_dir, "documents")
+    assigned = d.select("doc_id", "text", _incrnd_batch_col().alias("batch"))
+    base = assigned.filter(F.col("batch") == "base").select("doc_id", "text")
+    new = assigned.filter(F.col("batch") == "new").select("doc_id", "text")
+    index = _incrnd_base_index(spark, sf_dir)
+    pairs = minhash_screen_new_batch(index, base, new, threshold=0.7)
+    m = pairs.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_base_dups"),
+        F.max("jaccard").alias("best_j"),
+    )
+    return (
+        new.select("doc_id")
+        .join(m, new["doc_id"] == m["new_id"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("new_id").isNull(), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("verdict"),
+            F.coalesce(F.col("n_base_dups"), F.lit(0))
+            .cast("long")
+            .alias("n_base_dups"),
+            F.round("best_j", 6).alias("best_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "ngram_jaccard_block_lang",
     f"""
