@@ -153,6 +153,9 @@ PROBE = [
     # r12 late: the two-phase prefix-sum consumers
     ("auc_rank_embedding", False),
     ("vocab_pareto_coverage", False),
+    # r13: incremental near-dup ingest — pooled banded index; the
+    # pool-warm pass records the batch-sized steady-state screen cost
+    ("incremental_neardup_new_docs", True),
 ]
 
 
