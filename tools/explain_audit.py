@@ -144,6 +144,8 @@ HEADLINE = [
     "clustering_coeff_dup_graph",
     "pagerank_dup_graph",
     "vocab_pareto_coverage",
+    # r13: incremental near-dup ingest (pooled banded index)
+    "incremental_neardup_new_docs",
 ]
 
 
