@@ -401,6 +401,31 @@ def minhash_screen_new_batch(
     )
 
 
+def minhash_index_accept(
+    index_df: DataFrame,
+    new_df: DataFrame,
+    screened_pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Close the ingest cycle: the updated index after ACCEPTING a
+    screened batch's keepers — base index UNION the band signatures of
+    batch docs with no near-dup match.  The next batch screens against
+    the returned index, so consecutive crawls also near-dedup against
+    each other's accepted docs (batch N+1 vs batch N), not just the
+    original corpus.  In production the union is a partition APPEND to
+    the materialized index table (signatures are immutable per doc);
+    here it composes the same plan.  Cost: one anti join on the
+    screened pair ids + one signature pass over the keepers only.
+    """
+    dropped = screened_pairs.select(F.col("new_id").alias(id_col)).distinct()
+    keepers = new_df.join(dropped, id_col, "left_anti")
+    return index_df.unionByName(
+        minhash_band_signatures(keepers, text_col, id_col)
+    )
+
+
 # Below this corpus size the plain inverted index wins: the prefix
 # filter's document-frequency pass + per-doc rank costs two extra
 # shuffles whose fixed latency exceeds the Sum df² volume it prunes
