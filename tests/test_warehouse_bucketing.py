@@ -109,3 +109,53 @@ def test_write_sorted_table_disjoint_file_ranges(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 10000
     assert back.agg(F.sum("payload")).first()[0] == sum(range(10000))
+
+
+def test_bucketed_minhash_index_screen_join_shuffles_batch_only(spark):
+    """The incremental-ingest screen against a BUCKETED signature
+    index: the index side (the 100 TB side) must read its buckets
+    with NO Exchange — only the incoming batch's bands shuffle to
+    match.  This is the layout a production deployment stages the
+    index in, substantiating the batch-sized-cost claim of
+    `minhash_screen_new_batch`."""
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        minhash_band_signatures,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"base document number {i} about topic {i % 5} with steady text")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"base document number {i} about topic {i % 5} with steady text")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    write_bucketed_table(
+        minhash_band_signatures(base),
+        "b_minhash_idx",
+        ["band_idx", "band_hash"],
+        8,
+        sort_cols=["band_idx", "band_hash"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = spark.table("b_minhash_idx")
+        batch_bands = minhash_band_signatures(new).select(
+            F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+        )
+        cand = batch_bands.join(idx, ["band_idx", "band_hash"]).select(
+            "new_id", F.col("doc_id").alias("base_id")
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, (
+            f"only the batch side may shuffle:\n{plan}"
+        )
+        # every new doc is an exact copy of a base doc: all 6 match
+        got = {(r.new_id, r.base_id) for r in cand.distinct().collect()}
+        assert {(1000 + i, i) for i in range(6)} <= got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_minhash_idx")

@@ -360,6 +360,13 @@ def minhash_screen_new_batch(
     Recall is the banding guarantee of ``minhash_near_dup_pairs``
     (b=16, r=4: >= 98.8% at j=0.7, -> 1 as j -> 1); precision is exact
     (candidates are verified with the true Jaccard).
+
+    At scale, stage ``index_df`` as a catalog table BUCKETED on
+    (band_idx, band_hash) (``sources/warehouse.write_bucketed_table``):
+    the candidate join then reads the index's buckets with no Exchange
+    — only the batch's bands shuffle to match — so the recurring
+    per-batch screen never re-shuffles the corpus-sized side
+    (plan-pinned in ``tests/test_warehouse_bucketing.py``).
     """
     new_bands = _stage(
         minhash_band_signatures(new_df, text_col, id_col),
