@@ -668,3 +668,40 @@ def test_minhash_index_accept_two_batch_cycle(spark):
     corpus2 = base.unionByName(b1.join(p1.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id", "left_anti"))
     p2 = minhash_screen_new_batch(idx2, corpus2, b2, threshold=0.6)
     assert {(r.new_id, r.base_id) for r in p2.collect()} == {(20, 11)}
+
+
+def test_embedding_screen_new_batch_vs_base_index(spark):
+    """Vector-space incremental screen: an exact re-crawl collides in
+    every LSH table and is caught with cosine 1.0; an orthogonal/novel
+    vector passes; a batch vector near-duplicating only ANOTHER batch
+    vector is not dropped (batch-vs-base contract)."""
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        embedding_screen_new_batch,
+        signlsh_bucket_assignments,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    v0 = rng.standard_normal(dim)
+    v1 = rng.standard_normal(dim)
+    novel = rng.standard_normal(dim)
+    base = spark.createDataFrame(
+        [(0, v0.tolist()), (1, v1.tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    near_v0 = (v0 + 0.01 * rng.standard_normal(dim)).tolist()  # cosine ~0.9999
+    new = spark.createDataFrame(
+        [
+            (10, near_v0),
+            (11, novel.tolist()),
+            (12, (novel + 0.01 * rng.standard_normal(dim)).tolist()),  # near-dup of 11 only
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    idx = signlsh_bucket_assignments(base, dim=dim)
+    pairs = embedding_screen_new_batch(idx, base, new, threshold=0.95, dim=dim)
+    rows = pairs.collect()
+    assert {(r.new_id, r.base_id) for r in rows} == {(10, 0)}
+    assert all(r.cosine >= 0.95 for r in rows)

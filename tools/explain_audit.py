@@ -144,8 +144,10 @@ HEADLINE = [
     "clustering_coeff_dup_graph",
     "pagerank_dup_graph",
     "vocab_pareto_coverage",
-    # r13: incremental near-dup ingest (pooled banded index)
+    # r13: incremental near-dup ingest (pooled banded index) + the
+    # vector-space twin
     "incremental_neardup_new_docs",
+    "incremental_embdup_new_vecs",
 ]
 
 

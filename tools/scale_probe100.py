@@ -156,6 +156,7 @@ PROBE = [
     # r13: incremental near-dup ingest — pooled banded index; the
     # pool-warm pass records the batch-sized steady-state screen cost
     ("incremental_neardup_new_docs", True),
+    ("incremental_embdup_new_vecs", True),
 ]
 
 

@@ -1664,3 +1664,133 @@ def embedding_cosine_dup_pairs(
         .applyInPandas(_verify, schema="id_a long, id_b long, cosine double")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def signlsh_bucket_assignments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    dim: int,
+    lsh_bits: int = 8,
+    lsh_tables: int = 12,
+    lsh_seed: int = 42,
+) -> DataFrame:
+    """``(id, tbl, bkt)`` sign-LSH index rows for each vector — the
+    vector-space analogue of ``minhash_band_signatures``: the
+    materialized index a continuous embedding-ingest pipeline stages
+    for its base corpus.  Same hyperplane families as
+    ``embedding_cosine_dup_pairs`` (deterministic in ``lsh_seed``), so
+    an index built here is candidate-compatible with the self-join
+    path.  NULL / wrong-``dim`` vectors emit no rows."""
+    buckets_udf = _signlsh_table_buckets(dim, lsh_bits, lsh_tables, lsh_seed)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(buckets_udf(F.col(vec_col).cast("array<double>"))).alias(
+            "tbl", "bkt"
+        ),
+    )
+
+
+def embedding_screen_new_batch(
+    index_df: DataFrame,
+    base_df: DataFrame,
+    new_df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    dim: int,
+    lsh_bits: int = 8,
+    lsh_tables: int = 12,
+    lsh_seed: int = 42,
+    staging_dir: str | None = None,
+) -> DataFrame:
+    """Screen an incoming embedding batch against the base corpus's
+    sign-LSH index: ``(new_id, base_id, cosine)`` for every batch
+    vector near-duplicating a base vector at cosine >= threshold.
+
+    The vector-space twin of ``minhash_screen_new_batch``, with the
+    verify shape ``embedding_cosine_dup_pairs`` proved at scale: a
+    PER-PAIR candidate join would carry bucket-occupancy² rows
+    through the shuffle (ruinous once buckets fill), so instead the
+    batch-touched index slice and the batch itself meet in per-bucket
+    groups and ONE numpy cross-matmul scores every (new × base) pair
+    in the bucket — only survivors leave the worker.  Pipeline:
+
+    1. batch bucket assignments (one Arrow matmul over the BATCH);
+    2. index rows pruned to batch-touched (tbl, bkt) buckets (a
+       bucket-keyed semi join — partition-pruned when the index is
+       stored bucketed on (tbl, bkt));
+    3. base vectors fetched for the pruned slice's ids only (id semi
+       join, candidate-bounded, never a base re-scan);
+    4. per-(tbl, bkt) ``applyInPandas``: cross cosine matmul of the
+       bucket's batch rows against its base rows, threshold applied
+       worker-side, pairs deduped across tables.
+
+    Recall is the multi-table union bound of
+    ``embedding_cosine_dup_pairs`` (defaults: ≈0.9989 at c=0.95,
+    exactly 1 for true duplicates); precision is exact.
+    """
+    new_bkts = _stage(
+        signlsh_bucket_assignments(
+            new_df, vec_col, id_col,
+            dim=dim, lsh_bits=lsh_bits, lsh_tables=lsh_tables,
+            lsh_seed=lsh_seed,
+        ),
+        staging_dir,
+        "incr_new_vec_buckets",
+    )
+    touched = new_bkts.select("tbl", "bkt").distinct()
+    idx_pruned = index_df.join(touched, ["tbl", "bkt"], "left_semi")
+    base_ids = idx_pruned.select(F.col(id_col)).distinct()
+    base_v = base_df.join(base_ids, id_col, "left_semi").select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    base_side = idx_pruned.join(base_v, id_col).select(
+        "tbl", "bkt", F.lit(False).alias("is_new"),
+        F.col(id_col).alias("__id"), "v",
+    )
+    new_side = new_bkts.join(
+        new_df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        ),
+        id_col,
+    ).select(
+        "tbl", "bkt", F.lit(True).alias("is_new"),
+        F.col(id_col).alias("__id"), "v",
+    )
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame({"new_id": [], "base_id": [], "cosine": []}).astype(
+            {"new_id": "int64", "base_id": "int64", "cosine": "float64"}
+        )
+        nn = pdf[pdf["is_new"]]
+        bb = pdf[~pdf["is_new"]]
+        if nn.empty or bb.empty:
+            return empty
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in nn["v"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in bb["v"]])
+        S = A @ B.T
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        denom = np.outer(na, nb)
+        np.divide(S, denom, out=S, where=denom > 0)
+        S[denom <= 0] = 0.0
+        ia, ib = np.nonzero(S >= threshold)
+        return pd.DataFrame(
+            {
+                "new_id": nn["__id"].to_numpy()[ia],
+                "base_id": bb["__id"].to_numpy()[ib],
+                "cosine": S[ia, ib],
+            }
+        )
+
+    return (
+        new_side.unionByName(base_side)
+        .groupBy("tbl", "bkt")
+        .applyInPandas(_verify, schema="new_id long, base_id long, cosine double")
+        .dropDuplicates(["new_id", "base_id"])
+    )

@@ -245,8 +245,9 @@ POOLED_QUERIES = frozenset(
         # r13 (r12 verdict item 2): the base corpus's banded MinHash
         # signature INDEX is pooled — the incremental ingest screen's
         # steady-state cost is batch-sized (pool-warm), index build is
-        # its cold first run
+        # its cold first run; ditto the sign-LSH vector index
         "incremental_neardup_new_docs",
+        "incremental_embdup_new_vecs",
     }
 )
 

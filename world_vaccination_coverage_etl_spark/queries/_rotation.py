@@ -43,6 +43,7 @@ from ._core import QueryDef  # noqa: F401
 
 _CERT_EARLY = [
     "incremental_neardup_new_docs",
+    "incremental_embdup_new_vecs",
 ]
 
 

@@ -795,6 +795,98 @@ def q_embedding_dup_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def _incr_vec_base_index(spark, sf_dir):
+    """Pooled sign-LSH bucket INDEX of the base embedding corpus —
+    the vector-space twin of m07's pooled MinHash index (the
+    materialized intermediate a continuous embedding-ingest pipeline
+    screens every incoming batch against; perturbation sweeps clear
+    it so index construction is re-proven, never replayed)."""
+    from ._core import pooled_parquet
+
+    def build(spark, sf_dir):
+        from ..operators.dedup import signlsh_bucket_assignments
+
+        e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        return signlsh_bucket_assignments(e, dim=64)
+
+    return pooled_parquet("signlsh_base_idx", spark, sf_dir, build)
+
+
+@register(
+    "incremental_embdup_new_vecs",
+    f"""
+    WITH batch AS (
+      SELECT vec_id + {VEC_SHIFT} AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 4 = 0
+      UNION ALL
+      SELECT vec_id + {VEC_SHIFT} AS vec_id,
+             list_transform(embedding, x -> -x) AS embedding
+      FROM embeddings WHERE vec_id % 4 = 1),
+    pairs AS (
+      SELECT a.vec_id AS new_id, {_DUCK_COSINE} AS cosine
+      FROM batch a JOIN embeddings b ON true),
+    m AS (
+      SELECT new_id, CAST(count(*) AS BIGINT) AS n_base_dups,
+             max(cosine) AS best_c
+      FROM pairs WHERE cosine >= 0.95 GROUP BY new_id)
+    SELECT t.vec_id,
+           CASE WHEN m.new_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+           CAST(coalesce(m.n_base_dups, 0) AS BIGINT) AS n_base_dups,
+           round(m.best_c, 6) AS best_cosine
+    FROM batch t LEFT JOIN m ON m.new_id = t.vec_id
+    ORDER BY t.vec_id
+    """,
+    note="incremental embedding-dedup ingest: an incoming vector batch "
+    "(half exact re-crawls of base vectors, half negated — novel points "
+    "on the opposite side of every hyperplane) is screened against the "
+    "BASE corpus's materialized sign-LSH bucket index "
+    "(operators/dedup.py embedding_screen_new_batch over "
+    "signlsh_bucket_assignments, index pooled via _core.pooled_parquet), "
+    "candidates verified with exact cosine >= 0.95 against CANDIDATE "
+    "base vectors only (id semi-join fetch), emitting keep/drop + match "
+    "count + best score per batch vector — the vector-space twin of "
+    "incremental_neardup_new_docs. Oracle recomputes exact batch-x-base "
+    "cosine brute force; exact re-crawls collide in every LSH table "
+    "(recall exactly 1 at cosine 1.0), the multi-table union bound "
+    "covers the rest (0.9989 at c=0.95)",
+)
+def q_incremental_embdup_new_vecs(spark, sf_dir):
+    from ..operators.dedup import embedding_screen_new_batch
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    exact = e.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + VEC_SHIFT).alias("vec_id"), "embedding"
+    )
+    negated = e.filter(F.col("vec_id") % 4 == 1).select(
+        (F.col("vec_id") + VEC_SHIFT).alias("vec_id"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    batch = exact.unionByName(negated)
+    index = _incr_vec_base_index(spark, sf_dir)
+    pairs = embedding_screen_new_batch(
+        index, e, batch, threshold=0.95, dim=64
+    )
+    m = pairs.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_base_dups"),
+        F.max("cosine").alias("best_c"),
+    )
+    return (
+        batch.select("vec_id")
+        .join(m, batch["vec_id"] == m["new_id"], "left")
+        .select(
+            "vec_id",
+            F.when(F.col("new_id").isNull(), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("verdict"),
+            F.coalesce(F.col("n_base_dups"), F.lit(0))
+            .cast("long")
+            .alias("n_base_dups"),
+            F.round("best_c", 6).alias("best_cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @register(
     "semantic_dedup_clusters",
     f"""
