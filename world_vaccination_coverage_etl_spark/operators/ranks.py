@@ -147,15 +147,24 @@ def _t_sub_sql(spec: RankSpec) -> str:
 
 
 def _count_gt_sql(col_sql: str, bounds: Sequence, strict: bool) -> str:
-    """SQL for '# bounds strictly/at-or below col' as a CASE sum."""
+    """SQL for '# bounds strictly/at-or below col'.
+
+    Emitted as ONE array literal + higher-order filter instead of a
+    B-term CASE sum: the CASE chain for a 98-boundary spec generated
+    an ~8 KB method Janino compiles but HotSpot refuses to JIT
+    ("Generated method too long to be JIT compiled"), and its
+    parse/analyze/codegen cost re-paid on EVERY query run (fresh expr
+    ids -> fresh source -> Janino recompile) measured ~0.5-1 s per
+    rank query at sf0.1 (r13 optimization round).  The array form is
+    a ~40x smaller expression tree: same per-row O(B) comparisons,
+    but the generated code stays small enough to JIT.  NULL handling
+    is identical (NULL comparisons drop out of the filter exactly as
+    they failed every CASE arm: count 0)."""
     if not bounds:
         return "0"
-    op = ">" if strict else ">="
-    terms = [
-        f"(CASE WHEN {col_sql} {op} {_sql_num(b)} THEN 1 ELSE 0 END)"
-        for b in bounds
-    ]
-    return "(" + " + ".join(terms) + ")"
+    op = "<" if strict else "<="
+    arr = ",".join(_sql_num(b) for b in bounds)
+    return f"size(filter(array({arr}), _b -> _b {op} {col_sql}))"
 
 
 def _bucket_sql(spec: RankSpec, vbounds: Sequence, sbounds: Sequence) -> str:
