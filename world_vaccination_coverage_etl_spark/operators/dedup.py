@@ -96,7 +96,7 @@ def exact_dedup_pairs(
 
 def _tokens(col: F.Column) -> F.Column:
     toks = F.split(normalized_text(col), r"[^a-z0-9]+")
-    return F.filter(toks, lambda t: t != "")
+    return F.array_remove(toks, "")
 
 
 def _shingles(col: F.Column, k: int) -> F.Column:
@@ -1138,9 +1138,8 @@ def substring_dup_spans(
         raise ValueError("substring dedup needs k >= 2")
     from pyspark.sql.window import Window
 
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-zA-Z0-9]+"),
-        lambda t: t != "",
+    toks = F.array_remove(
+        F.split(F.lower(F.trim(F.col(text_col))), r"[^a-zA-Z0-9]+"), ""
     )
     t = df.select(F.col(id_col), toks.alias("toks")).filter(
         F.size("toks") >= k

@@ -680,7 +680,7 @@ def q_pack_token_bins_docs(spark, sf_dir):
     toks = d.withColumn(
         "n_tokens",
         F.size(
-            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+            F.array_remove(F.split(F.trim(F.col("text")), r"\s+"), "")
         ).cast("long"),
     )
     return pack_token_bins(toks, "n_tokens", 256, "lang").orderBy("doc_id")

@@ -1219,12 +1219,12 @@ def q_vocab_pareto_coverage(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(
-            F.filter(
+            F.array_remove(
                 F.split(
                     F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
                     r"[^a-z0-9]+",
                 ),
-                lambda x: x != "",
+                "",
             )
         ).alias("w")
     )
@@ -1314,12 +1314,12 @@ def q_zipf_slope_words(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(
-            F.filter(
+            F.array_remove(
                 F.split(
                     F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
                     r"[^a-z0-9]+",
                 ),
-                lambda x: x != "",
+                "",
             )
         ).alias("w")
     )
@@ -2128,12 +2128,12 @@ _BLOCKLIST_TERMS = ("leak", "spill", "crash")
 )
 def q_doc_blocklist_filter(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(
+    toks = F.array_remove(
         F.split(
             F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
             r"[^a-z0-9]+",
         ),
-        lambda x: x != "",
+        "",
     )
     blocked = (
         F.size(

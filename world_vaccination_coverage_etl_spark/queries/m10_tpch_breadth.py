@@ -1664,9 +1664,16 @@ def q_naive_bayes_lang_confusion(spark, sf_dir):
     toks = d.select(
         "doc_id", "lang", F.explode(_toks(F.col("text"))).alias("w")
     )
+    # localCheckpoint: tf feeds THREE consumers (cc, dt, matched) and
+    # exchange reuse does NOT cover them — profiled at sf0.1, the
+    # tokenize+partial-agg map stage ran three times (~2.5 s each,
+    # single-task).  Materializing the small tf table once cuts the
+    # query ~20% and is exactly what a production pipeline would stage
+    # (r13 optimization round; deterministic content, so certification
+    # is unaffected).
     tf = toks.groupBy("doc_id", "lang", "w").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     cc = tf.groupBy(F.col("lang").alias("c"), "w").agg(
         F.sum("tf").alias("cwc")
     )
@@ -2120,12 +2127,12 @@ def q_bm25_topk_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.filter(
+        F.array_remove(
             F.split(
                 F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))),
                 r"[^a-z0-9]+",
             ),
-            lambda x: x != "",
+            "",
         ).alias("toks"),
     )
     dl = toks.select("doc_id", F.size("toks").alias("dl"))
