@@ -39,6 +39,28 @@ _DECODED_FIELDS = "asset_id long, mime string, n_bytes long, width int, height i
 _FEATURE_FIELDS = "asset_id long, feature array<double>"
 
 
+
+def _map_batches(df: DataFrame, kernel, schema: str, pre_kernel=None) -> DataFrame:
+    """One ``mapInPandas`` hop, optionally composing a fixture-synthesis
+    generator (``pre_kernel``) with the decode kernel INSIDE the same
+    Python worker pass.
+
+    Two chained ``mapInPandas`` nodes run as two Python runners per
+    task — each pays the per-task Arrow runner setup (~0.2 s measured
+    at sf0.1, r13 optimization round) and the synthesized payload
+    bytes cross the JVM boundary twice.  Composing the generators
+    keeps the operator kernel byte-identical while the payloads never
+    leave the worker that built them — exactly how a production
+    pipeline fuses a fetch/synthesize step with decode."""
+    if pre_kernel is None:
+        return df.mapInPandas(kernel, schema=schema)
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return kernel(pre_kernel(batches))
+
+    return df.mapInPandas(fused, schema=schema)
+
+
 def attach_binary_metadata(
     df: DataFrame, payload_col: str = "payload", id_col: str = "asset_id"
 ) -> DataFrame:
@@ -85,6 +107,7 @@ def decode_image_batch(
     id_col: str = "asset_id",
     mime_col: str = "mime",
     fake: bool = False,
+    pre_kernel=None,
 ) -> DataFrame:
     """Decode binary images → (width, height, mean_intensity).
 
@@ -223,7 +246,7 @@ def decode_image_batch(
                 }
             )
 
-    return df.mapInPandas(kernel, schema=_DECODED_FIELDS)
+    return _map_batches(df, kernel, _DECODED_FIELDS, pre_kernel)
 
 
 _AUDIO_FIELDS = (
@@ -237,6 +260,7 @@ def decode_audio_batch(
     payload_col: str = "payload",
     id_col: str = "asset_id",
     mime_col: str = "mime",
+    pre_kernel=None,
 ) -> DataFrame:
     """Decode binary audio → (sample_rate, channels, n_frames,
     sum_abs, peak).
@@ -294,7 +318,7 @@ def decode_audio_batch(
                 }
             )
 
-    return df.mapInPandas(kernel, schema=_AUDIO_FIELDS)
+    return _map_batches(df, kernel, _AUDIO_FIELDS, pre_kernel)
 
 
 _VIDEO_FIELDS = (
@@ -309,6 +333,7 @@ def sample_video_batch(
     id_col: str = "asset_id",
     mime_col: str = "mime",
     every_k: int = 1,
+    pre_kernel=None,
 ) -> DataFrame:
     """Frame-sample binary video → (width, height, n_frames,
     n_sampled, luma_sum, luma_peak).
@@ -383,7 +408,7 @@ def sample_video_batch(
                 }
             )
 
-    return df.mapInPandas(kernel, schema=_VIDEO_FIELDS)
+    return _map_batches(df, kernel, _VIDEO_FIELDS, pre_kernel)
 
 
 _RESIZED_FIELDS = (
@@ -458,6 +483,7 @@ def resize_image_batch(
     payload_col: str = "payload",
     id_col: str = "asset_id",
     mime_col: str = "mime",
+    pre_kernel=None,
 ) -> DataFrame:
     """Resize binary images to ``out_w x out_h`` (nearest neighbor) →
     exact integer stats of the resized luma plane.
@@ -521,7 +547,7 @@ def resize_image_batch(
                 }
             )
 
-    return df.mapInPandas(kernel, schema=_RESIZED_FIELDS)
+    return _map_batches(df, kernel, _RESIZED_FIELDS, pre_kernel)
 
 
 def extract_features(

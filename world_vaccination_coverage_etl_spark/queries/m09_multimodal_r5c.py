@@ -737,9 +737,8 @@ def q_multimodal_decode_png(spark, sf_dir):
                 }
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
     return (
-        decode_image_batch(assets, fake=False)
+        decode_image_batch(d, fake=False, pre_kernel=enc)
         .select(
             "asset_id",
             "width",
@@ -815,9 +814,8 @@ def q_multimodal_decode_wav(spark, sf_dir):
                 }
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
     return (
-        decode_audio_batch(assets)
+        decode_audio_batch(d, pre_kernel=enc)
         .select("asset_id", "sample_rate", "channels", "n_frames", "sum_abs", "peak")
         .orderBy("asset_id")
     )
@@ -891,9 +889,8 @@ def q_multimodal_decode_gif(spark, sf_dir):
                 }
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
     return (
-        decode_image_batch(assets, fake=False)
+        decode_image_batch(d, fake=False, pre_kernel=enc)
         .select(
             "asset_id",
             "width",
@@ -968,9 +965,8 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
                 }
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
     return (
-        decode_image_batch(assets, fake=False)
+        decode_image_batch(d, fake=False, pre_kernel=enc)
         .select(
             "asset_id",
             "width",
@@ -1051,9 +1047,8 @@ def q_multimodal_sample_video(spark, sf_dir):
                 }
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
     return (
-        sample_video_batch(assets, every_k=2)
+        sample_video_batch(d, every_k=2, pre_kernel=enc)
         .select(
             "asset_id", "width", "height",
             "n_frames", "n_sampled", "luma_sum", "luma_peak",
@@ -1134,7 +1129,6 @@ def q_multimodal_decode_jpeg_ac(spark, sf_dir):
                 {"asset_id": pdf["asset_id"], "payload": payloads}
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, payload binary")
 
     def dec(batches):
         import numpy as np
@@ -1158,8 +1152,11 @@ def q_multimodal_decode_jpeg_ac(spark, sf_dir):
                 out["mean_absdev"].append(float(np.abs(px - mu).mean()))
             yield pd.DataFrame(out)
 
-    decoded = assets.mapInPandas(
-        dec,
+    # fuse fixture synthesis + decode into ONE Python worker pass
+    # (two chained mapInPandas runners each pay per-task Arrow setup
+    # and double-cross the payload bytes — r13 optimization round)
+    decoded = d.mapInPandas(
+        lambda batches: dec(enc(batches)),
         schema="asset_id long, width int, height int, "
         "mean_intensity double, mean_absdev double",
     )
@@ -1276,9 +1273,8 @@ def q_multimodal_decode_progressive(spark, sf_dir):
                  "payload": payloads}
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
     return (
-        decode_image_batch(assets, fake=False)
+        decode_image_batch(d, fake=False, pre_kernel=enc)
         .select(
             "asset_id", "width", "height",
             F.round("mean_intensity", 6).alias("mean_intensity"),
@@ -1365,9 +1361,8 @@ def q_multimodal_decode_jpeg420(spark, sf_dir):
                 }
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
     return (
-        decode_image_batch(assets, fake=False)
+        decode_image_batch(d, fake=False, pre_kernel=enc)
         .select(
             "asset_id",
             "width",
@@ -1483,9 +1478,8 @@ def q_multimodal_decode_adpcm(spark, sf_dir):
                 }
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
     return (
-        decode_audio_batch(assets)
+        decode_audio_batch(d, pre_kernel=enc)
         .select("asset_id", "sample_rate", "channels", "n_frames", "sum_abs", "peak")
         .orderBy("asset_id")
     )
@@ -1564,9 +1558,8 @@ def q_multimodal_sample_avi(spark, sf_dir):
                 }
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
     return (
-        sample_video_batch(assets, every_k=2)
+        sample_video_batch(d, every_k=2, pre_kernel=enc)
         .select(
             "asset_id", "width", "height", "n_frames", "n_sampled",
             "luma_sum", "luma_peak",
@@ -1650,9 +1643,8 @@ def q_multimodal_sample_mp4(spark, sf_dir):
                 }
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
     return (
-        sample_video_batch(assets, every_k=3)
+        sample_video_batch(d, every_k=3, pre_kernel=enc)
         .select(
             "asset_id", "width", "height", "n_frames", "n_sampled",
             "luma_sum", "luma_peak",
@@ -1720,9 +1712,8 @@ def q_multimodal_resize_image(spark, sf_dir):
                 }
             )
 
-    assets = d.mapInPandas(enc, schema="asset_id long, mime string, payload binary")
     return (
-        resize_image_batch(assets, out_w=4, out_h=3)
+        resize_image_batch(d, out_w=4, out_h=3, pre_kernel=enc)
         .select(
             "asset_id", "src_width", "src_height", "width", "height",
             "luma_sum", "luma_peak",
