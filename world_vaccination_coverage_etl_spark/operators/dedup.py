@@ -95,8 +95,12 @@ def exact_dedup_pairs(
 
 
 def _tokens(col: F.Column) -> F.Column:
+    # filter() lambda kept deliberately: the HOF is non-cheap to
+    # CollapseProject, so the tokenizer is not inlined into the
+    # multiple references _shingles makes (see text.py:_tokens for the
+    # measured 3-4x regression the plain-expression form caused)
     toks = F.split(normalized_text(col), r"[^a-z0-9]+")
-    return F.array_remove(toks, "")
+    return F.filter(toks, lambda t: t != "")
 
 
 def _shingles(col: F.Column, k: int) -> F.Column:

@@ -33,12 +33,29 @@ STOPWORDS_EN = LANG_MARKERS["en"]
 
 
 def _tokens(col: F.Column) -> F.Column:
+    """Tokenize via a higher-order filter().
+
+    The filter() LAMBDA is load-bearing beyond its semantics: Catalyst
+    treats the HOF as non-cheap, so CollapseProject will NOT inline a
+    `_tokens` column into every downstream expression that references
+    it (with_quality_score / with_language_id reference the token
+    array 4-5x through derived scalars; with a plain-expression
+    tokenizer the projections collapse and the split+filter re-runs
+    per reference — measured 3-4x slower at sf0.1, r13 optimization
+    round).  Use :func:`_tokens_arr` ONLY where the array is consumed
+    once (explode / arrays_zip feeding an aggregate)."""
     toks = F.split(F.lower(F.trim(col)), r"[^a-zA-Z0-9]+")
-    # array_remove instead of a filter() lambda: higher-order functions
-    # are interpreted per element (no codegen); array_remove is a plain
-    # codegen'd expression.  Identical here — split() never yields NULL
-    # elements, so dropping ''-equal entries is the only effect either
-    # way (r13 optimization round, measured ~15% off the tokenize pass).
+    return F.filter(toks, lambda t: t != "")
+
+
+def _tokens_arr(col: F.Column) -> F.Column:
+    """Tokenize via array_remove — identical output to :func:`_tokens`
+    (split() never yields NULL elements), but a plain codegen'd
+    expression instead of an interpreted per-element lambda (~15%
+    faster).  ONLY for single-consumption sites (the array feeds one
+    explode/zip): as a multiply-referenced projection column it gets
+    inlined per reference by CollapseProject — see :func:`_tokens`."""
+    toks = F.split(F.lower(F.trim(col)), r"[^a-zA-Z0-9]+")
     return F.array_remove(toks, "")
 
 
@@ -46,7 +63,7 @@ def with_token_count(
     df: DataFrame, text_col: str = "text", out_prefix: str = ""
 ) -> DataFrame:
     """Whitespace and BPE-ish token counts as new columns."""
-    ws = F.size(F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), ""))
+    ws = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""))
     bpe = F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN))
     return df.withColumn(f"{out_prefix}ws_tokens", ws).withColumn(
         f"{out_prefix}bpe_tokens", bpe
@@ -145,7 +162,7 @@ def word_frequencies(
     the canonical two-phase distributed word count.
     """
     return (
-        df.select(F.explode(_tokens(F.col(text_col))).alias("word"))
+        df.select(F.explode(_tokens_arr(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= min_count)
@@ -174,7 +191,7 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = df.select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("term")
+        F.col(id_col), F.explode(_tokens_arr(F.col(text_col))).alias("term")
     )
     # tf feeds both df_t and the score join: localCheckpoint so the
     # tokenize+count pass runs once, not once per consumer (r13 opt)
@@ -228,7 +245,9 @@ def chunk_text_windows(
     if overlap >= chunk_size:
         raise ValueError(f"overlap {overlap} must be < chunk_size {chunk_size}")
     stride = chunk_size - overlap
-    toks = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
     n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1).cast("long"),
@@ -372,7 +391,7 @@ def repetition_stats(
     crosses the wire.
     """
     max_n = max(ns)
-    toks = _tokens(F.col(text_col))
+    toks = _tokens_arr(F.col(text_col))
     big = F.size(toks)
     zipped = F.arrays_zip(
         toks.alias("w"),
@@ -458,7 +477,7 @@ def unigram_logprob(
     libm-portability contract `tfidf_top_terms` certifies.
     """
     toks = df.select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("w")
+        F.col(id_col), F.explode(_tokens_arr(F.col(text_col))).alias("w")
     )
     # tf feeds both the vocabulary count and the score join:
     # localCheckpoint so the tokenize+count pass runs once (r13 opt)
@@ -512,7 +531,7 @@ def segment_dedup(
     Output: (id, clean_text, n_segs, n_kept) — ``clean_text`` is ''
     for fully-deduplicated documents.
     """
-    toks = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(
         F.col(id_col),
         toks.alias("__toks"),
@@ -595,7 +614,7 @@ def bigram_logprob(
     (small) bigram vocabulary, never from occurrences.
     """
     toks = df.select(
-        F.col(id_col), _tokens(F.col(text_col)).alias("t")
+        F.col(id_col), _tokens_arr(F.col(text_col)).alias("t")
     ).filter(F.size("t") >= 2)
     bg = toks.select(
         id_col,

@@ -1458,7 +1458,7 @@ def q_embedding_hof_flags(spark, sf_dir):
 )
 def q_feature_hashing_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    from ..operators.text import _tokens as _toks
+    from ..operators.text import _tokens_arr as _toks
 
     hv = F.conv(
         F.substring(F.md5(F.concat(F.lit("fh:"), F.col("w"))), 1, 2), 16, 10
@@ -1658,7 +1658,7 @@ def q_fuzzy_entity_clusters(spark, sf_dir):
     "train AND inference verified in one hash",
 )
 def q_naive_bayes_lang_confusion(spark, sf_dir):
-    from ..operators.text import _tokens as _toks
+    from ..operators.text import _tokens_arr as _toks
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
