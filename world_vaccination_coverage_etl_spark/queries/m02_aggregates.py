@@ -368,13 +368,22 @@ def q_agg_welch_pvalue(spark, sf_dir):
 )
 def q_agg_grouping_sets(spark, sf_dir):
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    # pre-aggregate on the (flag, status) pair BEFORE the grouping-sets
+    # Expand: Expand multiplies its INPUT rows by the number of sets, so
+    # feeding it the 6-row compact aggregate instead of the fact table
+    # removes 2/3 of the partial-agg volume (1.6 -> 0.6 s at sf0.1, r13
+    # optimization round).  Decimal sums are exact and associative, so
+    # the two-level sum is bit-identical; keys are non-null in this
+    # schema (NULL keys would alias the grouping-set indicator rows).
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                         AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
-               CAST(count(*) AS BIGINT) AS n_rows
-        FROM lineitem_gs
+               CAST(CAST(sum(s) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+               CAST(sum(c) AS BIGINT) AS n_rows
+        FROM (SELECT l_returnflag, l_linestatus,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+                     count(*) AS c
+              FROM lineitem_gs GROUP BY l_returnflag, l_linestatus)
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
         """
@@ -393,15 +402,20 @@ def q_agg_grouping_sets(spark, sf_dir):
     note="hierarchical grouping-sets aggregation (Spark rollup; extension beyond reference §2.5)",
 )
 def q_agg_rollup(spark, sf_dir):
-    return (
+    # pre-aggregate before the rollup Expand (see agg_grouping_sets)
+    pre = (
         _t(spark, sf_dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .cast("double")
-            .alias("sum_qty"),
-            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+            F.count("*").alias("c"),
+        )
+    )
+    return (
+        pre.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("s").cast("decimal(18,2)").cast("double").alias("sum_qty"),
+            F.sum("c").cast("long").alias("n_rows"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
@@ -424,15 +438,20 @@ def q_agg_rollup(spark, sf_dir):
     "aggregation pass, not 2^k scans",
 )
 def q_agg_cube(spark, sf_dir):
-    return (
+    # pre-aggregate before the cube Expand (see agg_grouping_sets)
+    pre = (
         _t(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
-            .cast("double")
-            .alias("sum_qty"),
-            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+            F.count("*").alias("c"),
+        )
+    )
+    return (
+        pre.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("s").cast("decimal(18,2)").cast("double").alias("sum_qty"),
+            F.sum("c").cast("long").alias("n_rows"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
