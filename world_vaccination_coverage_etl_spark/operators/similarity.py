@@ -512,24 +512,39 @@ def ivf_assign(
     """
     import math
 
-    v = F.col(vec_col).cast("array<double>")
-    vn = _norm(v)
+    # The whole argmax is generated as ONE SQL string and parsed with a
+    # single F.expr: building it Column-by-Column costs one py4j round
+    # trip per centroid-coordinate literal (nlist x dim ~ 1000 hops,
+    # measured ~2 s of pure driver time at sf0.1 — the same lesson
+    # operators/ranks.py documents for its bucket expressions).  The
+    # parsed tree is expression-identical (same zip_with/aggregate fold
+    # order, same CASE guard), so scores are bit-identical.  The vector
+    # cast and its norm are materialized once as helper columns so the
+    # interpreted fold runs once per row, not once per centroid.
+    def _d(x: float) -> str:
+        return repr(float(x)) + "D"
+
     entries = []
     for cid, c in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        cn = 0.0
-        for x in c:
-            cn += float(x) * float(x)
-        cn = math.sqrt(cn)
-        den = vn * F.lit(cn)
-        s = F.when(den > 0, _dot(v, carr) / den).otherwise(F.lit(0.0))
-        if round_dp is not None:
-            s = F.round(s, round_dp)
-        entries.append(
-            F.struct((-s).alias("ns"), F.lit(cid).alias("cid"))
+        carr = "array(" + ",".join(_d(x) for x in c) + ")"
+        cn = math.sqrt(sum(float(x) * float(x) for x in c))
+        dot = (
+            f"aggregate(zip_with(`__ivf_vd`, {carr}, (x, y) -> x * y), "
+            "0.0D, (acc, v) -> acc + v)"
         )
-    best = F.array_min(F.array(*entries))["cid"]
-    return df.withColumn(list_col, best)
+        den = f"(`__ivf_vn` * {_d(cn)})"
+        s = f"(CASE WHEN {den} > 0.0D THEN {dot} / {den} ELSE 0.0D END)"
+        if round_dp is not None:
+            s = f"round({s}, {int(round_dp)})"
+        entries.append(f"named_struct('ns', -{s}, 'cid', {cid})")
+    best = "array_min(array(" + ",".join(entries) + "))['cid']"
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.withColumn("__ivf_vd", v)
+        .withColumn("__ivf_vn", _norm(F.col("__ivf_vd")))
+        .withColumn(list_col, F.expr(best))
+        .drop("__ivf_vd", "__ivf_vn")
+    )
 
 
 def ivf_assign_batched(
