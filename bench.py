@@ -134,6 +134,10 @@ def main() -> int:
         "sf": sf_num,
         "wall_both_passes": wall,
         "n_queries": len(per_query),
+        # core count this run measured under (r13 verdict item 1: the
+        # driver's c8 rerun overwrote the c32 full table; artifacts are
+        # now named per core count, see local_path below)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         # full observations per query (r10 ADVICE: the best-of-2 min
         # of a POOLED query measures a pool hit, so the cold first
         # run is recorded separately and gated below).  The two
@@ -207,6 +211,45 @@ def main() -> int:
         full["norm_worst5"] = dict(
             sorted(norm.items(), key=lambda kv: -kv[1])[:5]
         )
+        # whole-registry summary the driver CAN capture (r13 verdict
+        # item 1: the stdout tail only fits the slowest ~35 queries, a
+        # selection-biased window; these two scalars summarize ALL of
+        # them).  geomean_vs_baseline_norm < 1 means this tree is
+        # faster than BASELINE.md after dividing out the host window.
+        import math
+
+        if norm:
+            full["geomean_vs_baseline_norm"] = round(
+                math.exp(sum(math.log(v) for v in norm.values()) / len(norm)), 3
+            )
+        # round-over-round: compare against the PREVIOUS committed full
+        # table at the same core count (fall back to the legacy stable
+        # name), host-normalizing the same way.
+        cpus_now = full["cpus"]
+        here = os.path.dirname(os.path.abspath(__file__))
+        for prev_name in (f"BENCH_LOCAL_c{cpus_now}.json", "BENCH_LOCAL.json"):
+            prev_path = os.path.join(here, prev_name)
+            if os.path.exists(prev_path):
+                with open(prev_path) as fh:
+                    prev_q = json.load(fh).get("queries") or {}
+                common = [
+                    q for q in prev_q
+                    if q in per_query and prev_q[q] > 0
+                ]
+                if len(common) >= 20:
+                    h_prev = host_factor(prev_q, per_query)
+                    full["geomean_vs_prev_norm"] = round(
+                        math.exp(
+                            sum(
+                                math.log(per_query[q] / prev_q[q] / h_prev)
+                                for q in common
+                            )
+                            / len(common)
+                        ),
+                        3,
+                    )
+                    full["n_prev_common"] = len(common)
+                break
         # pooled queries: the min above is a pool hit; gate the COLD
         # first run against the (unpooled-recorded) baseline row so a
         # regression in the real computation stays visible (r10 ADVICE)
@@ -219,12 +262,22 @@ def main() -> int:
     except Exception as exc:  # noqa: BLE001 — comparison is advisory
         print(f"[bench] baseline compare skipped: {exc}", file=sys.stderr)
 
+    here = os.path.dirname(os.path.abspath(__file__))
     local_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        here, "BENCH_LOCAL.json"
     )
-    with open(local_path, "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    # per-core-count artifact FIRST (r13 verdict item 1: the driver's
+    # 8-core rerun overwrote BENCH_LOCAL.json, destroying the 32-core
+    # table; BENCH_LOCAL_c{cpus}.json survives any same-round rerun at
+    # a different core count — BENCH_LOCAL.json stays as the stable
+    # name for tooling that expects it)
+    for path in (
+        os.path.join(here, f"BENCH_LOCAL_c{full['cpus']}.json"),
+        local_path,
+    ):
+        with open(path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
 
     # compact stdout line: contract keys, but "queries" holds only the
     # slowest entries that keep the line under the driver's ~2000-char

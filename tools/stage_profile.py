@@ -90,7 +90,7 @@ def main() -> int:
                         (s.get("executorRunTime") or 0) / 1e3,
                         s.get("numCompleteTasks") or s.get("numTasks"),
                         s.get("name", "")[:60],
-                        s.get("details", "").split("\n")[0][:0],
+                        s.get("details", "").split("\n")[0][:60],
                         s.get("shuffleReadBytes", 0),
                         s.get("shuffleWriteBytes", 0),
                         (s.get("executorDeserializeTime") or 0) / 1e3,
@@ -102,12 +102,14 @@ def main() -> int:
             tot = sum(r[1] for r in rows)
             print(f"  total executorRunTime {tot:.2f}s "
                   f"(x{tot/wall if wall else 0:.1f} of wall on {dp} cores)")
-            for sid, rt, nt, nm, _, srd, swr, deser in rows[:14]:
+            for sid, rt, nt, nm, det, srd, swr, deser in rows[:14]:
                 extra = ""
                 if srd or swr:
                     extra = f" shufR={srd/1e6:.1f}MB shufW={swr/1e6:.1f}MB"
                 if deser > 0.05 * max(rt, 0.01):
                     extra += f" deser={deser:.2f}s"
+                if det:
+                    extra += f"  [{det}]"
                 print(f"  stage {sid:>4} {rt:7.2f}s exec, {nt:>3} tasks  "
                       f"{nm}{extra}")
     return 0

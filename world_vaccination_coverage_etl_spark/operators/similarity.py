@@ -522,7 +522,16 @@ def ivf_assign(
     # cast and its norm are materialized once as helper columns so the
     # interpreted fold runs once per row, not once per centroid.
     def _d(x: float) -> str:
-        return repr(float(x)) + "D"
+        # repr() of a non-finite float ("nan"/"inf") is not a SQL
+        # literal — a NaN/inf centroid coordinate would make the
+        # generated string unparseable (the pre-r13 F.lit form handled
+        # them); fail loudly instead of emitting broken SQL (ADVICE r13)
+        fx = float(x)
+        if not math.isfinite(fx):
+            raise ValueError(
+                f"ivf_assign: non-finite centroid coordinate {fx!r}"
+            )
+        return repr(fx) + "D"
 
     entries = []
     for cid, c in centroids:

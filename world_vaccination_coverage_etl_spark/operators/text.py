@@ -194,7 +194,12 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(_tokens_arr(F.col(text_col))).alias("term")
     )
     # tf feeds both df_t and the score join: localCheckpoint so the
-    # tokenize+count pass runs once, not once per consumer (r13 opt)
+    # tokenize+count pass runs once, not once per consumer (r13 opt).
+    # Within-query materialization, lifetime = this plan's blocks; on a
+    # real cluster the durable form is operators/staging.stage with a
+    # staging_dir (localCheckpoint pins blocks to their executors and
+    # cannot recompute them after executor loss — see staging.py; the
+    # same caveat applies to every eager=False site in this module)
     tf = toks.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")
     ).localCheckpoint(eager=False)
