@@ -564,8 +564,45 @@ def curation_pipeline_stages(spark, sf_dir):
         & (F.col("punct_ratio") <= 0.2)
     )
     yield "gate_lang_quality", kept.select("doc_id"), False
-    uniq = exact_dedup(kept).select(
-        "doc_id", shingles_udf(3)(F.col("text")).alias("grams")
+    # exact dedup via a WINDOW (keep the min-id row per normalized
+    # text), not operators.dedup.exact_dedup's aggregate + semi-join:
+    # the semi-join's outer side re-executes this point's lineage, and
+    # here that lineage is the whole langid+quality gate chain —
+    # profiled as the two most expensive stages of the pipeline, run
+    # twice (r14 opt, guide §2.4: two operations keyed the same way
+    # share one pass).  For a cheap re-scannable input the operator's
+    # agg+semi-join stays the right shape (shuffles ~40 B/row instead
+    # of the text payload); the window form wins exactly when the
+    # input is expensive to recompute.  row_number over (__norm, id
+    # asc) == 1 selects the same min-id representative rows.
+    #
+    # The explicit repartition both feeds the window (hash on __norm,
+    # no second exchange) and PINS the partition count: AQE would
+    # coalesce this ~10 MB shuffle to one partition, serializing the
+    # shingle UDF and the parquet write (and the write's file count is
+    # the scan parallelism of every downstream pair-join stage —
+    # profiled: the gram-explode stage ran as ONE task).
+    from pyspark.sql import Window as _W
+
+    from ..operators.dedup import normalized_text
+
+    # partition count tracks the corpus, capped at cluster parallelism
+    # (scale-adaptive: at real volume rows//512 >> dp and the cap rules;
+    # at bench SF it keeps ~0.5-1k rows per task so the per-task fixed
+    # costs don't dominate the Arrow kernel — measured 2.5 s at 16
+    # parts vs 3.4 s at 32 for the sf0.1 corpus)
+    dp = spark.sparkContext.defaultParallelism
+    nparts = int(min(dp, max(8, (2 * parquet_num_rows(sf_dir, "documents")) // 512)))
+    uniq = (
+        kept.select("doc_id", "text")
+        .withColumn("__norm", normalized_text(F.col("text")))
+        .repartition(nparts, "__norm")
+        .withColumn(
+            "__rk",
+            F.row_number().over(_W.partitionBy("__norm").orderBy("doc_id")),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", shingles_udf(3)(F.col("text")).alias("grams"))
     )
     # stage materialization: the near-dup self-join + the survivor
     # anti-join would otherwise re-execute the whole gate+dedup chain
