@@ -705,3 +705,48 @@ def test_embedding_screen_new_batch_vs_base_index(spark):
     rows = pairs.collect()
     assert {(r.new_id, r.base_id) for r in rows} == {(10, 0)}
     assert all(r.cosine >= 0.95 for r in rows)
+
+
+def test_fused_minhash_kernel_parity(spark):
+    """The fused bands+shingles kernel (r14: one tokenize+shingle pass
+    instead of two Python passes) must be bit-identical to the two
+    standalone kernels on edge-heavy inputs — including NULL/empty/
+    whitespace-only docs and the <3-token full-join fallback."""
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        _minhash_band_hashes,
+        _minhash_bands_and_shingles,
+    )
+
+    rows = DOCS + [
+        (10, "", "en"),
+        (11, "   ", "en"),
+        (12, None, "en"),
+        (13, "one", "en"),
+        (14, "two words", "en"),
+        (15, "exactly three tokens", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    fused = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", _minhash_bands_and_shingles(F.col("text")).alias("bs")
+        )
+        .select("doc_id", "bs.bands", "bs.shingles")
+        .collect()
+    }
+    bands_ref = {
+        r["doc_id"]: r["bands"]
+        for r in docs.select(
+            "doc_id", _minhash_band_hashes(F.col("text")).alias("bands")
+        ).collect()
+    }
+    sh_ref = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", shingles_udf(3)(F.col("text")).alias("sh")
+        ).collect()
+    }
+    for did in bands_ref:
+        assert fused[did]["bands"] == bands_ref[did]
+        # shingles are SETS downstream (array_intersect/union)
+        assert sorted(fused[did]["shingles"]) == sorted(sh_ref[did])

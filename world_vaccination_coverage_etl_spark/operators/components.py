@@ -163,6 +163,16 @@ def connected_components(
         # root-id list is tiny; cut it so the anti/semi split doesn't
         # recompute the three semi-joins twice
         bad_root = stage(bad_root, staging_dir, f"cc_bad_{it % 2}")
+        # convergence probe on bad_root, not on the residual edge set:
+        # bad_root empty ⟺ residual (e ⋉ bad_root) empty, and probing
+        # here skips the final round's anti-join/semi-join passes over
+        # e entirely — with no unsettled root the WHOLE edge set parks
+        # as-is (r14 opt; one-round graphs, the common dup-corpus case,
+        # drop ~2 jobs per CC invocation).  Probing bad_root also
+        # materializes its checkpoint, which the split below reuses.
+        if bad_root.limit(1).count() == 0:
+            parked.append(e)
+            break
         newly_settled = stage(
             e.join(bad_root, on="u", how="left_anti"),
             staging_dir,
@@ -174,8 +184,6 @@ def connected_components(
             staging_dir,
             f"cc_edges_{(it % 2) + 1}",
         )
-        if e.limit(1).count() == 0:
-            break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

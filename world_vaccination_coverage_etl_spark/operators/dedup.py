@@ -243,6 +243,64 @@ def _minhash_band_hashes(texts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("bands", T.ArrayType(T.LongType())),
+            T.StructField("shingles", T.ArrayType(T.StringType())),
+        ]
+    )
+)
+def _minhash_bands_and_shingles(texts: pd.Series) -> pd.DataFrame:
+    """Fused kernel: band hashes AND the shingle set in ONE pass.
+
+    ``minhash_near_dup_pairs`` needs both products of the same
+    tokenize+shingle work — band hashes for candidate generation and
+    the shingle arrays for the exact verify.  Running
+    ``_minhash_band_hashes`` and ``shingles_udf`` separately tokenized
+    and shingled the whole corpus twice in two Python passes (r14 opt,
+    guide §4.1: this kernel is the only place the text is decoded —
+    emit every product of the decode in one worker pass).  Bit-parity
+    with the two standalone kernels is pinned in tests/test_dedup.py.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+
+    a, b, c, d = _minhash_coeffs(_MINHASH_NUM_HASHES, _MINHASH_BANDS, _MINHASH_SEED)
+    rows_per_band = _MINHASH_NUM_HASHES // _MINHASH_BANDS
+    split = re.compile(r"[^a-z0-9]+")
+    bands_out: list[list[int] | None] = []
+    sh_out: list[list[str]] = []
+    for text in texts:
+        toks = (
+            [t for t in split.split(text.lower().strip()) if t] if text else []
+        )
+        if not toks:
+            bands_out.append(None)
+            sh_out.append([])
+            continue
+        if len(toks) < 3:
+            shingles = {" ".join(toks)}
+        else:
+            shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        base = np.array(
+            [
+                int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+                for s in shingles
+            ],
+            dtype=np.uint64,
+        )
+        sig = (base[:, None] * a[None, :] + b[None, :]).min(axis=0)
+        band = (sig.reshape(_MINHASH_BANDS, rows_per_band) * c[None, :]).sum(
+            axis=1, dtype=np.uint64
+        ) + d
+        bands_out.append(band.view(np.int64).tolist())
+        sh_out.append(list(shingles))
+    return pd.DataFrame({"bands": bands_out, "shingles": sh_out})
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -268,20 +326,40 @@ def minhash_near_dup_pairs(
     Jaccard j is caught with prob 1-(1-j^4)^16 (≥ 98.8% at j=0.7, ≥
     1-1e-16 at j=0.97).
     """
-    banded = df.select(
-        F.col(id_col), F.posexplode(_minhash_band_hashes(F.col(text_col))).alias(
-            "band_idx", "band_hash"
+    if shingle_k == 3:
+        # fused single-pass kernel (bands + shingles; see
+        # _minhash_bands_and_shingles): one tokenize+shingle pass, one
+        # staged table feeding all four consumers below
+        both = _stage(
+            df.select(
+                F.col(id_col),
+                _minhash_bands_and_shingles(F.col(text_col)).alias("bs"),
+            ).select(id_col, "bs.bands", "bs.shingles"),
+            staging_dir,
+            "minhash_bands_shingles",
         )
-    )
-    # lineage cuts (see _stage): `banded` feeds both sides of the
-    # candidate self-join and `sh` both id-keyed re-attach joins —
-    # without the cut each Arrow kernel runs twice
-    banded = _stage(banded, staging_dir, "minhash_banded")
+        banded = both.select(
+            F.col(id_col),
+            F.posexplode("bands").alias("band_idx", "band_hash"),
+        )
+        sh = both.select(F.col(id_col), "shingles").filter(
+            F.size("shingles") > 0
+        )
+    else:
+        banded = df.select(
+            F.col(id_col), F.posexplode(_minhash_band_hashes(F.col(text_col))).alias(
+                "band_idx", "band_hash"
+            )
+        )
+        # lineage cuts (see _stage): `banded` feeds both sides of the
+        # candidate self-join and `sh` both id-keyed re-attach joins —
+        # without the cut each Arrow kernel runs twice
+        banded = _stage(banded, staging_dir, "minhash_banded")
 
-    sh = df.select(
-        F.col(id_col), shingles_udf(shingle_k)(F.col(text_col)).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    sh = _stage(sh, staging_dir, "minhash_shingles")
+        sh = df.select(
+            F.col(id_col), shingles_udf(shingle_k)(F.col(text_col)).alias("shingles")
+        ).filter(F.size("shingles") > 0)
+        sh = _stage(sh, staging_dir, "minhash_shingles")
 
     cand_ids = (
         banded.alias("a")

@@ -1577,25 +1577,22 @@ def q_fuzzy_entity_clusters(spark, sf_dir):
             .unionAll(gpairs.select(F.col("gid_b").alias("gid")))
             .distinct()
         )
+        matched = matched.localCheckpoint(eager=False)
         m = members.join(matched, on="gid")
-        # star edges doc→gid (gid = min member, so already canonical)
-        # plus one edge per matched group pair — exact CC compaction
-        edges = (
-            m.filter(F.col("doc_id") != F.col("gid"))
-            .select(
-                F.col("gid").alias("doc_lo"), F.col("doc_id").alias("doc_hi")
-            )
-            .unionAll(
-                gpairs.select(
-                    F.least("gid_a", "gid_b").alias("doc_lo"),
-                    F.greatest("gid_a", "gid_b").alias("doc_hi"),
-                )
-            )
+        # r14 (guide §1.2 — shrink what the ITERATIVE operator sees):
+        # the doc→gid star edges used to ride through every CC round,
+        # but a member's component is fully determined by its group's
+        # component in the gid-graph, so CC now runs on the group-pair
+        # edges ONLY (nodes = matched gids) and members inherit their
+        # gid's label with ONE post-loop join.  Byte-identical labels:
+        # gid = min member id, so min doc_id over a component = min gid
+        # over its gid-component, and every matched gid is itself a
+        # member doc.  Edge volume into the loop drops from
+        # O(member docs + group pairs) to O(group pairs).
+        comp_g = connected_components(
+            matched, gpairs, id_col="gid", src_col="gid_a", dst_col="gid_b"
         )
-        nodes = m.select("doc_id")
-        return connected_components(
-            nodes, edges, id_col="doc_id", src_col="doc_lo", dst_col="doc_hi"
-        )
+        return m.join(comp_g, on="gid").select("doc_id", "component_id")
 
     comp = pooled_parquet("fuzzy_cc", spark, sf_dir, build)
     return comp.select(
