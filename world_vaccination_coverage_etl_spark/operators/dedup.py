@@ -1644,6 +1644,45 @@ def _signlsh_table_buckets(dim: int, bits: int, tables: int, seed: int):
     return f
 
 
+def _verify_by_bucket(df: DataFrame, kernel, out_schema: str) -> DataFrame:
+    """Run a per-(tbl, bkt) verify kernel with ONE Python call per
+    shuffle PARTITION instead of one per group.
+
+    ``groupBy(tbl, bkt).applyInPandas`` invokes the Python kernel once
+    per group.  The group COUNT here is fixed by the LSH geometry
+    (tables × 2^bits ≈ 3k), so the ~3-5 ms pandas-call overhead per
+    group neither amortizes at bench SF (where groups hold a handful
+    of rows — profiled 15 s of executor time for ~0.5 s of matmul) nor
+    at 100 TB (the overhead is per group, data grows per group).  The
+    same distribution with ``repartition(n, tbl, bkt)`` + one
+    ``mapInPandas`` keeps every group co-located (hash partitioning on
+    the full key) while the in-kernel ``pandas.groupby`` does the
+    per-group split at C speed — and drops the per-partition SORT that
+    FlatMapGroupsInPandas required.  Memory bound: one partition
+    buffers in the worker, sized by ``spark.sql.shuffle.partitions``
+    (the cluster-scaled knob; AQE cannot re-coalesce an explicit
+    repartition, so tiny local runs keep their parallelism too).
+    Results are identical: same groups, same kernel per group.
+    """
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def run(batches):
+        bufs = list(batches)
+        if not bufs:
+            return
+        pdf = pd.concat(bufs, ignore_index=True)
+        outs = []
+        for _key, g in pdf.groupby(["tbl", "bkt"], sort=False):
+            out = kernel(g)
+            if len(out):
+                outs.append(out)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.repartition(nparts, "tbl", "bkt").mapInPandas(run, out_schema)
+
+
 def embedding_cosine_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1739,12 +1778,11 @@ def embedding_cosine_dup_pairs(
             }
         )
 
-    return (
-        banded.withColumnRenamed(id_col, "__id")
-        .groupBy("tbl", "bkt")
-        .applyInPandas(_verify, schema="id_a long, id_b long, cosine double")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    return _verify_by_bucket(
+        banded.withColumnRenamed(id_col, "__id"),
+        _verify,
+        "id_a long, id_b long, cosine double",
+    ).dropDuplicates(["id_a", "id_b"])
 
 
 def signlsh_bucket_assignments(
@@ -1869,9 +1907,8 @@ def embedding_screen_new_batch(
             }
         )
 
-    return (
-        new_side.unionByName(base_side)
-        .groupBy("tbl", "bkt")
-        .applyInPandas(_verify, schema="new_id long, base_id long, cosine double")
-        .dropDuplicates(["new_id", "base_id"])
-    )
+    return _verify_by_bucket(
+        new_side.unionByName(base_side),
+        _verify,
+        "new_id long, base_id long, cosine double",
+    ).dropDuplicates(["new_id", "base_id"])
