@@ -829,10 +829,20 @@ def q_q13_customer_distribution(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") != "1-URGENT"
     )
+    # aggregate BEFORE the outer join (guide §2.3): the per-custkey
+    # order count partial-aggregates map-side and the join then carries
+    # one row per customer-with-orders instead of one per order row;
+    # count(o_orderkey) over the left join == coalesce(n, 0) here
+    # because o_orderkey is never NULL on matched rows (r14 opt).
     per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy(c.c_custkey)
-        .agg(F.count("o_orderkey").alias("c_count"))
+        c.join(
+            o.groupBy("o_custkey").agg(
+                F.count(F.lit(1)).alias("__n")
+            ),
+            c.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .select(F.coalesce("__n", F.lit(0)).alias("c_count"))
     )
     return (
         per_cust.groupBy("c_count")
