@@ -450,11 +450,39 @@ def minhash_screen_new_batch(
     per-batch screen never re-shuffles the corpus-sized side
     (plan-pinned in ``tests/test_warehouse_bucketing.py``).
     """
-    new_bands = _stage(
-        minhash_band_signatures(new_df, text_col, id_col),
-        staging_dir,
-        "incr_new_bands",
-    )
+    if shingle_k == 3:
+        # fused single-pass kernel over the batch (r14; see
+        # _minhash_bands_and_shingles): band signatures AND the verify
+        # shingles in one tokenize+shingle pass instead of two
+        both = _stage(
+            new_df.select(
+                F.col(id_col),
+                _minhash_bands_and_shingles(F.col(text_col)).alias("bs"),
+            ).select(id_col, "bs.bands", "bs.shingles"),
+            staging_dir,
+            "incr_new_bands_shingles",
+        )
+        new_bands = both.select(
+            F.col(id_col),
+            F.posexplode("bands").alias("band_idx", "band_hash"),
+        )
+        new_sh = both.select(
+            F.col(id_col).alias("new_id"), F.col("shingles").alias("sh_n")
+        ).filter(F.size("sh_n") > 0)
+    else:
+        new_bands = _stage(
+            minhash_band_signatures(new_df, text_col, id_col),
+            staging_dir,
+            "incr_new_bands",
+        )
+        new_sh = _stage(
+            new_df.select(
+                F.col(id_col).alias("new_id"),
+                shingles_udf(shingle_k)(F.col(text_col)).alias("sh_n"),
+            ).filter(F.size("sh_n") > 0),
+            staging_dir,
+            "incr_new_shingles",
+        )
     cand = (
         new_bands.alias("n")
         .join(
@@ -467,14 +495,6 @@ def minhash_screen_new_batch(
             F.col(f"b.{id_col}").alias("base_id"),
         )
         .dropDuplicates(["new_id", "base_id"])
-    )
-    new_sh = _stage(
-        new_df.select(
-            F.col(id_col).alias("new_id"),
-            shingles_udf(shingle_k)(F.col(text_col)).alias("sh_n"),
-        ).filter(F.size("sh_n") > 0),
-        staging_dir,
-        "incr_new_shingles",
     )
     cand_base_ids = cand.select(F.col("base_id").alias(id_col)).distinct()
     base_sh = base_df.join(cand_base_ids, id_col, "left_semi").select(
