@@ -750,3 +750,30 @@ def test_fused_minhash_kernel_parity(spark):
         assert fused[did]["bands"] == bands_ref[did]
         # shingles are SETS downstream (array_intersect/union)
         assert sorted(fused[did]["shingles"]) == sorted(sh_ref[did])
+
+
+def test_signlsh_geometry_certification_scale_fixed():
+    """Auto geometry must resolve to the certified (8, 12) at every
+    driver-SF corpus size (results bit-identical to the fixed form)
+    and scale bits up — with tables preserving the recall bound — past
+    the occupancy target."""
+    import math
+
+    from world_vaccination_coverage_etl_spark.operators.dedup import (
+        _signlsh_geometry,
+    )
+
+    # sf0.001/0.01/0.1 self-union corpora are all <= 10k vectors
+    # (2^8 buckets keep occupancy <= the 256 target up to 65k rows)
+    for n in (8, 100, 1_000, 10_000, 65_536):
+        assert _signlsh_geometry(n, 0.95) == (8, 12)
+    # large corpora: more bits, recall bound preserved
+    p1 = 1.0 - math.acos(0.95) / math.pi
+    floor = 1.0 - (1.0 - p1**8) ** 12
+    for n in (100_000, 500_000, 1_000_000, 10_000_000):
+        bits, tables = _signlsh_geometry(n, 0.95)
+        assert bits > 8
+        p = p1**bits
+        assert 1.0 - (1.0 - p) ** tables >= floor - 1e-12
+        # occupancy stays near the target (within 2x)
+        assert n / (1 << bits) <= 2048

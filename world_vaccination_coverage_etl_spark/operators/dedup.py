@@ -1664,6 +1664,47 @@ def _signlsh_table_buckets(dim: int, bits: int, tables: int, seed: int):
     return f
 
 
+def _signlsh_geometry(
+    n_rows: int,
+    threshold: float,
+    target_occupancy: int = 256,
+    min_bits: int = 8,
+    max_bits: int = 16,
+) -> tuple[int, int]:
+    """(bits, tables) for multi-table sign-LSH at corpus size n.
+
+    Fixed bits means fixed bucket COUNT, so expected occupancy — and
+    the per-bucket O(occ²) verify — grows linearly with the corpus:
+    total verify work O(n²·tables/2^bits), the fixed-coarse-quantizer
+    failure ``similarity.adaptive_lsh_bits`` documents (r14 measured:
+    embedding_dup_pairs 47× time on a 10× input at fixed 8 bits).
+    Scaling bits with log2(n/target) bounds occupancy; TABLES then
+    scale to preserve the same recall bound the fixed (8, 12) geometry
+    gives at this threshold (per-table collision p = (1 − θ/π)^bits
+    shrinks with bits, recall = 1 − (1−p)^T — Charikar'02 / the
+    standard banding union bound, public literature).
+
+    At or below min_bits the geometry is EXACTLY the documented
+    (8, 12) — every certification-scale corpus resolves there, so
+    driver-SF results are bit-identical to the fixed form.
+    """
+    import math
+
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    bits = 8
+    if n_rows > target_occupancy:
+        bits = max(
+            min_bits,
+            min(max_bits, math.ceil(math.log2(n_rows / target_occupancy))),
+        )
+    if bits <= 8:
+        return 8, 12  # the documented certified geometry, verbatim
+    target_recall = 1.0 - (1.0 - p1**8) ** 12  # fixed-geometry bound
+    p = p1**bits
+    tables = max(12, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p)))
+    return bits, tables
+
+
 def _verify_by_bucket(df: DataFrame, kernel, out_schema: str) -> DataFrame:
     """Run a per-(tbl, bkt) verify kernel with ONE Python call per
     shuffle PARTITION instead of one per group.
@@ -1709,8 +1750,8 @@ def embedding_cosine_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     block_col: str | None = None,
-    lsh_bits: int = 8,
-    lsh_tables: int = 12,
+    lsh_bits: int | str = "auto",
+    lsh_tables: int | str = "auto",
     dim: int | None = None,
     lsh_seed: int = 42,
 ) -> DataFrame:
@@ -1724,21 +1765,39 @@ def embedding_cosine_dup_pairs(
       banding trick as MinHash above).  A pair at cosine c collides in
       one table with p = (1 − θ/π)^bits, θ = arccos(c), and is a
       candidate if it collides in ANY table: recall = 1 − (1−p)^T.
-      Defaults (8 bits × 12 tables): recall ≈ 0.9989 at c = 0.95,
-      ≈ 1 − 1e-5 at c = 0.97, exactly 1 for true duplicates — while a
-      single table would silently miss ~57% of pairs at c = 0.95.
-      Explicitly pass ``lsh_bits=0`` to force the full cross join
-      (the recall oracle on small inputs).
+      The certified geometry (8 bits × 12 tables): recall ≈ 0.9989 at
+      c = 0.95, ≈ 1 − 1e-5 at c = 0.97, exactly 1 for true duplicates —
+      while a single table would silently miss ~57% of pairs at
+      c = 0.95.  ``lsh_bits``/``lsh_tables`` default to ``"auto"``
+      (r14): ``_signlsh_geometry`` resolves them from the corpus row
+      count — certification-scale corpora get exactly (8, 12), bigger
+      corpora get more bits (bounded bucket occupancy — the per-bucket
+      verify is O(occ²), so fixed bits is quadratic in n) with tables
+      scaled to preserve the same recall bound.  Explicitly pass
+      ``lsh_bits=0`` to force the full cross join (the recall oracle
+      on small inputs).
 
-    Shuffle shape mirrors ``minhash_near_dup_pairs``: the exploded
-    (table_idx, bucket) join carries ids only; vectors re-attach once
-    per surviving candidate pair; verify is the row-local JVM
-    ``zip_with``/``aggregate`` cosine — no Python in the join path.
+    Shuffle shape mirrors ``minhash_near_dup_pairs``: one shuffle
+    moves (id, vector) to its (table, bucket) groups; the per-bucket
+    numpy matmul verify runs one Python call per partition
+    (``_verify_by_bucket``) and only pairs clearing the threshold
+    leave the worker.
     """
     cols = [F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")]
     if block_col:
         cols.append(F.col(block_col))
     vecs = df.select(*cols)
+
+    if not block_col and lsh_bits == "auto":
+        # one cheap count job sizes the geometry (same dispatch pattern
+        # as ngram_jaccard_pairs_from_grams' prefix_filter="auto")
+        n_rows = vecs.count()
+        auto_bits, auto_tables = _signlsh_geometry(n_rows, threshold)
+        lsh_bits = auto_bits
+        if lsh_tables == "auto":
+            lsh_tables = auto_tables
+    if lsh_tables == "auto":
+        lsh_tables = 12
 
     if block_col or lsh_bits <= 0:
         a, b = vecs.alias("a"), vecs.alias("b")
