@@ -66,7 +66,9 @@ def q_doc_fingerprint(spark, sf_dir):
     note="whitespace + BPE-ish token counts (operators/text.py with_token_count; JVM regexp_count, no per-row Python)",
 )
 def q_doc_token_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(
+        _t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20
+    )
     return (
         with_token_count(d)
         .select(
@@ -107,7 +109,9 @@ def _lang_id_oracle() -> str:
     note="marker-word language ID, argmax with asc-code tiebreak (operators/text.py with_language_id)",
 )
 def q_doc_language_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(
+        _t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20
+    )
     return with_language_id(d).select("doc_id", "lang_id").orderBy("doc_id")
 
 
@@ -166,7 +170,9 @@ def q_doc_quality_score(spark, sf_dir):
     note="two-phase distributed word count (operators/text.py word_frequencies; map-side partial agg)",
 )
 def q_word_frequencies(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(
+        _t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20
+    )
     return word_frequencies(d).orderBy(F.desc("freq"), F.asc("word")).limit(100)
 
 
@@ -230,7 +236,9 @@ def q_doc_unigram_logprob(spark, sf_dir):
     "keep avg() exact, entropy under the 6-dp ln() contract",
 )
 def q_corpus_health_by_source(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(
+        _t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20
+    )
     lang_mix = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("nl"))
     tot = lang_mix.groupBy("source").agg(F.sum("nl").alias("n"))
     p = F.col("nl") / F.col("n")

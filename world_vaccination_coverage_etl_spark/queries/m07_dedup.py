@@ -21,8 +21,19 @@ from .m06_text_sampling import (  # shared oracle-SQL fragments
 # observable and oracle-checkable rather than a vacuous identity.
 
 
-def _docs_self_union(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+def _docs_self_union(spark, sf_dir, spread=True):
+    # gated fan-out (no-op under 16 MiB, i.e. at every driver SF): the
+    # self-union feeds tokenize/shingle kernels and the curation gate
+    # chain, all pinned to the scan's split count on a single-file
+    # warehouse (sf10 probe: 1-2 tasks on 32 cores).  sf10 deltas:
+    # curation 148->118 s, dup_cluster_sizes 289->203 s, exact dedup
+    # 7.5->4.7 s warm.  simhash's vectorized signature kernel is cheap
+    # enough that the text shuffle costs MORE than the parallelism
+    # pays (22.8->30.7 s) — it opts out via spread=False.
+    d = _t(spark, sf_dir, "documents")
+    if spread:
+        d = fan_out(d, sf_dir, min_bytes=16 << 20)
+    d = d.select("doc_id", "text")
     return d.unionAll(
         d.select((F.col("doc_id") + DOC_SHIFT).alias("doc_id"), "text")
     )
@@ -81,7 +92,7 @@ def q_exact_dedup_groups(spark, sf_dir):
     "(miss prob < 2% per pair, 0 on this corpus; operators/dedup.py minhash_near_dup_pairs)",
 )
 def q_minhash_near_dup(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20)
     pairs = minhash_near_dup_pairs(d, threshold=0.7)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -182,7 +193,7 @@ def _incrnd_base_index(spark, sf_dir):
 def q_incremental_neardup_new_docs(spark, sf_dir):
     from ..operators.dedup import minhash_screen_new_batch
 
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(_t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20)
     assigned = d.select("doc_id", "text", _incrnd_batch_col().alias("batch"))
     base = assigned.filter(F.col("batch") == "base").select("doc_id", "text")
     new = assigned.filter(F.col("batch") == "new").select("doc_id", "text")
@@ -695,7 +706,7 @@ def _simhash_md5_oracle_sql() -> str:
 def q_simhash_near_dup(spark, sf_dir):
     # self-union: identical texts have identical signatures (hamming 0),
     # so the pair set is non-empty and deterministic
-    u = _docs_self_union(spark, sf_dir)
+    u = _docs_self_union(spark, sf_dir, spread=False)
     pairs = simhash_md5_near_dup_pairs(u, max_hamming=3)
     return pairs.select("id_a", "id_b", "hamming").orderBy("id_a", "id_b")
 

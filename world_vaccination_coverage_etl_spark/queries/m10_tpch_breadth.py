@@ -1657,7 +1657,9 @@ def q_fuzzy_entity_clusters(spark, sf_dir):
 def q_naive_bayes_lang_confusion(spark, sf_dir):
     from ..operators.text import _tokens_arr as _toks
 
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(
+        _t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20
+    )
     toks = d.select(
         "doc_id", "lang", F.explode(_toks(F.col("text"))).alias("w")
     )
@@ -2121,7 +2123,9 @@ _BM25_TERMS = ("join", "hash", "scan", "filter", "merge")
     "contract",
 )
 def q_bm25_topk_docs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = fan_out(
+        _t(spark, sf_dir, "documents"), sf_dir, min_bytes=16 << 20
+    )
     toks = d.select(
         "doc_id",
         F.array_remove(
