@@ -253,6 +253,37 @@ def main() -> int:
         # pooled queries: the min above is a pool hit; gate the COLD
         # first run against the (unpooled-recorded) baseline row so a
         # regression in the real computation stays visible (r10 ADVICE)
+        #
+        # r14: the cold number was a SINGLE pass-1 sample, unprotected
+        # by the best-of-2 rule every other number gets — one throttle
+        # window over the alphabet-contiguous dup_* segment recorded
+        # 3-12x cold_norms for plans that measure 0.7-0.9x in calm
+        # sessions.  A suspicious cold sample (>2x its baseline row)
+        # gets ONE more genuinely-cold run (clear_pools first) and the
+        # MIN is recorded — the same best-of-2 statistic as the warm
+        # numbers, still fully cold.
+        from world_vaccination_coverage_etl_spark.queries._core import (
+            clear_pools as _clear_pools,
+        )
+
+        for q in sorted(full["pooled_cold"]):
+            if q not in POOLED_QUERIES or base.get(q, 0) <= 0:
+                continue
+            if full["pooled_cold"][q] / base[q] <= 2.0:
+                continue
+            _clear_pools()
+            spark._jvm.System.gc()
+            t0 = time.time()
+            REGISTRY[q].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t = round(time.time() - t0, 3)
+            print(
+                f"[bench] cold re-measure {q}: {full['pooled_cold'][q]}s "
+                f"-> min with {t}s",
+                file=sys.stderr, flush=True,
+            )
+            full["pooled_cold"][q] = min(full["pooled_cold"][q], t)
         cold_norm = {
             q: round(full["pooled_cold"][q] / base[q] / host, 2)
             for q in full["pooled_cold"]
